@@ -1,0 +1,146 @@
+package graft.core
+
+/** Slippy-map tile math with the exact semantics of the reference
+  * (/root/reference/src/diagonal.works/b6/tiles.go):
+  *   - Web-Mercator projection at zoom z with extent 2^(z-1), X = extent +
+  *     extent*lng/pi, Y = extent - extent*ln(tan(pi/4+lat/2))/pi
+  *     (tiles.go:198-253 via s2.NewMercatorProjection)
+  *   - TileID packing: z in the top 5 bits, then y << z, then x; a parent's
+  *     id is always smaller than its children's (tiles.go:118-135)
+  *   - base-32 tokens (tiles.go:150-158)
+  *   - tile cover of an S2 cell: project the 4 cell vertices, take the
+  *     min/max x/y rectangle (approximate near poles BY DESIGN,
+  *     tiles.go:255-285 — replicated, not "fixed")
+  */
+object Tiles {
+  final val ZBits = 5
+
+  /** Projected (X, Y) in tile units at `zoom`; floor() is the tile. */
+  def project(latDeg: Double, lngDeg: Double, zoom: Int): (Double, Double) = {
+    val extent = (1L << (zoom - 1)).toDouble
+    val x = extent + extent * math.toRadians(lngDeg) / math.Pi
+    val y = extent - extent * math.log(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2)) / math.Pi
+    (x, y)
+  }
+
+  def tileFromLatLng(latDeg: Double, lngDeg: Double, zoom: Int): (Long, Long) = {
+    val (x, y) = project(latDeg, lngDeg, zoom)
+    (x.toLong, y.toLong)
+  }
+
+  def tileId(x: Long, y: Long, z: Int): Long =
+    (z.toLong << (64 - ZBits)) | (y << z) | x
+
+  def tileIdToXYZ(id: Long): (Long, Long, Int) = {
+    val z = (id >>> (64 - ZBits)).toInt
+    val y = (id >>> z) & ((1L << z) - 1)
+    val x = id & ((1L << z) - 1)
+    (x, y, z)
+  }
+
+  def parent(x: Long, y: Long, z: Int): (Long, Long, Int) = (x / 2, y / 2, z - 1)
+
+  def token(id: Long): String = java.lang.Long.toUnsignedString(id, 32)
+  def fromToken(t: String): Long = java.lang.Long.parseUnsignedLong(t, 32)
+
+  /** Tiles covering one S2 cell at `zoom` — vertex-projected bounding
+    * rectangle, scan order y-then-x, mirroring tiles.go:255-285. */
+  def coverCellWithTiles(cellId: Long, zoom: Int): Array[(Long, Long)] = {
+    val vs = S2.vertices(cellId)
+    def proj(p: Array[Double]): (Double, Double) = {
+      val lat = math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, p(2)))))
+      val lng = math.toDegrees(math.atan2(p(1), p(0)))
+      project(lat, lng, zoom)
+    }
+    val bl = proj(vs(0)); val br = proj(vs(1)); val tr = proj(vs(2)); val tl = proj(vs(3))
+    val top = math.min(tl._2, tr._2).toLong
+    val bottom = math.max(bl._2, br._2).toLong
+    val left = math.min(tl._1, bl._1).toLong
+    val right = math.max(tr._1, br._1).toLong
+    val out = Array.newBuilder[(Long, Long)]
+    var y = top
+    while (y <= bottom) {
+      var x = left
+      while (x <= right) { out += ((x, y)); x += 1 }
+      y += 1
+    }
+    out.result()
+  }
+
+  /** Robust variant of coverCellWithTiles: bounds from min/max over ALL
+    * four projected vertices, clamped to the tile grid. Identical to the
+    * reference on the equatorial faces (where vertex order matches its
+    * assumption) but also correct on faces 4/5 (southern hemisphere / poles)
+    * where the reference's tl/tr-vs-bl/br assumption inverts and yields an
+    * empty rectangle. Engine operators use this; parity tests use the exact
+    * port above. */
+  def coverCellWithTilesRobust(cellId: Long, zoom: Int): Array[(Long, Long)] = {
+    val vs = S2.vertices(cellId)
+    val n = (1L << zoom) - 1
+    var xMin = Double.MaxValue; var xMax = Double.MinValue
+    var yMin = Double.MaxValue; var yMax = Double.MinValue
+    var k = 0
+    while (k < 4) {
+      val p = vs(k)
+      val lat = math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, p(2)))))
+      val lng = math.toDegrees(math.atan2(p(1), p(0)))
+      val (x, y) = project(math.max(-85.06, math.min(85.06, lat)), lng, zoom)
+      if (x < xMin) xMin = x; if (x > xMax) xMax = x
+      if (y < yMin) yMin = y; if (y > yMax) yMax = y
+      k += 1
+    }
+    val left = math.max(0L, math.min(n, xMin.toLong))
+    val right = math.max(0L, math.min(n, xMax.toLong))
+    val top = math.max(0L, math.min(n, yMin.toLong))
+    val bottom = math.max(0L, math.min(n, yMax.toLong))
+    val out = Array.newBuilder[(Long, Long)]
+    var y = top
+    while (y <= bottom) {
+      var x = left
+      while (x <= right) { out += ((x, y)); x += 1 }
+      y += 1
+    }
+    out.result()
+  }
+
+  /** Tiles covering a cell union at one zoom, first-seen order deduped
+    * (tiles.go:287-299). */
+  def coverCellUnionWithTiles(cells: Array[Long], zoom: Int,
+                              robust: Boolean = false): Array[(Long, Long, Int)] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    val cover = if (robust) coverCellWithTilesRobust _ else coverCellWithTiles _
+    cells.foreach(c => cover(c, zoom).foreach(seen += _))
+    seen.iterator.map { case (x, y) => (x, y, zoom) }.toArray
+  }
+
+  /** Tiles covering a cell union across a zoom range: max-zoom tiles plus
+    * all distinct ancestors up to min zoom (tiles.go:301-339). */
+  def coverCellUnionAcrossZooms(cells: Array[Long], zMin: Int, zMax: Int,
+                                robust: Boolean = false): Array[(Long, Long, Int)] = {
+    if (zMin > zMax) return Array.empty
+    val set = scala.collection.mutable.HashSet.empty[Long]
+    val tiles = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val cover = if (robust) coverCellWithTilesRobust _ else coverCellWithTiles _
+    cells.foreach { c =>
+      cover(c, zMax).foreach { case (x, y) =>
+        if (set.add(tileId(x, y, zMax))) tiles += ((x, y, zMax))
+      }
+    }
+    var lastBegin = 0
+    var lastEnd = tiles.length
+    var zoom = zMax - 1
+    while (zoom >= zMin) {
+      var i = lastBegin
+      while (i < lastEnd) {
+        val (x, y, z) = tiles(i)
+        val (px, py, pz) = parent(x, y, z)
+        if (set.add(tileId(px, py, pz))) tiles += ((px, py, pz))
+        i += 1
+      }
+      lastBegin = lastEnd
+      lastEnd = tiles.length
+      zoom -= 1
+    }
+    tiles.toArray
+  }
+}
