@@ -1,13 +1,161 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.{Synth, Tables}
+import graft.ops.{Containment, Knn, Search, Tiling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2).
+  *
+  * Every oracle-gated query shares its arithmetic with the DuckDB oracle as
+  * exact-IEEE SQL (see Synth): engine and oracle agree bit-for-bit, so the
+  * driver's hash compare is stable. Queries whose math is not ANSI-SQL
+  * expressible (S2 tokens, coverings, hashes) have no oracleSql entry and are
+  * pinned by ScalaTest goldens instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the minimum end-to-end slice (SURVEY.md §7.2) — containment
+    * join of geotagged images against polygon regions on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val images = Tables.images(spark, "/root/testdata/sf0.001")
+      .select("image_id", "lat", "lng", "cell16")
+    Containment.containmentJoin(images, Tables.regions(spark))
+      .select("image_id", "region_id")
+  }
+
+  private def images(s: SparkSession, dir: String): DataFrame =
+    Tables.images(s, dir)
+
+  /** The images CTE prefix shared by every oracle query. */
+  private val W = s"WITH images AS (${Synth.imagesSelect})"
+
+  // cap fixture: 5.5 km-ish equirect cap at the London hot center
+  private val capLat = 51.5074
+  private val capLng = -0.1278
+  private val capCos = math.cos(math.toRadians(capLat))
+  private val capD2 = 0.0025
+  private def capD2Sql: String = {
+    val l = Synth.dlit(capLat); val g = Synth.dlit(capLng); val c = Synth.dlit(capCos)
+    s"((lat - $l) * (lat - $l) + ((lng - $g) * $c) * ((lng - $g) * $c)) < ${Synth.dlit(capD2)}"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §2.6 take: b6 FeatureID-ordered limit ---
+    "q_take" -> ((s, dir) =>
+      Search.take(images(s, dir).select("image_id", "lat", "lng"), "image_id", 10)),
+
+    // --- §2.2 find + tagged + rect prune ---
+    "q_find_tagged" -> ((s, dir) =>
+      Search.find(images(s, dir),
+          Search.tagged("status", "O") && Search.withinRect(40.70, 40.72, -74.02, -73.99))
+        .select("image_id").orderBy("image_id")),
+
+    // --- §2.2 intersecting-cap + tag (camden-style benchmark query,
+    //     ingest/compact/world_test.go:130-133) ---
+    "q_cap_count" -> ((s, dir) =>
+      images(s, dir)
+        .where(Search.tagged("status", "F") &&
+          Search.withinCapD2(capLat, capLng, capCos, capD2))
+        .agg(count(lit(1)).as("n"))),
+
+    // --- §2.5 count-values ---
+    "q_count_values" -> ((s, dir) =>
+      Search.countValues(images(s, dir), "priority").orderBy("priority")),
+
+    // --- §2.5 sum-by-key ---
+    "q_sum_by_key" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      Search.sumByKey(s.table("documents"), "source", "n_chars").orderBy("source")
+    }),
+
+    // --- §2.5/2.6 top n (bounded heap -> TakeOrderedAndProject) ---
+    "q_top" -> ((s, dir) =>
+      Search.top(images(s, dir).select("image_id", "price"), "price", "image_id", 15)),
+
+    // --- §2.5 percentiles (exact, math.go:57-103) ---
+    "q_percentiles" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      Search.percentiles(s.table("documents").select("doc_id", "n_chars"), "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // --- §2.4 point-in-polygon containment join (the canonical join) ---
+    "q_containment" -> ((s, dir) =>
+      Containment.containmentJoin(
+          images(s, dir).select("image_id", "lat", "lng", "cell16"),
+          Tables.regions(s))
+        .select("image_id", "region_id").orderBy("image_id", "region_id")),
+
+    // --- same join, forced shuffle + salted (north-rule skew path) ---
+    "q_containment_salted" -> ((s, dir) =>
+      Containment.containmentJoin(
+          images(s, dir).select("image_id", "lat", "lng", "cell16"),
+          Tables.regions(s), broadcastRegions = false, saltBuckets = 8)
+        .select("image_id", "region_id").orderBy("image_id", "region_id")),
+
+    // --- §2.4 kNN via S2 cell-ring expansion ---
+    "q_knn" -> ((s, dir) =>
+      Knn.knn(s, images(s, dir), Synth.knnQueries.toSeq, k = 10)),
+
+    // --- §2.4/§2.7 tile-assignment join (point manifest, zooms 8..12) ---
+    "q_tiles_points" -> ((s, dir) =>
+      Tiling.pointManifest(images(s, dir), 8, 12)
+        .orderBy("image_id", "z")),
+
+    // --- §2.7 region covering -> tile manifest (S2 math; rows-only check,
+    //     pinned against reference tile math by ScalaTest goldens) ---
+    "q_tiles_regions" -> ((s, _) =>
+      Tiling.coveringManifest(Tables.regions(s), 6, 10)
+        .orderBy("region_id", "z", "x", "y"))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val containmentUnion = Synth.regions.map { r =>
+      s"SELECT image_id, '${r.regionId}' AS region_id FROM images WHERE ${Synth.rayCastSql(r)}"
+    }.mkString(" UNION ALL ")
+
+    val knnSql = Synth.knnQueries.map { q =>
+      s"""SELECT CAST(${q.queryId} AS INT) AS query_id, image_id, rank FROM (
+         |SELECT image_id, CAST(ROW_NUMBER() OVER (ORDER BY ${q.d2Sql}, image_id) AS INT) AS rank FROM images) t
+         |WHERE rank <= 10""".stripMargin
+    }.mkString(" UNION ALL ")
+
+    val tileZooms = (8 to 12).map { z =>
+      val div = 1L << (12 - z)
+      s"""SELECT image_id, CAST($z AS INT) AS z,
+         |CAST(FLOOR(x12 / CAST($div AS DOUBLE)) AS BIGINT) AS x,
+         |CAST(FLOOR(y12 / CAST($div AS DOUBLE)) AS BIGINT) AS y FROM base""".stripMargin
+    }.mkString(" UNION ALL ")
+
+    Map(
+      "q_take" ->
+        s"$W SELECT image_id, lat, lng FROM images ORDER BY image_id LIMIT 10",
+      "q_find_tagged" ->
+        (s"$W SELECT image_id FROM images WHERE status = 'O' " +
+          "AND lat BETWEEN CAST(40.70 AS DOUBLE) AND CAST(40.72 AS DOUBLE) " +
+          "AND lng BETWEEN CAST(-74.02 AS DOUBLE) AND CAST(-73.99 AS DOUBLE) ORDER BY image_id"),
+      "q_cap_count" ->
+        s"$W SELECT COUNT(*) AS n FROM images WHERE status = 'F' AND $capD2Sql",
+      "q_count_values" ->
+        s"$W SELECT priority, COUNT(*) AS n FROM images GROUP BY priority ORDER BY priority",
+      "q_sum_by_key" ->
+        "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total FROM documents GROUP BY source ORDER BY source",
+      "q_top" ->
+        s"$W SELECT image_id, price FROM images ORDER BY price DESC, image_id LIMIT 15",
+      "q_percentiles" ->
+        ("SELECT doc_id, n_chars, PERCENT_RANK() OVER (ORDER BY n_chars) AS pct " +
+          "FROM documents ORDER BY doc_id"),
+      "q_containment" ->
+        s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
+      "q_containment_salted" ->
+        s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
+      "q_knn" -> s"$W SELECT * FROM ($knnSql) u ORDER BY query_id, rank",
+      "q_tiles_points" ->
+        (s"$W, base AS (SELECT image_id, " +
+          "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
+          "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images) " +
+          s"SELECT * FROM ($tileZooms) u ORDER BY image_id, z")
+    )
+  }
 }

@@ -1,0 +1,138 @@
+package graft.functions
+
+import graft.core.{Geo, Hashes, S2, Tiles}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Batched Scala UDFs over the pure kernels (SURVEY.md §7.3: "plain Scala
+  * funcs + batched UDFs (v1); optional codegen Expression later").
+  *
+  * The hot write-time path (leaf/level-16 cell assignment) is also available
+  * as pure Column bit-arithmetic where possible (`parentCol`), keeping
+  * whole-stage codegen intact for join keys.
+  */
+object Udfs {
+
+  /** lat/lng -> S2 cell id at `level` (b6's index level 16 by default;
+    * reference: search/spatial.go:10). */
+  val cellAt16: UserDefinedFunction =
+    udf((lat: Double, lng: Double) => S2.cellAt(lat, lng, 16))
+
+  val cellAtLevel: UserDefinedFunction =
+    udf((lat: Double, lng: Double, level: Int) => S2.cellAt(lat, lng, level))
+
+  val leafCell: UserDefinedFunction =
+    udf((lat: Double, lng: Double) => S2.fromLatLngDegrees(lat, lng))
+
+  val cellToken: UserDefinedFunction = udf((cell: Long) => S2.token(cell))
+
+  /** Ancestors of a cell at the given levels — the feature side of the
+    * two-sided cell join (SURVEY.md §2.7 "Spatial query rewrite"). */
+  def ancestorsAt(levels: Seq[Int]): UserDefinedFunction = {
+    val ls = levels.toArray
+    udf((cell: Long) => ls.map(l => S2.parent(cell, l)))
+  }
+
+  /** Does any covering cell contain this (level<=30) cell? Sound prune test
+    * used by the kNN cap probe. */
+  val inCovering: UserDefinedFunction =
+    udf((cell: Long, covering: Seq[Long]) => {
+      val lo = S2.rangeMin(cell); val hi = S2.rangeMax(cell)
+      covering.exists(c => S2.rangeMin(c) <= lo && hi <= S2.rangeMax(c))
+    })
+
+  /** Exact even-odd ray-cast refine over polygon rings — the b6 refine step
+    * (api/functions/features.go:46-56) with planar semantics shared
+    * bit-for-bit with the oracle SQL (Synth.rayCastSql). */
+  val containsRings: UserDefinedFunction =
+    udf((lat: Double, lng: Double, ringsLat: Seq[Seq[Double]], ringsLng: Seq[Seq[Double]]) => {
+      var odd = false
+      var r = 0
+      while (r < ringsLat.length) {
+        if (Geo.containsPlanar(lat, lng, ringsLat(r).toArray, ringsLng(r).toArray))
+          odd = !odd
+        r += 1
+      }
+      odd
+    })
+
+  /** Haversine distance in meters (earth radius 6371.01 km as the reference,
+    * units/units.go:8) — expressed as codegen-friendly Column arithmetic,
+    * not a UDF. */
+  def haversineMeters(lat1: org.apache.spark.sql.Column, lng1: org.apache.spark.sql.Column,
+                      lat2: org.apache.spark.sql.Column, lng2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dp = radians(lat2 - lat1) / 2
+    val dl = radians(lng2 - lng1) / 2
+    val a = pow(sin(dp), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dl), 2)
+    lit(2.0 * Geo.EarthRadiusMeters) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** (z,x,y) rows from zMax down to zMin for a point: tile at zMax via the
+    * reference projection (tiles.go:198-253), parents by halving
+    * (tiles.go:301-339). */
+  def tileChain(zMin: Int, zMax: Int): UserDefinedFunction =
+    udf((lat: Double, lng: Double) => {
+      var (x, y) = Tiles.tileFromLatLng(lat, lng, zMax)
+      val out = new Array[(Int, Long, Long)](zMax - zMin + 1)
+      var z = zMax
+      while (z >= zMin) {
+        out(zMax - z) = (z, x, y)
+        x /= 2; y /= 2; z -= 1
+      }
+      out
+    })
+
+  /** Tiles covering an S2 cell covering at one zoom (robust variant for
+    * engine use; exact reference port retained for parity tests —
+    * Tiles.scala). */
+  def tilesForCovering(zoom: Int): UserDefinedFunction =
+    udf((cells: Seq[Long]) =>
+      Tiles.coverCellUnionWithTiles(cells.toArray, zoom, robust = true)
+        .map { case (x, y, z) => (z, x, y) })
+
+  def tilesForCoveringAcrossZooms(zMin: Int, zMax: Int): UserDefinedFunction =
+    udf((cells: Seq[Long]) =>
+      Tiles.coverCellUnionAcrossZooms(cells.toArray, zMin, zMax, robust = true)
+        .map { case (x, y, z) => (z, x, y) })
+
+  /** FNV-64 MVT feature id (api/tiles.go:10-32 parity). */
+  val tileFeatureId: UserDefinedFunction =
+    udf((typeCode: Long, ns: String, value: Long) => Hashes.tileFeatureId(typeCode, ns, value))
+
+  // ---- text / dedup kernels ----
+  val fingerprint: UserDefinedFunction = udf((s: String) => Hashes.fingerprint(s))
+
+  val simhash: UserDefinedFunction = udf((s: String) =>
+    Hashes.simhash(tokenize(s).map(Hashes.fnv1a)))
+
+  def minhashSig(k: Int): UserDefinedFunction =
+    udf((s: String) => Hashes.minhash(shingles(s, 5).map(Hashes.fnv1a), k).toSeq)
+
+  def tokenize(s: String): Array[String] =
+    if (s == null || s.isEmpty) Array.empty else s.split(" ").filter(_.nonEmpty)
+
+  /** Character 5-gram shingles (n-gram dedup substrate). */
+  def shingles(s: String, n: Int): Array[String] = {
+    if (s == null || s.length < n) return Array.empty
+    val out = new Array[String](s.length - n + 1)
+    var i = 0
+    while (i + n <= s.length) { out(i) = s.substring(i, i + n); i += 1 }
+    out
+  }
+
+  val charShingles: UserDefinedFunction =
+    udf((s: String) => shingles(s, 5).distinct.map(Hashes.fnv1a).sorted.toSeq)
+
+  /** Exact Jaccard of two sorted long arrays. */
+  val jaccardSorted: UserDefinedFunction =
+    udf((a: Seq[Long], b: Seq[Long]) => {
+      var i = 0; var j = 0; var inter = 0L
+      while (i < a.length && j < b.length) {
+        val c = java.lang.Long.compare(a(i), b(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1 else j += 1
+      }
+      val union = a.length.toLong + b.length - inter
+      if (union == 0) 1.0 else inter.toDouble / union
+    })
+}

@@ -1,0 +1,189 @@
+package graft.model
+
+import graft.core.{Hashes, S2}
+
+/** Deterministic synthesis of the engine's input tables from the driver's
+  * parquet test data (TESTDATA.md), per BASELINE.json `input_hint`: an
+  * image+caption table whose rows are geotagged point features.
+  *
+  * The geotag derivation is expressed ONCE as ANSI SQL text (`imagesSelect`)
+  * and evaluated by BOTH Spark and the DuckDB oracle, using only exact IEEE
+  * operations (integer *,%,- and one double division per coordinate), so
+  * engine and oracle agree bit-for-bit (SURVEY.md §7.4 "keep operation order
+  * identical").
+  *
+  * Layout mirrors the reference's world model: each row is a point feature
+  * (b6 `PointFeature`, /root/reference/src/diagonal.works/b6/world.go:428-463)
+  * whose S2 leaf/level-16 cell is the index key
+  * (/root/reference/src/diagonal.works/b6/search/spatial.go:10,30-32).
+  *
+  * Skew: 20% of rows land in 3 "urban" hot caps (~±550 m jitter) — the dense
+  * cells the salting/AQE path must handle (north rule).
+  */
+object Synth {
+
+  /** Hot-cluster centers (London, New York, Tokyo). */
+  val hotCenters: Array[(Double, Double)] =
+    Array((51.5074, -0.1278), (40.7128, -74.0060), (35.6762, 139.6503))
+
+  def dlit(d: Double): String = s"CAST(${d} AS DOUBLE)"
+
+  /** The images table body: SELECT over the `orders` parquet table.
+    * o_orderkey is unique at every scale factor (TESTDATA.md).
+    * All arithmetic is exact: bigint *,%,- then a single double division. */
+  val imagesSelect: String = {
+    val latHot = hotCenters.map(_._1)
+    val lngHot = hotCenters.map(_._2)
+    s"""SELECT o_orderkey AS image_id,
+       |  CONCAT('img-', CAST(o_orderkey AS STRING)) AS image_name,
+       |  o_orderstatus AS status, o_orderpriority AS priority,
+       |  o_totalprice AS price,
+       |  CASE WHEN o_orderkey % 5 = 0 THEN
+       |    (CASE WHEN o_orderkey % 3 = 0 THEN ${dlit(latHot(0))}
+       |          WHEN o_orderkey % 3 = 1 THEN ${dlit(latHot(1))}
+       |          ELSE ${dlit(latHot(2))} END)
+       |    + (((o_orderkey * 48271) % 2000) - 1000) / CAST(200000 AS DOUBLE)
+       |  ELSE (120 * ((o_orderkey * 48271) % 99991) - 5999460) / CAST(99991 AS DOUBLE) END AS lat,
+       |  CASE WHEN o_orderkey % 5 = 0 THEN
+       |    (CASE WHEN o_orderkey % 3 = 0 THEN ${dlit(lngHot(0))}
+       |          WHEN o_orderkey % 3 = 1 THEN ${dlit(lngHot(1))}
+       |          ELSE ${dlit(lngHot(2))} END)
+       |    + (((o_orderkey * 69621) % 2000) - 1000) / CAST(125000 AS DOUBLE)
+       |  ELSE (340 * ((o_orderkey * 69621) % 99989) - 16998130) / CAST(99989 AS DOUBLE) END AS lng
+       |FROM orders""".stripMargin
+  }
+
+  /** Same derivation over a synthetic key range — the bench-scale generator
+    * (no test-data dependency; BASELINE.json: "synthesise it
+    * deterministically"). Used with spark.range(n).withColumnRenamed("id",...)
+    * registered as a view named `orders` with o_orderkey = id+1. */
+  val imagesSelectFromRange: String =
+    imagesSelect // identical text; the `orders` view supplies the columns
+
+  // =====================================================================
+  // Regions — the polygon side of the containment join (FIXTURES.md §2)
+  // =====================================================================
+
+  /** One polygon region: shell ring (+ optional hole), tag-style attrs, and
+    * its S2 covering (MaxLevel 16 / MaxCells 5, mirroring
+    * /root/reference/src/diagonal.works/b6/search/spatial.go:30-32). */
+  final case class Region(
+      regionId: String,
+      kind: String,          // tag: #kind=urban|rural
+      zone: String,          // tag: zone name
+      rings: Array[(Array[Double], Array[Double])], // (lat[], lng[]) per ring
+      cells: Array[Long])
+
+  private def mkRing(cLat: Double, cLng: Double, rMeters: Double, n: Int,
+                     seed: Long): (Array[Double], Array[Double]) = {
+    val lat = new Array[Double](n)
+    val lng = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val u = (Hashes.splitmix64(seed * 1000 + i) >>> 11).toDouble / (1L << 53).toDouble
+      val r = rMeters * (0.72 + 0.28 * u)
+      val th = 2 * math.Pi * i / n
+      val dLat = r * math.cos(th) / 111320.0
+      val dLng = r * math.sin(th) / (111320.0 * math.cos(math.toRadians(cLat)))
+      // 5-decimal rounding: exact decimal literals on both engine and oracle
+      lat(i) = math.rint((cLat + dLat) * 100000.0) / 100000.0
+      lng(i) = math.rint((cLng + dLng) * 100000.0) / 100000.0
+      i += 1
+    }
+    (lat, lng)
+  }
+
+  /** 24 deterministic regions: 3 urban polygons over the hot caps (one with
+    * >16 vertices — the reference's index-vs-direct crossover pin,
+    * spatial.go:228-230), 21 scattered large regions; 2 carry a hole
+    * (even-odd semantics). */
+  val regions: Array[Region] = {
+    val out = Array.newBuilder[Region]
+    // urban: radius 3 km so they capture their entire hot cluster (±550 m)
+    val urbanN = Array(20, 8, 12) // one >16-vertex pin
+    var k = 0
+    while (k < 3) {
+      val (cLat, cLng) = hotCenters(k)
+      val shell = mkRing(cLat, cLng, 3000.0, urbanN(k), seed = 7 * (k + 1))
+      val rings =
+        if (k == 0) Array(shell, mkRing(cLat, cLng, 700.0, 6, seed = 977)) // hole
+        else Array(shell)
+      val cov = S2.covering(S2.Poly(shell._1, shell._2))
+      out += Region(f"reg-$k%04d", "urban", s"zone-$k", rings, cov)
+      k += 1
+    }
+    // scattered: radius 150-650 km, centers away from poles/antimeridian
+    var j = 3
+    while (j < 24) {
+      val s1 = Hashes.splitmix64(j * 31L)
+      val s2 = Hashes.splitmix64(j * 31L + 1)
+      val s3 = Hashes.splitmix64(j * 31L + 2)
+      val cLat = -52.0 + 104.0 * ((s1 >>> 11).toDouble / (1L << 53).toDouble)
+      val cLng = -155.0 + 310.0 * ((s2 >>> 11).toDouble / (1L << 53).toDouble)
+      val rM = 150000.0 + 500000.0 * ((s3 >>> 11).toDouble / (1L << 53).toDouble)
+      val n = 5 + (Hashes.splitmix64(j * 31L + 3) >>> 60).toInt // 5..20
+      val shell = mkRing(cLat, cLng, rM, n, seed = 13L * j)
+      val rings =
+        if (j == 11) Array(shell, mkRing(cLat, cLng, rM * 0.3, 5, seed = 1013L * j))
+        else Array(shell)
+      val cov = S2.covering(S2.Poly(shell._1, shell._2))
+      out += Region(f"reg-$j%04d", "rural", s"zone-$j", rings, cov)
+      j += 1
+    }
+    out.result()
+  }
+
+  /** Unrolled even-odd ray-cast over the region's rings as a SQL predicate on
+    * columns `lat`/`lng` — the EXACT arithmetic of Geo.containsPlanarRings
+    * ((yi>lat)!=(yj>lat) && lng < (xj-xi)*(lat-yi)/(yj-yi)+xi), reference
+    * refine semantics (features.go:46-56). */
+  def rayCastSql(r: Region): String = {
+    val terms = r.rings.flatMap { case (ys, xs) =>
+      val n = ys.length
+      (0 until n).map { i =>
+        val j = (i + n - 1) % n
+        val yi = dlit(ys(i)); val xi = dlit(xs(i))
+        val yj = dlit(ys(j)); val xj = dlit(xs(j))
+        s"(CASE WHEN (($yi > lat) != ($yj > lat)) AND (lng < ($xj - $xi) * (lat - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END)"
+      }
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  // =====================================================================
+  // kNN query points (FIXTURES.md §3 golden_knn)
+  // =====================================================================
+
+  final case class KnnQuery(queryId: Int, lat: Double, lng: Double) {
+    /** cos(lat) as a pinned literal: the equirectangular x-scale. */
+    val cosLat: Double = math.cos(math.toRadians(lat))
+    /** Squared equirectangular distance in deg² — exact-arithmetic SQL on
+      * columns lat/lng, identical text for engine and oracle. */
+    def d2Sql: String = {
+      val l = dlit(lat); val g = dlit(lng); val c = dlit(cosLat)
+      s"((lat - $l) * (lat - $l) + ((lng - $g) * $c) * ((lng - $g) * $c))"
+    }
+  }
+
+  /** 25 pinned query points: 6 inside the hot caps (dense path), 19
+    * scattered (sparse path — nearest neighbours can be 1000s of km away). */
+  val knnQueries: Array[KnnQuery] = {
+    val b = Array.newBuilder[KnnQuery]
+    var id = 0
+    for (k <- 0 until 3; d <- 0 until 2) {
+      val (cLat, cLng) = hotCenters(k)
+      b += KnnQuery(id, math.rint((cLat + 0.004 * (d * 2 - 1)) * 100000) / 100000.0,
+        math.rint((cLng + 0.006 * (1 - d * 2)) * 100000) / 100000.0)
+      id += 1
+    }
+    while (id < 25) {
+      val s1 = Hashes.splitmix64(id * 77L)
+      val s2 = Hashes.splitmix64(id * 77L + 5)
+      val qLat = math.rint((-50.0 + 100.0 * ((s1 >>> 11).toDouble / (1L << 53).toDouble)) * 100000) / 100000.0
+      val qLng = math.rint((-150.0 + 300.0 * ((s2 >>> 11).toDouble / (1L << 53).toDouble)) * 100000) / 100000.0
+      b += KnnQuery(id, qLat, qLng)
+      id += 1
+    }
+    b.result()
+  }
+}

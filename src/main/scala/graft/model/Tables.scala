@@ -1,0 +1,57 @@
+package graft.model
+
+import graft.functions.Udfs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders: parquet test tables (TESTDATA.md) -> engine inputs.
+  * At design scale these are Iceberg scans sorted by `cell16` (SURVEY.md
+  * §1.4); locally they are parquet reads with the same schema contract. */
+object Tables {
+
+  def registerBase(spark: SparkSession, sfDir: String): Unit = {
+    Seq("orders", "documents", "embeddings", "lineitem", "nation", "region",
+      "customer", "part", "supplier", "events").foreach { t =>
+      val p = s"$sfDir/$t.parquet"
+      if (new java.io.File(p).exists())
+        spark.read.parquet(p).createOrReplaceTempView(t)
+    }
+  }
+
+  /** The geotagged image table (BASELINE.json input_hint shape): derived
+    * deterministically from `orders` via the shared SQL (Synth.imagesSelect),
+    * plus the S2 level-16 index cell — the write-time cell assignment of
+    * SURVEY.md §7.1 module 4. `bytes`/`w`/`h`/`fmt` ride along lazily via
+    * Media.withPayload (projected away before joins — SURVEY.md §7.4). */
+  def images(spark: SparkSession, sfDir: String): DataFrame = {
+    registerBase(spark, sfDir)
+    spark.sql(Synth.imagesSelect)
+      .withColumn("cell16", Udfs.cellAt16(col("lat"), col("lng")))
+  }
+
+  /** Bench-scale synthetic images: same derivation over spark.range —
+    * no test-data dependency (BASELINE.json: synthesize deterministically). */
+  def imagesSynth(spark: SparkSession, n: Long): DataFrame = {
+    spark.range(n)
+      .select((col("id") + 1).as("o_orderkey"),
+        lit("O").as("o_orderstatus"),
+        (col("id") % 5).cast("string").as("o_orderpriority"),
+        (col("id") % 100000).cast("double").as("o_totalprice"))
+      .createOrReplaceTempView("orders")
+    spark.sql(Synth.imagesSelectFromRange)
+      .withColumn("cell16", Udfs.cellAt16(col("lat"), col("lng")))
+  }
+
+  /** The polygon side: 24 literal regions with rings + S2 coverings
+    * (FIXTURES.md §2). Always broadcast-sized here; the shuffle/salting path
+    * is exercised by forcing broadcastRegions=false. */
+  def regions(spark: SparkSession): DataFrame = {
+    val rows = Synth.regions.toSeq.map { r =>
+      (r.regionId, r.kind, r.zone,
+        r.rings.toSeq.map(_._1.toSeq), r.rings.toSeq.map(_._2.toSeq),
+        r.cells.toSeq)
+    }
+    spark.createDataFrame(rows)
+      .toDF("region_id", "kind", "zone", "rings_lat", "rings_lng", "cells")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.core.S2
+import graft.functions.Udfs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-polygon containment join — the canonical cell-pruned prune+refine
+  * join of the north star (SURVEY.md §2.4, b6 `containing-areas`,
+  * /root/reference/src/diagonal.works/b6/api/functions/features.go:95-135).
+  *
+  * Plan shape (scale rationale):
+  *   - regions explode their mixed-level S2 covering (MaxLevel 16/MaxCells 5,
+  *     search/spatial.go:30-32) into (cell, region) rows — small side.
+  *   - images explode their level-16 cell's ancestors at ONLY the levels
+  *     present in the covering (<= ~10 rows/image, map-side generate).
+  *   - equi-join on the cell token: BROADCAST when the region side is small
+  *     (the common case: polygon sets are tiny next to 10^12 images), so the
+  *     image table is never shuffled; SHUFFLE-HASH with optional salting for
+  *     huge region sets.
+  *   - exact ray-cast refine (features.go:46-56 semantics) after the prune;
+  *     results are covering-independent (SURVEY.md §7.4).
+  *
+  * Covering cells of one region are disjoint, so an image matches a region
+  * through at most one covering cell — no post-join dedupe needed.
+  */
+object Containment {
+
+  /** @param images  point side; must carry image_id, lat, lng, cell16.
+    *                Project heavy payload columns away before calling.
+    * @param regions polygon side: region_id, rings_lat, rings_lng, cells.
+    * @param broadcastRegions broadcast the exploded covering (default) or
+    *                shuffle-hash join (for region sets too big to broadcast).
+    * @param saltBuckets with the shuffle path, salt the hot cells: images get
+    *                a deterministic salt from image_id, region cells are
+    *                replicated saltBuckets times (north-rule skew handling;
+    *                AQE skew-join also stays on).
+    */
+  def containmentJoin(images: DataFrame, regions: DataFrame,
+                      broadcastRegions: Boolean = true,
+                      saltBuckets: Int = 0): DataFrame = {
+    val regionCells = regions.select(
+      col("region_id"), col("rings_lat"), col("rings_lng"),
+      explode(col("cells")).as("rcell"))
+
+    // levels present in any covering — driver-side over the SMALL side only
+    val levels: Seq[Int] = regionCells.select(col("rcell"))
+      .distinct().collect().map(r => S2.level(r.getLong(0))).distinct.sorted.toSeq
+
+    val anc = Udfs.ancestorsAt(levels)
+    val probes = images.withColumn("anc", explode(anc(col("cell16"))))
+
+    val joined =
+      if (broadcastRegions)
+        probes.join(broadcast(regionCells), col("anc") === col("rcell"))
+      else if (saltBuckets > 1) {
+        val salted = probes.withColumn("salt",
+          pmod(xxhash64(col("image_id")), lit(saltBuckets)).cast("int"))
+        val replicated = regionCells.withColumn("salt",
+          explode(lit((0 until saltBuckets).toArray)))
+        salted.join(replicated,
+          col("anc") === col("rcell") && salted("salt") === replicated("salt"))
+      } else
+        probes.join(regionCells.hint("shuffle_hash"), col("anc") === col("rcell"))
+
+    joined
+      .where(Udfs.containsRings(col("lat"), col("lng"), col("rings_lat"), col("rings_lng")))
+      .select(images.columns.map(col) :+ col("region_id"): _*)
+  }
+}

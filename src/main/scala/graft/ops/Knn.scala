@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.core.{Geo, S2}
+import graft.functions.Udfs
+import graft.model.Synth.KnnQuery
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Geometric kNN via iterative S2 cell-ring (cap-covering) expansion — the
+  * north star's kNN operator (SURVEY.md §2.4 "closest"; the reference's own
+  * `closest` walks the street graph, api/functions/graph.go:106-153 — the
+  * target engine's semantics are geometric per BASELINE.json).
+  *
+  * Round r: cover cap(q, radius_r) with S2 cells (driver-side pure math on
+  * the tiny query side), broadcast the per-query coverings, probe the image
+  * table map-side (no shuffle of the big side), rank candidates per query
+  * with a distance-bounded top-k window. A query resolves when it has >= k
+  * candidates whose k-th distance, inflated to a sound great-circle bound,
+  * fits inside the probed radius; unresolved queries quadruple the radius
+  * (terminates at the full sphere).
+  *
+  * Metric: squared equirectangular degrees (exact arithmetic shared with the
+  * oracle, Synth.KnnQuery.d2Sql). Soundness of the stop rule: a point with
+  * d2 < T has |dlat| < sqrt(T) and |dlng| < sqrt(T)/cosLat, so its
+  * great-circle distance is < sqrt(T) * (1 + 1/cosLat) degrees.
+  */
+object Knn {
+
+  private val resultSchema = StructType(Seq(
+    StructField("query_id", IntegerType, nullable = false),
+    StructField("image_id", LongType, nullable = false),
+    StructField("rank", IntegerType, nullable = false)))
+
+  def knn(spark: SparkSession, images: DataFrame, queries: Seq[KnnQuery],
+          k: Int = 10, initialRadiusDeg: Double = 0.5): DataFrame = {
+    var remaining = queries
+    var radiusDeg = initialRadiusDeg
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16"))
+
+    while (remaining.nonEmpty) {
+      val full = radiusDeg >= 180.0
+      val qRows = remaining.map { q =>
+        val covering: Seq[Long] =
+          if (full) (0 until 6).map(f => S2.parent(f.toLong << S2.PosBits | (1L << (S2.PosBits - 1)), 0))
+          else S2.covering(
+            S2.Cap(Geo.toXYZ(q.lat, q.lng), math.toRadians(radiusDeg)),
+            maxCells = 12, maxLevel = 16).toSeq
+        (q.queryId, q.lat, q.lng, q.cosLat, covering)
+      }
+      val qDf = spark.createDataFrame(qRows)
+        .toDF("query_id", "qlat", "qlng", "qcos", "qcells")
+
+      val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+        ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
+
+      val cands = imgs.join(broadcast(qDf),
+          Udfs.inCovering(col("cell16"), col("qcells")))
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("d2"), col("image_id"))))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("image_id"), col("rank"), col("d2"))
+        .collect() // <= |queries| * k tiny rows; heavy filter+topk ran distributed
+
+      val byQuery = cands.groupBy(_.getInt(0))
+      val still = scala.collection.mutable.ArrayBuffer.empty[KnnQuery]
+      remaining.foreach { q =>
+        val rows = byQuery.getOrElse(q.queryId, Array.empty)
+        val kthBoundDeg =
+          if (rows.length < k) Double.MaxValue
+          else math.sqrt(rows.map(_.getDouble(3)).max) * (1.0 + 1.0 / q.cosLat)
+        if (full || (rows.length >= k && kthBoundDeg <= radiusDeg))
+          rows.foreach(r => resolved += Row(r.getInt(0), r.getLong(1), r.getInt(2)))
+        else still += q
+      }
+      remaining = still.toSeq
+      radiusDeg *= 4
+    }
+
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(resolved.toSeq, 1), resultSchema)
+      .orderBy("query_id", "rank")
+  }
+}

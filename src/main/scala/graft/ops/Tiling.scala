@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.functions.Udfs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Raster<->vector tile assignment — deterministic (zoom, x, y) manifest rows
+  * with the reference's tile math (SURVEY.md §2.4 "tile-assignment join";
+  * /root/reference/src/diagonal.works/b6/tiles.go:255-339).
+  *
+  * A generator-shaped explode (UDTF analogue): no join, no shuffle until the
+  * optional per-tile aggregation, which is a plain hash aggregate. */
+object Tiling {
+
+  /** Point features: tile at zMax via the Mercator projection
+    * (tiles.go:198-253), parents by halving up to zMin (tiles.go:301-339).
+    * Output: one row per (image, zoom). */
+  def pointManifest(images: DataFrame, zMin: Int, zMax: Int): DataFrame =
+    images
+      .withColumn("t", explode(Udfs.tileChain(zMin, zMax)(col("lat"), col("lng"))))
+      .select(col("image_id"),
+        col("t._1").as("z"), col("t._2").as("x"), col("t._3").as("y"))
+
+  /** Area features: tiles covering each region's S2 covering across zooms —
+    * the MVT serving path re-expressed as a batch manifest (SURVEY.md §3.3).
+    */
+  def coveringManifest(regions: DataFrame, zMin: Int, zMax: Int): DataFrame =
+    regions
+      .withColumn("t", explode(
+        Udfs.tilesForCoveringAcrossZooms(zMin, zMax)(col("cells"))))
+      .select(col("region_id"),
+        col("t._1").as("z"), col("t._2").as("x"), col("t._3").as("y"))
+
+  /** Per-tile feature counts with the reference's 10k cap semantics
+    * (renderer/query.go:34,104-106): rank features in deterministic id order
+    * within each tile, cap, then count. */
+  def tileCounts(manifest: DataFrame, idCol: String, cap: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    manifest
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("z", "x", "y").orderBy(col(idCol))))
+      .where(col("rn") <= cap)
+      .groupBy("z", "x", "y").agg(count(lit(1)).as("n_features"))
+  }
+}
