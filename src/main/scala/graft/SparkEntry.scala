@@ -1,7 +1,8 @@
 package graft
 
+import graft.functions.Udfs
 import graft.model.{Synth, Tables}
-import graft.ops.{Containment, Knn, Search, Tiling}
+import graft.ops.{Containment, Dedup, Knn, Media, Search, Similarity, TextOps, Tiling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,7 +108,102 @@ object SparkEntry {
     //     pinned against reference tile math by ScalaTest goldens) ---
     "q_tiles_regions" -> ((s, _) =>
       Tiling.coveringManifest(Tables.regions(s), 6, 10)
-        .orderBy("region_id", "z", "x", "y"))
+        .orderBy("region_id", "z", "x", "y")),
+
+    // --- §2.7 s2-covering/s2-grid surface: region coverings as tokens ---
+    "q_s2_covering" -> ((s, _) =>
+      Tables.regions(s)
+        .select(col("region_id"), explode(col("cells")).as("cell"))
+        .select(col("region_id"), Udfs.cellToken(col("cell")).as("token"))
+        .orderBy("region_id", "token")),
+
+    // --- dedup: exact (hash-groupBy on content key) ---
+    "q_dedup_exact" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      Dedup.exactDuplicates(
+          s.table("documents").withColumn("prefix", substring(col("text"), 1, 20)),
+          "doc_id", "prefix")
+        .orderBy("doc_id")
+    }),
+
+    // --- dedup: MinHash+LSH banding + exact n-gram Jaccard refine ---
+    "q_minhash_lsh" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" mutato")).as("text"))
+      Dedup.minhashLshPairs(docs.unionByName(mutated), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- dedup: SimHash banded near-dup pairs ---
+    "q_simhash" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" mutato")).as("text"))
+      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- dedup: embedding-cosine near-dup (exact baseline) ---
+    "q_embed_neardup" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      Dedup.embeddingNearDupExact(s.table("embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- similarity: brute-force cosine top-k ANN baseline ---
+    "q_ann_topk" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val emb = s.table("embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- similarity: LSH-bucketed ANN pairs (scale path, approximate) ---
+    "q_ann_lsh" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      Similarity.cosineLshPairs(s.table("embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.4)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
+    // --- text: token counting + quality scoring ---
+    "q_text_quality" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      TextOps.qualityScores(s.table("documents"), "text", "n_chars")
+        .select("doc_id", "n_tokens", "space_ratio", "mean_token_len")
+        .orderBy("doc_id")
+    }),
+
+    // --- text: n-gram-heuristic language ID scores ---
+    "q_text_langid" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      TextOps.langScores(s.table("documents"), "text")
+        .select("doc_id", "lang", "score_en", "score_de", "score_fr", "score_es", "score_zh")
+        .orderBy("doc_id")
+    }),
+
+    // --- text: rolling-hash document fingerprint (kernel; rows-only) ---
+    "q_fingerprint" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      TextOps.fingerprints(s.table("documents").select("doc_id", "text"), "text")
+        .select("doc_id", "fingerprint").orderBy("doc_id")
+    }),
+
+    // --- multimodal: binary payload round-trip metadata ---
+    "q_media_meta" -> ((s, dir) =>
+      Media.decodedMeta(Media.withPayload(
+          images(s, dir).select("image_id")))
+        .orderBy("image_id")),
+
+    // --- multimodal: decoded-pixel PSNR gate (rows-only; pinned by test) ---
+    "q_media_psnr" -> ((s, dir) =>
+      Media.psnrCheck(Media.withPayload(images(s, dir).select("image_id")))
+        .select(col("image_id"), col("fmt"), (col("psnr_db") >= 40.0).as("pass"))
+        .orderBy("image_id"))
   )
 
   def oracleSql: Map[String, String] = {
@@ -155,7 +251,47 @@ object SparkEntry {
         (s"$W, base AS (SELECT image_id, " +
           "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
           "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images) " +
-          s"SELECT * FROM ($tileZooms) u ORDER BY image_id, z")
+          s"SELECT * FROM ($tileZooms) u ORDER BY image_id, z"),
+      "q_dedup_exact" ->
+        ("WITH k AS (SELECT doc_id, MD5(SUBSTRING(text, 1, 20)) AS key FROM documents), " +
+          "g AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY key) AS canonical_id, " +
+          "COUNT(*) OVER (PARTITION BY key) AS n FROM k) " +
+          "SELECT doc_id, canonical_id FROM g WHERE n > 1 ORDER BY doc_id"),
+      "q_embed_neardup" ->
+        ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b " +
+          "WHERE a.vec_id < b.vec_id " +
+          "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45 " +
+          "ORDER BY id_a, id_b"),
+      "q_ann_topk" ->
+        ("SELECT query_id, result_id, rank FROM (" +
+          "SELECT q.vec_id AS query_id, e.vec_id AS result_id, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+          "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS INT) AS rank " +
+          "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q " +
+          "WHERE e.vec_id != q.vec_id) t WHERE rank <= 10 ORDER BY query_id, rank"),
+      "q_text_quality" ->
+        ("WITH t AS (SELECT doc_id, n_chars, " +
+          "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_tokens, " +
+          "LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS spaces FROM documents) " +
+          "SELECT doc_id, n_tokens, " +
+          "CAST(spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio, " +
+          "CAST(n_chars - spaces AS DOUBLE) / CAST(GREATEST(1, n_tokens) AS DOUBLE) AS mean_token_len " +
+          "FROM t ORDER BY doc_id"),
+      "q_text_langid" -> {
+        val scoreCols = TextOps.langProfiles.map { case (lang, words) =>
+          val sum = words.map(w =>
+            s"(LENGTH(text) - LENGTH(REPLACE(text, '$w', ''))) / ${w.length}").mkString(" + ")
+          s"CAST($sum AS BIGINT) AS score_$lang"
+        }.mkString(", ")
+        s"SELECT doc_id, lang, $scoreCols FROM documents ORDER BY doc_id"
+      },
+      "q_media_meta" ->
+        (s"$W SELECT image_id, " +
+          "CAST(CASE WHEN image_id % 16 = 7 THEN 16 ELSE 8 END AS INT) AS dec_w, " +
+          "CAST(CASE WHEN image_id % 16 = 7 THEN 16 ELSE 8 END AS INT) AS dec_h, " +
+          "CASE WHEN image_id % 16 = 0 THEN 'jpeg' ELSE 'png' END AS dec_fmt, " +
+          "CAST(CASE WHEN image_id % 16 = 7 THEN 768 ELSE 192 END AS INT) AS n_px " +
+          "FROM images ORDER BY image_id")
     )
   }
 }

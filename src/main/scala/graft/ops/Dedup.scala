@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.functions.Udfs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (builder brief):
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, and exact n-gram
+  * Jaccard refine. All pair generation is band-bucketed equi-join — never an
+  * all-pairs cross join — so the plan scales: candidates shuffle only within
+  * identical band buckets (same shape as the S2 cell-prune join).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: every row mapped to the group's
+    * canonical (minimum) id; rows in singleton groups are dropped.
+    * One hash-aggregate, partial+final for free. */
+  def exactDuplicates(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy("dedup_key")
+    df.withColumn("dedup_key", md5(col(keyCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .where(col("group_n") > 1)
+      .select(col(idCol), col("canonical_id"))
+  }
+
+  /** MinHash + LSH banded candidate pairs with exact n-gram Jaccard refine.
+    *
+    * shingle(5-gram) -> 64-perm minhash -> `bands` band keys -> equi-join on
+    * (band, key) -> exact Jaccard on sorted shingle-hash arrays >= threshold.
+    * Guarantee: a pair is produced iff it collides in >= 1 band AND its exact
+    * Jaccard passes — the standard LSH recall/precision trade documented for
+    * the chosen (k=64, bands, rows) operating point. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sigs = df.select(col(idCol).as("id"),
+        Udfs.minhashSig(k)(col(textCol)).as("sig"),
+        Udfs.charShingles(col(textCol)).as("shingles"))
+      .withColumn("band", explode(lit((0 until bands).toArray)))
+      .withColumn("band_key", xxhash64(col("band"), slice(col("sig"), col("band") * lit(rows) + lit(1), lit(rows))))
+    val a = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"), col("band_key"))
+    val b = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"), col("band_key"))
+    a.join(b, "band_key")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Udfs.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash, candidates from 4x16-bit
+    * band buckets (any pair within hamming distance <= `maxHamming` over
+    * uniformly spread differing bits collides in >= 1 band for maxHamming<=3;
+    * wider radii trade recall as usual), exact popcount refine. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), Udfs.simhash(col(textCol)).as("simhash"))
+      .withColumn("band", explode(lit((0 until 4).toArray)))
+      .withColumn("band_key",
+        expr("concat(band, ':', shiftrightunsigned(simhash, band * 16) & 65535)"))
+    val a = sh.select(col("id").as("id_a"), col("simhash").as("h_a"), col("band_key"))
+    val b = sh.select(col("id").as("id_b"), col("simhash").as("h_b"), col("band_key"))
+    a.join(b, "band_key")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact (brute-force baseline; the
+    * LSH-bucketed scale path is Similarity.cosineLshPairs). */
+  def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val withNorm = Similarity.withNorm(df, idCol, vecCol)
+    val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")))
+      .where(col("cosine") > threshold)
+      .select("id_a", "id_b")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (builder brief): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH-bucketed
+  * variant as the scale path. The dot product is a higher-order-function
+  * expression (zip_with + aggregate) — codegen-friendly, no UDF. */
+object Similarity {
+
+  /** Normalize to (id, vec, norm) with a double L2 norm. */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+
+  /** Cosine similarity of two float vectors with precomputed norms; products
+    * accumulate left-to-right in double. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v) / (normA * normB)
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query side, rank
+    * per query with a bounded window. The image table is probed map-side —
+    * no shuffle of the big side before the per-query top-k. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol)
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("result_id"), col("rank"))
+  }
+
+  /** Signed random-hyperplane sketch: `bits` sign bits from deterministic
+    * pseudo-random planes (seeded, no data dependence). */
+  def hyperplaneSketch(df: DataFrame, idCol: String, vecCol: String,
+                       bits: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val planes: Array[Array[Double]] = Array.tabulate(bits, dim) { (b, d) =>
+      val h = graft.core.Hashes.splitmix64(seed + b * 1000003L + d)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val sketch = udf((v: Seq[Float]) => {
+      var sig = 0L
+      var b = 0
+      while (b < planes.length) {
+        var s = 0.0; var d = 0
+        val p = planes(b)
+        while (d < p.length && d < v.length) { s += p(d) * v(d); d += 1 }
+        if (s >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    })
+    df.withColumn("sketch", sketch(col(vecCol)))
+  }
+
+  /** ANN via LSH buckets: pairs colliding on >= 1 of `bands` sketch bands,
+    * refined by exact cosine >= threshold. Approximate-by-design (recall
+    * depends on bands x bits); the exact baseline above is the oracle. */
+  def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     threshold: Double, bits: Int = 32, bands: Int = 4): DataFrame = {
+    val rows = bits / bands
+    val sk = hyperplaneSketch(withNorm(df, idCol, vecCol), "id", "vec", bits, dim)
+      .withColumn("band", explode(lit((0 until bands).toArray)))
+      .withColumn("band_key",
+        expr(s"concat(band, ':', shiftrightunsigned(sketch, band * $rows) & ${(1L << rows) - 1}L)"))
+    val a = sk.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a"), col("band_key"))
+    val b = sk.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b"), col("band_key"))
+    a.join(b, "band_key")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")).as("cosine"))
+      .distinct()
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.functions.Udfs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines (builder
+  * brief: language-ID, quality scoring, token counting, fingerprinting) —
+  * all as codegen-friendly Column expressions except the rolling-hash
+  * fingerprint (a pure-kernel UDF, graft.core.Hashes.fingerprint).
+  *
+  * The Column-expression forms are shared textually with the DuckDB oracle
+  * (SparkEntry.oracleSql), so outputs are bit-exact across engines. */
+object TextOps {
+
+  /** Whitespace token count: split on single spaces, drop empties — matches
+    * LENGTH-arithmetic in ANSI SQL. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, " "), t => length(t) > 0))
+
+  /** Occurrences of a literal substring via length arithmetic (exact in both
+    * engines: no regex). */
+  def occurrences(text: Column, needle: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+
+  private def occArith(text: Column, needle: String): Column =
+    (length(text) - length(replace(text, lit(needle)))) / lit(needle.length)
+
+  /** n-gram-heuristic language ID: per-language stopword hit counts (the
+    * classic profile method reduced to exact arithmetic). Returns the score
+    * columns; argmax is a trivial greatest() on top. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " y ", " los "),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langScores(df: DataFrame, textCol: String): DataFrame =
+    langProfiles.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang",
+        words.map(w => occArith(col(textCol), w)).reduce(_ + _).cast("long"))
+    }
+
+  /** Quality signals: length, whitespace ratio, mean word length — exact
+    * ratios of integer counts. */
+  def qualityScores(df: DataFrame, textCol: String, nCharsCol: String): DataFrame = {
+    val spaces = length(col(textCol)) - length(replace(col(textCol), lit(" ")))
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("space_ratio", spaces.cast("double") / col(nCharsCol).cast("double"))
+      .withColumn("mean_token_len",
+        (col(nCharsCol) - spaces).cast("double") / greatest(lit(1L), col("n_tokens")).cast("double"))
+  }
+
+  /** Karp-Rabin rolling-hash document fingerprint (core kernel). */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", Udfs.fingerprint(col(textCol)))
+}

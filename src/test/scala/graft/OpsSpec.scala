@@ -1,0 +1,183 @@
+package graft
+
+import graft.core.Geo
+import graft.lineage.Lineage
+import graft.model.{Synth, Tables}
+import graft.ops._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Operator-level tests against brute-force oracles computed in-process
+  * (camden-golden style, FIXTURES.md §3): the cell-pruned plans must equal
+  * exhaustive evaluation exactly, covering-independence included. */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("ops-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def imagePoints(): Array[(Long, Double, Double)] =
+    Tables.images(spark, sfDir).select("image_id", "lat", "lng")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+
+  test("containment join equals exhaustive ray-cast over all pairs") {
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
+    val got = Containment.containmentJoin(images, Tables.regions(spark))
+      .select("image_id", "region_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val want = (for {
+      (id, lat, lng) <- imagePoints()
+      r <- Synth.regions
+      if Geo.containsPlanarRings(lat, lng, r.rings)
+    } yield (id, r.regionId)).toSet
+    assert(want.nonEmpty, "fixture must produce matches")
+    assert(got == want)
+  }
+
+  test("containment join: shuffle+salted path equals broadcast path") {
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
+    val a = Containment.containmentJoin(images, Tables.regions(spark))
+      .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Containment.containmentJoin(images, Tables.regions(spark),
+        broadcastRegions = false, saltBuckets = 4)
+      .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
+  test("kNN cell-ring expansion equals brute-force top-k, dense and sparse") {
+    val images = Tables.images(spark, sfDir)
+    val qs = Synth.knnQueries.toSeq
+    val got = Knn.knn(spark, images, qs, k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+
+    val pts = imagePoints()
+    val want = qs.flatMap { q =>
+      pts.map { case (id, lat, lng) =>
+        val d2 = (lat - q.lat) * (lat - q.lat) +
+          ((lng - q.lng) * q.cosLat) * ((lng - q.lng) * q.cosLat)
+        (id, d2)
+      }.sortBy { case (id, d2) => (d2, id) }.take(10).zipWithIndex.map {
+        case ((id, _), i) => (q.queryId, id, i + 1)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("point tile manifest: each zoom is the halved parent of the next") {
+    val m = Tiling.pointManifest(Tables.images(spark, sfDir), 8, 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byImage = m.groupBy(_._1)
+    assert(byImage.values.forall(_.length == 5))
+    byImage.values.foreach { rows =>
+      val z = rows.sortBy(_._2)
+      for (i <- 1 until z.length) {
+        assert(z(i - 1)._3 == z(i)._3 / 2 && z(i - 1)._4 == z(i)._4 / 2)
+      }
+    }
+  }
+
+  test("exact dedup groups by content key with min-id canonical") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "aaa"))
+      .toDF("id", "content")
+    val got = Dedup.exactDuplicates(df, "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"),
+      (3L, "completely different content about spark catalyst optimizer plans"),
+      (4L, "unrelated text regarding s2 geometry cells and hilbert curves"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts at hamming 0; near texts within 6") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    val docs = Seq((1L, base), (2L, base), (3L, base + " tail x")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("brute-force ANN top-k equals in-process cosine ranking") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0),
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+
+    val all = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+      .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("media: GRFT container round-trips; PSNR gate holds per format") {
+    val png = Media.encode(1L)
+    val (w, h, fmt, px) = Media.decode(png)
+    assert((w, h, fmt) == (8, 8, "png"))
+    assert(px.toSeq == Media.sourcePixels(1L, 8, 8).toSeq)
+    assert(Media.psnr(Media.sourcePixels(1L, 8, 8), px).isPosInfinity)
+
+    val jpeg = Media.encode(16L) // 16 % 16 == 0 -> lossy
+    val (_, _, fmtJ, pxJ) = Media.decode(jpeg)
+    assert(fmtJ == "jpeg")
+    val p = Media.psnr(Media.sourcePixels(16L, 8, 8), pxJ)
+    assert(p >= 40.0 && p < 60.0, s"psnr $p")
+
+    val big = Media.encode(7L) // 7 % 16 == 7 -> 16x16
+    assert(Media.decode(big)._1 == 16)
+  }
+
+  test("lineage: stage commits per bucket and resume skips committed work") {
+    val dir = java.nio.file.Files.createTempDirectory("lineage").toString
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
+    val r1 = Lineage.runStage(spark, images, df => df.where(col("lat") > 0),
+      "run1", "filter", dir, "image_id", "cell16", buckets = 4)
+    assert(r1.bucketsRun == Seq(0, 1, 2, 3) && r1.bucketsSkipped.isEmpty)
+
+    // simulate a crash that lost bucket 3's commit
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_committed_3"))
+    val r2 = Lineage.runStage(spark, images, df => df.where(col("lat") > 0),
+      "run1", "filter", dir, "image_id", "cell16", buckets = 4)
+    assert(r2.bucketsRun == Seq(3) && r2.bucketsSkipped == Seq(0, 1, 2))
+
+    val out = Lineage.output(spark, dir).count()
+    val want = images.where(col("lat") > 0).count()
+    assert(out == want)
+
+    val m = Lineage.metrics(spark, dir)
+    assert(m.count() == 4)
+    assert(m.agg(sum("output_rows")).collect()(0).getLong(0) == want)
+    assert(m.select("checksum").collect().forall(!_.isNullAt(0)))
+  }
+}
