@@ -117,6 +117,15 @@ object SparkEntry {
         .select(col("region_id"), Udfs.cellToken(col("cell")).as("token"))
         .orderBy("region_id", "token")),
 
+    // --- §2.7 H3 dual index: per-cell histograms at matched resolutions
+    //     (S2 level 16 <-> H3 res 9); rows-only (hex math not ANSI-SQL) ---
+    "q_h3_cells" -> ((s, dir) =>
+      images(s, dir)
+        .withColumn("h3_9", Udfs.h3At(9)(col("lat"), col("lng")))
+        .withColumn("h3_5", Udfs.h3Parent(col("h3_9"), lit(5)))
+        .groupBy("h3_5").agg(count(lit(1)).as("n"))
+        .orderBy("h3_5")),
+
     // --- dedup: exact (hash-groupBy on content key) ---
     "q_dedup_exact" -> ((s, dir) => {
       Tables.registerBase(s, dir)
