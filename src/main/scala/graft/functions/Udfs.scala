@@ -116,12 +116,12 @@ object Udfs {
     Hashes.simhash(tokenize(s).map(Hashes.fnv1a)))
 
   def minhashSig(k: Int): UserDefinedFunction =
-    udf((s: String) => Hashes.minhash(shingles(s, 5).map(Hashes.fnv1a), k).toSeq)
+    udf((s: String) => Hashes.minhash(wordShingles(s, 3).map(Hashes.fnv1a), k).toSeq)
 
   def tokenize(s: String): Array[String] =
     if (s == null || s.isEmpty) Array.empty else s.split(" ").filter(_.nonEmpty)
 
-  /** Character 5-gram shingles (n-gram dedup substrate). */
+  /** Character n-gram shingles. */
   def shingles(s: String, n: Int): Array[String] = {
     if (s == null || s.length < n) return Array.empty
     val out = new Array[String](s.length - n + 1)
@@ -130,8 +130,25 @@ object Udfs {
     out
   }
 
-  val charShingles: UserDefinedFunction =
-    udf((s: String) => shingles(s, 5).distinct.map(Hashes.fnv1a).sorted.toSeq)
+  /** Word n-gram shingles — the dedup substrate. Word-level (not char-level)
+    * so that small-vocabulary corpora don't make every document pair
+    * near-identical at the shingle level (which would defeat the LSH prune
+    * and degenerate to the quadratic all-pairs join). */
+  def wordShingles(s: String, n: Int): Array[String] = {
+    val w = tokenize(s)
+    val sep = "\u0001" // unambiguous joiner (never appears in tokens)
+    if (w.length < n) return if (w.isEmpty) Array.empty else Array(w.mkString(sep))
+    val out = new Array[String](w.length - n + 1)
+    var i = 0
+    while (i + n <= w.length) {
+      out(i) = w.slice(i, i + n).mkString(sep)
+      i += 1
+    }
+    out
+  }
+
+  val docShingles: UserDefinedFunction =
+    udf((s: String) => wordShingles(s, 3).distinct.map(Hashes.fnv1a).sorted.toSeq)
 
   /** Exact Jaccard of two sorted long arrays. */
   val jaccardSorted: UserDefinedFunction =

@@ -32,7 +32,9 @@ object Tables {
   /** Bench-scale synthetic images: same derivation over spark.range —
     * no test-data dependency (BASELINE.json: synthesize deterministically). */
   def imagesSynth(spark: SparkSession, n: Long): DataFrame = {
-    spark.range(n)
+    // fixed partition count: identical task granularity at every parallelism
+    // level, so N-vs-4N scaling measures cores, not partitioning luck
+    spark.range(0, n, 1, 128)
       .select((col("id") + 1).as("o_orderkey"),
         lit("O").as("o_orderstatus"),
         (col("id") % 5).cast("string").as("o_orderpriority"),

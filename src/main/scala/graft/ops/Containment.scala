@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.core.S2
+import graft.core.{Geo, S2}
 import graft.functions.Udfs
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -66,5 +66,64 @@ object Containment {
     joined
       .where(Udfs.containsRings(col("lat"), col("lng"), col("rings_lat"), col("rings_lng")))
       .select(images.columns.map(col) :+ col("region_id"): _*)
+  }
+
+  /** Broadcast-probe fast path: the same prune+refine semantics as
+    * `containmentJoin`, executed as ONE map-side probe per image against a
+    * driver-built cell->regions hash index — precisely b6's per-point index
+    * probe (api/functions/features.go:96-113) re-expressed for Spark. No
+    * ancestor explosion, no per-row Seq conversions: the plan is
+    * scan -> UDF -> generator, fully pipelined, zero shuffle of the image
+    * side. Use when the region side fits on the driver (the common case —
+    * polygon sets are tiny next to 10^12 images); `containmentJoin` remains
+    * the general path.
+    *
+    * Both paths are verified equal in OpsSpec (covering-independence). */
+  def containmentProbe(images: DataFrame,
+                       regions: Array[graft.model.Synth.Region]): DataFrame = {
+    // driver-built index: covering cell -> region ordinals, plus the levels
+    // present (probe cost = |levels| hash lookups per image)
+    val cellIndex = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    regions.zipWithIndex.foreach { case (r, i) =>
+      r.cells.foreach { c =>
+        val prev = cellIndex.get(c)
+        cellIndex.put(c, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    val levels: Array[Int] =
+      regions.flatMap(_.cells.map(S2.level)).distinct.sorted
+    val ringsLat: Array[Array[Array[Double]]] = regions.map(_.rings.map(_._1))
+    val ringsLng: Array[Array[Array[Double]]] = regions.map(_.rings.map(_._2))
+    val regionIds: Array[String] = regions.map(_.regionId)
+
+    val probe = udf((cell16: Long, lat: Double, lng: Double) => {
+      var out: List[Int] = Nil
+      var li = 0
+      while (li < levels.length) {
+        val cand = cellIndex.get(S2.parent(cell16, levels(li)))
+        if (cand != null) {
+          var c = 0
+          while (c < cand.length) {
+            val ri = cand(c)
+            var odd = false
+            val rl = ringsLat(ri); val rg = ringsLng(ri)
+            var k = 0
+            while (k < rl.length) {
+              if (Geo.containsPlanar(lat, lng, rl(k), rg(k))) odd = !odd
+              k += 1
+            }
+            if (odd) out = ri :: out
+            c += 1
+          }
+        }
+        li += 1
+      }
+      out.toArray
+    })
+
+    images
+      .withColumn("ridx", explode(probe(col("cell16"), col("lat"), col("lng"))))
+      .withColumn("region_id", element_at(lit(regionIds), col("ridx") + 1))
+      .drop("ridx")
   }
 }

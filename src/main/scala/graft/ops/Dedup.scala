@@ -27,8 +27,8 @@ object Dedup {
 
   /** MinHash + LSH banded candidate pairs with exact n-gram Jaccard refine.
     *
-    * shingle(5-gram) -> 64-perm minhash -> `bands` band keys -> equi-join on
-    * (band, key) -> exact Jaccard on sorted shingle-hash arrays >= threshold.
+    * shingle (word 3-gram) -> 64-perm minhash -> `bands` band keys -> equi-
+    * join on (band, key) -> exact Jaccard on sorted shingle hashes >= threshold.
     * Guarantee: a pair is produced iff it collides in >= 1 band AND its exact
     * Jaccard passes — the standard LSH recall/precision trade documented for
     * the chosen (k=64, bands, rows) operating point. */
@@ -38,7 +38,7 @@ object Dedup {
     val rows = k / bands
     val sigs = df.select(col(idCol).as("id"),
         Udfs.minhashSig(k)(col(textCol)).as("sig"),
-        Udfs.charShingles(col(textCol)).as("shingles"))
+        Udfs.docShingles(col(textCol)).as("shingles"))
       .withColumn("band", explode(lit((0 until bands).toArray)))
       .withColumn("band_key", xxhash64(col("band"), slice(col("sig"), col("band") * lit(rows) + lit(1), lit(rows))))
     val a = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"), col("band_key"))

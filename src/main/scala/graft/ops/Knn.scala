@@ -34,12 +34,14 @@ object Knn {
     StructField("rank", IntegerType, nullable = false)))
 
   def knn(spark: SparkSession, images: DataFrame, queries: Seq[KnnQuery],
-          k: Int = 10, initialRadiusDeg: Double = 0.5): DataFrame = {
+          k: Int = 10, initialRadiusDeg: Double = 2.0): DataFrame = {
     var remaining = queries
     var radiusDeg = initialRadiusDeg
     val resolved = scala.collection.mutable.ArrayBuffer.empty[Row]
 
-    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16"))
+    // cache the probe projection: every expansion round re-probes it, and
+    // without the cache the upstream cell-assignment UDF re-runs per round
+    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
 
     while (remaining.nonEmpty) {
       val full = radiusDeg >= 180.0
@@ -78,8 +80,9 @@ object Knn {
         else still += q
       }
       remaining = still.toSeq
-      radiusDeg *= 4
+      radiusDeg *= 8
     }
+    imgs.unpersist()
 
     spark.createDataFrame(
       spark.sparkContext.parallelize(resolved.toSeq, 1), resultSchema)

@@ -42,6 +42,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("containment broadcast-probe fast path equals the join path") {
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
+    val a = Containment.containmentJoin(images, Tables.regions(spark))
+      .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Containment.containmentProbe(images, Synth.regions)
+      .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("containment join: shuffle+salted path equals broadcast path") {
     val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
     val a = Containment.containmentJoin(images, Tables.regions(spark))
