@@ -2,7 +2,8 @@ package graft
 
 import graft.functions.Udfs
 import graft.model.{Synth, Tables}
-import graft.ops.{Containment, Dedup, Knn, Media, Search, Similarity, TextOps, Tiling}
+import graft.ops.{Containment, Dedup, Geometry, Knn, Media, Overlay, Reachability, Search, Similarity, TextOps, Tiling}
+import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -212,7 +213,64 @@ object SparkEntry {
     "q_media_psnr" -> ((s, dir) =>
       Media.psnrCheck(Media.withPayload(images(s, dir).select("image_id")))
         .select(col("image_id"), col("fmt"), (col("psnr_db") >= 40.0).as("pass"))
-        .orderBy("image_id"))
+        .orderBy("image_id")),
+
+    // --- §2.2 find-feature: id lookup (broadcast hash on pk) ---
+    "q_find_by_id" -> ((s, dir) =>
+      images(s, dir).where(col("image_id").isin(8L, 80L, 800L, 8000L))
+        .select("image_id", "status", "lat", "lng").orderBy("image_id")),
+
+    // --- §2.9 overlay/with-change: delta wins over base (merged world) ---
+    "q_overlay" -> ((s, dir) => {
+      val base = images(s, dir).select("image_id", "status", "priority")
+      val delta = Overlay.addTag(base, "image_id",
+        Seq(8L, 16L, 24L, 32L, 40L), "status", "X")
+      Overlay.overlay(base, delta, "image_id")
+        .where(col("status") === "X" || col("image_id") <= 50)
+        .orderBy("image_id")
+    }),
+
+    // --- §2.3 geometry scalars: centroid/length/area/interpolate over the
+    //     region rings (transcendental math -> rows-only, pinned by tests) ---
+    "q_geometry" -> ((s, _) => {
+      val r = Tables.regions(s)
+      r.select(col("region_id"),
+          Geometry.centroid(col("rings_lat")(0), col("rings_lng")(0)).as("centroid"),
+          Geometry.lengthMeters(col("rings_lat")(0), col("rings_lng")(0)).as("perimeter_m"),
+          Geometry.areaM2(col("rings_lat")(0), col("rings_lng")(0)).as("area_m2"))
+        .select(col("region_id"), col("centroid._1").as("c_lat"),
+          col("centroid._2").as("c_lng"), col("perimeter_m"), col("area_m2"))
+        .orderBy("region_id")
+    }),
+
+    // --- §2.5 reachable-area: convex-hull area per region's matched images
+    //     (hull aggregator; rows-only) ---
+    "q_hull_area" -> ((s, dir) => {
+      val matched = Containment.containmentProbe(
+        images(s, dir).select("image_id", "lat", "lng", "cell16"), Synth.regions)
+      Geometry.hullAreaM2(matched, "region_id", "lat", "lng").orderBy("region_id")
+    }),
+
+    // --- §2.4 reachability: frontier expansion over a deterministic graph
+    //     derived from orders (ring + chords); rows-only, pinned by test ---
+    "q_reachable" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val edges = s.sql(
+        """SELECT o_orderkey AS src, (o_orderkey % 1000) * 7 + 1 AS dst,
+          |       1.0 + (o_orderkey % 13) AS cost FROM orders
+          |UNION ALL
+          |SELECT (o_orderkey % 1000) * 7 + 1 AS src, o_orderkey AS dst,
+          |       1.0 + (o_orderkey % 13) AS cost FROM orders""".stripMargin)
+      Reachability.reachable(s, edges, Seq(1L, 8L), cutoff = 20.0)
+        .orderBy("node")
+    }),
+
+    // --- streaming surface, batch-equivalent aggregation (hour buckets) ---
+    "q_events_window" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      EventStream.batchWindowedCounts(s.table("events"))
+        .orderBy("bucket", "event_type")
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -300,7 +358,21 @@ object SparkEntry {
           "CAST(CASE WHEN image_id % 16 = 7 THEN 16 ELSE 8 END AS INT) AS dec_h, " +
           "CASE WHEN image_id % 16 = 0 THEN 'jpeg' ELSE 'png' END AS dec_fmt, " +
           "CAST(CASE WHEN image_id % 16 = 7 THEN 768 ELSE 192 END AS INT) AS n_px " +
-          "FROM images ORDER BY image_id")
+          "FROM images ORDER BY image_id"),
+      "q_find_by_id" ->
+        (s"$W SELECT image_id, status, lat, lng FROM images " +
+          "WHERE image_id IN (8, 80, 800, 8000) ORDER BY image_id"),
+      "q_overlay" ->
+        (s"$W, delta AS (SELECT image_id, 'X' AS status, priority FROM images " +
+          "WHERE image_id IN (8, 16, 24, 32, 40)), " +
+          "merged AS (SELECT i.image_id, " +
+          "CASE WHEN d.image_id IS NOT NULL THEN d.status ELSE i.status END AS status, " +
+          "i.priority FROM images i LEFT JOIN delta d ON i.image_id = d.image_id) " +
+          "SELECT * FROM merged WHERE status = 'X' OR image_id <= 50 ORDER BY image_id"),
+      "q_events_window" ->
+        ("SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS bucket, event_type, " +
+          "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM events " +
+          "GROUP BY 1, 2 ORDER BY bucket, event_type")
     )
   }
 }

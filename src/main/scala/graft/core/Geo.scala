@@ -192,7 +192,12 @@ object Geo {
       i += 1
     }
     val excess = math.abs(total - (n - 2) * math.Pi)
-    excess * EarthRadiusMeters * EarthRadiusMeters
+    val raw = excess * EarthRadiusMeters * EarthRadiusMeters
+    // orientation-independent: a CW ring measures the complementary area;
+    // our polygons are always far smaller than a hemisphere, so take the
+    // smaller of the two complements
+    val sphere = 4.0 * math.Pi * EarthRadiusMeters * EarthRadiusMeters
+    math.min(raw, sphere - raw)
   }
 
   /** 2D convex hull (lng,lat plane) via Andrew's monotone chain; returns

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.core.Geo
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** The b6 scalar/geometry function surface (SURVEY.md §2.3) as Column
+  * expressions and batched UDFs over the pure Geo kernel:
+  *
+  *   distance-meters            geometry.go:15-17   -> haversine Column math
+  *   centroid                   geometry.go:30-45   -> UDF over vertex arrays
+  *   interpolate                geometry.go:47-51   -> UDF
+  *   area (m^2)                 geometry.go:65-74   -> spherical-excess UDF
+  *   length (meters)            features.go:225-227 -> UDF over vertex arrays
+  *   sample-points              features.go:379-427 -> explode of interp UDF
+  *   convex-hull                geometry.go:169-193 -> Aggregator (hull of a
+  *                                                     grouped point set)
+  *   rectangle-polygon/cap-pgon geometry.go:76-88   -> generator functions
+  *   ll / distance accessors    geometry.go:11-17   -> struct(lat,lng)
+  */
+object Geometry {
+
+  /** Great-circle meters between two (lat,lng) column pairs — pure Column
+    * arithmetic (codegen'd), earth radius 6371.01 km as the reference. */
+  def distanceMeters(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column =
+    graft.functions.Udfs.haversineMeters(lat1, lng1, lat2, lng2)
+
+  /** Centroid of a polyline given parallel lat/lng arrays. */
+  val centroid = udf((lats: Seq[Double], lngs: Seq[Double]) =>
+    Geo.centroid(lats.toArray, lngs.toArray))
+
+  /** Point at fraction f (by arc length) along a polyline. */
+  val interpolate = udf((lats: Seq[Double], lngs: Seq[Double], f: Double) =>
+    Geo.interpolate(lats.toArray, lngs.toArray, f))
+
+  /** Polyline length in meters. */
+  val lengthMeters = udf((lats: Seq[Double], lngs: Seq[Double]) =>
+    Geo.polylineLengthMeters(lats.toArray, lngs.toArray))
+
+  /** Spherical polygon area in m^2 (shell ring). */
+  val areaM2 = udf((lats: Seq[Double], lngs: Seq[Double]) =>
+    Geo.sphericalAreaM2(lats.toArray, lngs.toArray))
+
+  /** n equidistant samples along a polyline (b6 sample-points) — an
+    * array-returning function meant for explode(). */
+  def samplePoints(n: Int) = udf((lats: Seq[Double], lngs: Seq[Double]) => {
+    val la = lats.toArray; val lo = lngs.toArray
+    (0 until n).map(i => Geo.interpolate(la, lo, i.toDouble / math.max(1, n - 1)))
+  })
+
+  /** Convex-hull area as a typed Aggregator over grouped (lat, lng) points —
+    * the reachable-area shape (SURVEY.md §2.5, api/functions/graph.go:202-216).
+    * Buffers merge associatively and COMPACT to their hull above 256 points,
+    * so partial (map-side) aggregation stays bounded no matter the group
+    * size — the property that makes it safe at 10^12 rows. */
+  object HullAreaAgg extends Aggregator[(Double, Double), List[(Double, Double)], Double] {
+    def zero: List[(Double, Double)] = Nil
+    def reduce(b: List[(Double, Double)], p: (Double, Double)): List[(Double, Double)] =
+      compact(p :: b)
+    def merge(a: List[(Double, Double)], b: List[(Double, Double)]): List[(Double, Double)] =
+      compact(a ++ b)
+    def finish(b: List[(Double, Double)]): Double = {
+      val la = b.map(_._1).toArray
+      val lo = b.map(_._2).toArray
+      val idx = Geo.convexHull(la, lo)
+      if (idx.length < 3) 0.0
+      else Geo.sphericalAreaM2(idx.map(la(_)), idx.map(lo(_)))
+    }
+    private def compact(pts: List[(Double, Double)]): List[(Double, Double)] =
+      if (pts.length <= 256) pts
+      else {
+        val la = pts.map(_._1).toArray
+        val lo = pts.map(_._2).toArray
+        Geo.convexHull(la, lo).toList.map(i => (la(i), lo(i)))
+      }
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Double)]] =
+      org.apache.spark.sql.Encoders.kryo[List[(Double, Double)]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Convex hull area (m^2) of each group's points — `reachable-area`
+    * semantics (api/functions/graph.go:202-216): hull then spherical area. */
+  def hullAreaM2(df: DataFrame, groupCol: String, latCol: String, lngCol: String): DataFrame = {
+    val hullArea = udf((lats: Seq[Double], lngs: Seq[Double]) => {
+      val idx = Geo.convexHull(lats.toArray, lngs.toArray)
+      if (idx.length < 3) 0.0
+      else Geo.sphericalAreaM2(idx.map(lats(_)), idx.map(lngs(_)))
+    })
+    df.groupBy(col(groupCol))
+      .agg(collect_list(col(latCol)).as("lats"), collect_list(col(lngCol)).as("lngs"))
+      .withColumn("hull_area_m2", hullArea(col("lats"), col("lngs")))
+      .drop("lats", "lngs")
+  }
+}

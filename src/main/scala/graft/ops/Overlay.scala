@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mutation / overlay-world semantics (SURVEY.md §2.9):
+  *
+  *   b6 `Change` batches (add-tag/remove-tag, ingest/change.go:14-16) become
+  *   delta DataFrames; `MutableOverlayWorld` (ingest/mutable.go:16-45) — a
+  *   delta layer over an immutable base where the overlay wins — becomes
+  *   unionByName + latest-snapshot-wins window, i.e. the merged-world k-way
+  *   iterator (merged.go:7-81) as one window over the union. `with-change`
+  *   (api/functions/change.go:80-88) = evaluating any query over the view
+  *   returned here, without committing anything.
+  *
+  * At design scale the same shape is an Iceberg MERGE/snapshot read; this
+  * view form is the read-side equivalent and is what hypothetical-world
+  * evaluation uses either way. */
+object Overlay {
+
+  /** base overlaid with delta: rows joined by `idCol`, delta rows win;
+    * delta rows with no base row are additions; base rows absent from delta
+    * pass through. Schemas must match (unionByName). */
+  def overlay(base: DataFrame, delta: DataFrame, idCol: String): DataFrame = {
+    val tagged = base.withColumn("_snap", lit(0))
+      .unionByName(delta.withColumn("_snap", lit(1)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_snap").desc)
+    tagged
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_snap", "_rn")
+  }
+
+  /** add-tags as a Change: produce the delta rows for `ids` with `tagCol`
+    * set to `value` (the b6 add-tag function shape, change.go:11-40). */
+  def addTag(base: DataFrame, idCol: String, ids: Seq[Long],
+             tagCol: String, value: String): DataFrame =
+    base.where(col(idCol).isin(ids: _*)).withColumn(tagCol, lit(value))
+}

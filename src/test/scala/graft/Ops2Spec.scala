@@ -1,0 +1,135 @@
+package graft
+
+import graft.core.Geo
+import graft.ops.{Geometry, Overlay, Reachability}
+import graft.streaming.EventStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("ops2-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("reachability frontier loop equals in-process Dijkstra") {
+    import spark.implicits._
+    // deterministic small graph: ring of 30 + random chords
+    val n = 30
+    val ring = (0 until n).flatMap(i => Seq(
+      (i.toLong, ((i + 1) % n).toLong, 1.0), (((i + 1) % n).toLong, i.toLong, 1.0)))
+    val chords = (0 until 15).flatMap { k =>
+      val a = graft.core.Hashes.splitmix64(k * 3L).abs % n
+      val b = graft.core.Hashes.splitmix64(k * 3L + 1).abs % n
+      val c = 0.5 + (graft.core.Hashes.splitmix64(k * 3L + 2).abs % 40) / 10.0
+      if (a == b) Nil else Seq((a, b, c), (b, a, c))
+    }
+    val edges = (ring ++ chords).toDF("src", "dst", "cost")
+    val cutoff = 6.5
+    val got = Reachability.reachable(spark, edges, Seq(0L), cutoff)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    // brute-force Dijkstra
+    val adj = (ring ++ chords).groupBy(_._1).map { case (k, v) => (k, v.map(e => (e._2, e._3))) }
+    val dist = scala.collection.mutable.Map(0L -> 0.0)
+    val pq = scala.collection.mutable.PriorityQueue((0.0, 0L))(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (d <= dist(u) + 1e-12) {
+        adj.getOrElse(u, Nil).foreach { case (v, c) =>
+          val nd = d + c
+          if (nd <= cutoff && nd < dist.getOrElse(v, Double.MaxValue) - 1e-12) {
+            dist(v) = nd; pq.enqueue((nd, v))
+          }
+        }
+      }
+    }
+    assert(got.keySet == dist.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - dist(k)) < 1e-9, s"node $k") }
+    assert(got.size > 5)
+  }
+
+  test("overlay: delta wins, additions appear, untouched base passes through") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val delta = Seq((2L, "B"), (4L, "D")).toDF("id", "v")
+    val got = Overlay.overlay(base, delta, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+  }
+
+  test("hull-area aggregation matches direct hull computation") {
+    import spark.implicits._
+    val pts = Seq.tabulate(50) { i =>
+      val a = graft.core.Hashes.splitmix64(i.toLong)
+      ("g", 51.0 + ((a >>> 20) % 1000) / 10000.0, -0.2 + ((a >>> 40) % 1000) / 10000.0)
+    }
+    val df = pts.toDF("g", "lat", "lng")
+    val got = Geometry.hullAreaM2(df, "g", "lat", "lng")
+      .collect()(0).getAs[Double]("hull_area_m2")
+    val la = pts.map(_._2).toArray
+    val lo = pts.map(_._3).toArray
+    val idx = Geo.convexHull(la, lo)
+    val want = Geo.sphericalAreaM2(idx.map(la(_)), idx.map(lo(_)))
+    assert(math.abs(got - want) < 1e-6 && got > 0)
+  }
+
+  test("hull-area typed Aggregator compacts and matches the direct path") {
+    import spark.implicits._
+    val pts = Seq.tabulate(600) { i => // > compaction threshold
+      val a = graft.core.Hashes.splitmix64(1000L + i)
+      (51.0 + ((a >>> 20) % 1000) / 10000.0, -0.2 + ((a >>> 40) % 1000) / 10000.0)
+    }
+    val ds = pts.toDF("lat", "lng").as[(Double, Double)]
+    val got = ds.select(Geometry.HullAreaAgg.toColumn).collect()(0)
+    val la = pts.map(_._1).toArray
+    val lo = pts.map(_._2).toArray
+    val idx = Geo.convexHull(la, lo)
+    val want = Geo.sphericalAreaM2(idx.map(la(_)), idx.map(lo(_)))
+    assert(math.abs(got - want) / want < 1e-9)
+  }
+
+  test("geometry scalars: length/area/centroid/interpolate kernel sanity") {
+    // ~1km square at the equator
+    val la = Array(0.0, 0.0, 0.009, 0.009)
+    val lo = Array(0.0, 0.009, 0.009, 0.0)
+    val side = Geo.haversineMeters(0, 0, 0, 0.009)
+    val closed = la :+ la(0)
+    val closedLo = lo :+ lo(0)
+    assert(math.abs(Geo.polylineLengthMeters(closed, closedLo) - 4 * side) < 1.0)
+    val area = Geo.sphericalAreaM2(la, lo)
+    assert(math.abs(area - side * side) / (side * side) < 0.01)
+    val (cLat, cLng) = Geo.centroid(la, lo)
+    assert(math.abs(cLat - 0.0045) < 1e-9 && math.abs(cLng - 0.0045) < 1e-9)
+  }
+
+  test("streaming windowed counts equal the batch aggregation") {
+    val dir = s"$sfDir"
+    val batch = EventStream.batchWindowedCounts(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .select("bucket", "event_type", "n")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+
+    // drive the same file through the streaming path (file source wants a
+    // directory)
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.windowedCounts(spark, streamDir.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_out")
+      .withColumn("bucket", expr("CAST(FLOOR(UNIX_TIMESTAMP(win_start) / 3600) AS BIGINT)"))
+      .select("bucket", "event_type", "n")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+}
