@@ -26,7 +26,8 @@ object Tables {
   def images(spark: SparkSession, sfDir: String): DataFrame = {
     registerBase(spark, sfDir)
     spark.sql(Synth.imagesSelect)
-      .withColumn("cell16", Udfs.cellAt16(col("lat"), col("lng")))
+      .withColumn("cell16",
+        graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
   }
 
   /** Bench-scale synthetic images: same derivation over spark.range —
@@ -41,7 +42,8 @@ object Tables {
         (col("id") % 100000).cast("double").as("o_totalprice"))
       .createOrReplaceTempView("orders")
     spark.sql(Synth.imagesSelectFromRange)
-      .withColumn("cell16", Udfs.cellAt16(col("lat"), col("lng")))
+      .withColumn("cell16",
+        graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
   }
 
   /** The polygon side: 24 literal regions with rings + S2 coverings

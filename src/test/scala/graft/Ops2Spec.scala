@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.Geo
+import graft.model.Tables
 import graft.ops.{Geometry, Overlay, Reachability}
 import graft.streaming.EventStream
 import org.apache.spark.sql.SparkSession
@@ -108,6 +109,19 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(area - side * side) / (side * side) < 0.01)
     val (cLat, cLng) = Geo.centroid(la, lo)
     assert(math.abs(cLat - 0.0045) < 1e-9 && math.abs(cLng - 0.0045) < 1e-9)
+  }
+
+  test("native S2CellAt16 expression equals the UDF and stays in codegen") {
+    import graft.functions.{S2Expressions, Udfs}
+    val imgs = Tables.images(spark, sfDir)
+    val both = imgs.select(col("image_id"),
+      S2Expressions.s2Cell16(col("lat"), col("lng")).as("expr_cell"),
+      Udfs.cellAt16(col("lat"), col("lng")).as("udf_cell"))
+    assert(both.where(col("expr_cell") =!= col("udf_cell")).count() == 0)
+    // the expression must appear inside the whole-stage-codegen'd project,
+    // not as a BatchEvalPython/ScalaUDF black box
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("s2_cell16"))
   }
 
   test("streaming windowed counts equal the batch aggregation") {
