@@ -265,6 +265,26 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // --- §2.1 GeoJSON source/sink: regions -> to-geojson -> parse ---
+    "q_geojson" -> ((s, _) => {
+      import s.implicits._
+      val fc = graft.sources.GeoJson.regionsToGeoJson(Tables.regions(s))
+        .select("geojson").collect().map(_.getString(0))
+        .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+      graft.sources.GeoJson.parseFeatureCollection(Seq(fc).toDF("json"), "json")
+        .select(col("feature_id"), col("geom_type"),
+          size(col("rings_lat")).as("n_rings"),
+          size(col("rings_lat")(0)).as("n_vertices"))
+        .orderBy("feature_id")
+    }),
+
+    // --- §2.1/§3.3 MVT sink: per-tile vector-tile blobs ---
+    "q_mvt_tiles" -> ((s, dir) =>
+      Tiling.mvtPointTiles(images(s, dir).select("image_id", "lat", "lng"), 10, "images")
+        .select(col("z"), col("x"), col("y"), col("n_features"),
+          length(col("mvt")).as("mvt_bytes"))
+        .orderBy("z", "x", "y")),
+
     // --- streaming surface, batch-equivalent aggregation (hour buckets) ---
     "q_events_window" -> ((s, dir) => {
       Tables.registerBase(s, dir)

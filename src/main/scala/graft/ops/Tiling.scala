@@ -42,4 +42,32 @@ object Tiling {
       .where(col("rn") <= cap)
       .groupBy("z", "x", "y").agg(count(lit(1)).as("n_features"))
   }
+
+  /** MVT sink: encode each tile's point features as a Mapbox Vector Tile
+    * blob (graft.sources.Mvt) — the reference's HTTP serving path re-shaped
+    * as a batch job (SURVEY.md §3.3): features -> tile assignment ->
+    * groupBy(z,x,y) -> encoded bytes, with id-ordered determinism and the
+    * 10k/tile cap. Output: (z, x, y, n_features, mvt BINARY). */
+  def mvtPointTiles(images: DataFrame, zoom: Int, layerName: String,
+                    cap: Int = 10000): DataFrame = {
+    import graft.sources.Mvt
+    val assigned = images
+      .withColumn("t", explode(graft.functions.Udfs.tileChain(zoom, zoom)(col("lat"), col("lng"))))
+      .select(col("image_id"), col("lat"), col("lng"),
+        col("t._1").as("z"), col("t._2").as("x"), col("t._3").as("y"))
+    val encode = udf((z: Int, x: Long, y: Long,
+                      ids: Seq[Long], lats: Seq[Double], lngs: Seq[Double]) => {
+      val feats = ids.indices.sortBy(ids(_)).take(cap).map { i =>
+        val (px, py) = Mvt.tileLocal(lats(i), lngs(i), z, x, y)
+        Mvt.PointFeature(Mvt.featureId(0L, "graft/image", ids(i)), px, py)
+      }
+      Mvt.encodePointLayer(layerName, feats)
+    })
+    assigned.groupBy("z", "x", "y")
+      .agg(collect_list("image_id").as("ids"),
+        collect_list("lat").as("lats"), collect_list("lng").as("lngs"))
+      .select(col("z"), col("x"), col("y"),
+        least(size(col("ids")), lit(cap)).cast("long").as("n_features"),
+        encode(col("z"), col("x"), col("y"), col("ids"), col("lats"), col("lngs")).as("mvt"))
+  }
 }

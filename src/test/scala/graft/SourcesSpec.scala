@@ -1,0 +1,110 @@
+package graft
+
+import graft.model.Tables
+import graft.ops.Tiling
+import graft.sources.{GeoJson, Mvt}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("sources-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("GeoJSON: regions -> to-geojson -> parse round-trips rings") {
+    val regions = Tables.regions(spark)
+    val json = GeoJson.regionsToGeoJson(regions).select("geojson")
+      .collect().map(_.getString(0))
+    // wrap as a FeatureCollection document
+    val fc = s"""{"type":"FeatureCollection","features":[${json.mkString(",")}]}"""
+    import spark.implicits._
+    val parsed = GeoJson.parseFeatureCollection(Seq(fc).toDF("json"), "json")
+    val got = parsed.select("feature_id", "geom_type", "rings_lat", "rings_lng")
+      .collect().map(r => (r.getString(0),
+        (r.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq),
+          r.getSeq[scala.collection.Seq[Double]](3).map(_.toSeq)))).toMap
+    val want = regions.select("region_id", "rings_lat", "rings_lng")
+      .collect().map(r => (r.getString(0),
+        (r.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq),
+          r.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"region $k") }
+  }
+
+  test("GeoJSON: point features parse with lng/lat order") {
+    import spark.implicits._
+    val fc = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","id":"p1","properties":{"kind":"bench"},
+       "geometry":{"type":"Point","coordinates":[-0.12434,51.53531]}}]}"""
+    val row = GeoJson.parseFeatureCollection(Seq(fc).toDF("json"), "json").collect()(0)
+    assert(row.getAs[String]("feature_id") == "p1")
+    assert(row.getAs[Double]("lat") == 51.53531)
+    assert(row.getAs[Double]("lng") == -0.12434)
+    assert(row.getAs[Map[String, String]]("properties")("kind") == "bench")
+  }
+
+  test("MVT: encoded point layer decodes to the same features") {
+    val feats = Seq(
+      Mvt.PointFeature(Mvt.featureId(0, "graft/image", 42L), 100, 200, Seq("kind" -> "img")),
+      Mvt.PointFeature(Mvt.featureId(0, "graft/image", 43L), 4000, 10))
+    val blob = Mvt.encodePointLayer("images", feats)
+
+    // tile -> layer
+    val tileFields = Mvt.decodeFields(blob)
+    val layers = tileFields.collect { case (3, Right(b)) => b }
+    assert(layers.length == 1)
+    val lf = Mvt.decodeFields(layers.head)
+    assert(lf.collect { case (1, Right(b)) => new String(b, "UTF-8") } == Seq("images"))
+    assert(lf.collect { case (15, Left(v)) => v } == Seq(2L)) // version
+    assert(lf.collect { case (5, Left(v)) => v } == Seq(4096L)) // extent
+    val featureBlobs = lf.collect { case (2, Right(b)) => b }
+    assert(featureBlobs.length == 2)
+    val f0 = Mvt.decodeFields(featureBlobs.head)
+    assert(f0.collect { case (1, Left(id)) => id } == Seq(Mvt.featureId(0, "graft/image", 42L)))
+    assert(f0.collect { case (3, Left(t)) => t } == Seq(1L)) // POINT
+    val geom = f0.collect { case (4, Right(b)) => b }.head
+    // geometry: command varint then zigzag dx, dy
+    val g = Mvt.decodeFields(Array[Byte]()) // not a message; decode manually:
+    def varints(b: Array[Byte]): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < b.length) {
+        var v = 0L; var s = 0
+        while ({ val x = b(i); i += 1; v |= (x & 0x7fL) << s; s += 7; (x & 0x80) != 0 }) ()
+        out += v
+      }
+      out.toSeq
+    }
+    val vs = varints(geom)
+    assert(vs(0) == ((1 << 3) | 1)) // MoveTo count 1
+    def unzig(v: Long): Long = (v >>> 1) ^ -(v & 1)
+    assert(unzig(vs(1)) == 100 && unzig(vs(2)) == 200)
+  }
+
+  test("MVT sink: per-tile blobs with deterministic ids and counts") {
+    val images = Tables.images(spark, "/root/testdata/sf0.001")
+    val tiles = Tiling.mvtPointTiles(images, 12, "images")
+    val rows = tiles.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_features")).sum
+    assert(total == images.count())
+    // blob parses and feature count matches n_features on the largest tile
+    val big = rows.maxBy(_.getAs[Long]("n_features"))
+    val layers = Mvt.decodeFields(big.getAs[Array[Byte]]("mvt")).collect { case (3, Right(b)) => b }
+    val nFeats = Mvt.decodeFields(layers.head).count { case (2, Right(_)) => true; case _ => false }
+    assert(nFeats == big.getAs[Long]("n_features"))
+    // deterministic: re-encode equals
+    val again = Tiling.mvtPointTiles(images, 12, "images").collect()
+      .find(r => r.getAs[Long]("x") == big.getAs[Long]("x") &&
+        r.getAs[Long]("y") == big.getAs[Long]("y")).get
+    assert(java.util.Arrays.equals(
+      again.getAs[Array[Byte]]("mvt"), big.getAs[Array[Byte]]("mvt")))
+  }
+}
