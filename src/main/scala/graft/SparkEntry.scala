@@ -265,6 +265,27 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // --- §2.4 connect-to-network: nearest path within 500 m ---
+    "q_connect" -> ((s, dir) =>
+      graft.ops.Polyline.nearestPathJoin(
+          images(s, dir).select(col("image_id").as("id"), col("lat"), col("lng"), col("cell16")),
+          Tables.paths(s), maxDistMeters = 500.0)
+        .select(col("id"), col("path_id"))
+        .orderBy("id")),
+
+    // --- §2.8 elevation: IDW over spot heights within 3 km ---
+    "q_elevation" -> ((s, dir) => {
+      val imgs = images(s, dir)
+      val samples = imgs.where(col("image_id") % 40 === 0)
+        .select(col("lat").as("s_lat"), col("lng").as("s_lng"),
+          (col("image_id") % 1000).cast("double").as("height"))
+      graft.ops.Elevation.elevations(
+          imgs.select(col("image_id").as("id"), col("lat"), col("lng"), col("cell16")),
+          samples, radiusMeters = 3000.0)
+        .select(col("id"), round(col("elevation"), 6).as("elevation"))
+        .orderBy("id")
+    }),
+
     // --- §2.1 GeoJSON source/sink: regions -> to-geojson -> parse ---
     "q_geojson" -> ((s, _) => {
       import s.implicits._

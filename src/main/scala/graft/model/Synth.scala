@@ -165,6 +165,47 @@ object Synth {
     }
   }
 
+  // =====================================================================
+  // Paths — deterministic polylines ("roads") for the polyline operators
+  // =====================================================================
+
+  final case class Path(pathId: String, lats: Array[Double], lngs: Array[Double])
+
+  /** 40 seeded random-walk polylines: 20 short ones around the hot caps
+    * (the nearest-path-join fixtures), 20 scattered long ones. */
+  val paths: Array[Path] = {
+    def walk(id: Int, cLat: Double, cLng: Double, stepM: Double, n: Int): Path = {
+      val lats = new Array[Double](n)
+      val lngs = new Array[Double](n)
+      var lat = cLat + (((Hashes.splitmix64(id * 131L) >>> 11) % 1000) - 500) / 50000.0
+      var lng = cLng + (((Hashes.splitmix64(id * 131L + 1) >>> 11) % 1000) - 500) / 50000.0
+      var i = 0
+      while (i < n) {
+        lats(i) = math.rint(lat * 1000000) / 1000000.0
+        lngs(i) = math.rint(lng * 1000000) / 1000000.0
+        val h = Hashes.splitmix64(id * 1000003L + i)
+        val ang = 2 * math.Pi * ((h >>> 11).toDouble / (1L << 53).toDouble)
+        lat += stepM * math.cos(ang) / 111320.0
+        lng += stepM * math.sin(ang) / (111320.0 * math.cos(math.toRadians(lat)))
+        i += 1
+      }
+      Path(f"path-$id%04d", lats, lngs)
+    }
+    val b = Array.newBuilder[Path]
+    for (k <- 0 until 20) {
+      val (cLat, cLng) = hotCenters(k % 3)
+      b += walk(k, cLat, cLng, stepM = 400.0, n = 6 + (k % 5))
+    }
+    for (k <- 20 until 40) {
+      val s1 = Hashes.splitmix64(k * 17L)
+      val s2 = Hashes.splitmix64(k * 17L + 1)
+      val cLat = -50.0 + 100.0 * ((s1 >>> 11).toDouble / (1L << 53).toDouble)
+      val cLng = -150.0 + 300.0 * ((s2 >>> 11).toDouble / (1L << 53).toDouble)
+      b += walk(k, cLat, cLng, stepM = 5000.0, n = 8)
+    }
+    b.result()
+  }
+
   /** 25 pinned query points: 6 inside the hot caps (dense path), 19
     * scattered (sparse path — nearest neighbours can be 1000s of km away). */
   val knnQueries: Array[KnnQuery] = {

@@ -49,6 +49,12 @@ object Tables {
   /** The polygon side: 24 literal regions with rings + S2 coverings
     * (FIXTURES.md §2). Always broadcast-sized here; the shuffle/salting path
     * is exercised by forcing broadcastRegions=false. */
+  /** The polyline table (path_id, lats, lngs) from the seeded fixtures. */
+  def paths(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Synth.paths.toSeq.map(p =>
+        (p.pathId, p.lats.toSeq, p.lngs.toSeq)))
+      .toDF("path_id", "lats", "lngs")
+
   def regions(spark: SparkSession): DataFrame = {
     val rows = Synth.regions.toSeq.map { r =>
       (r.regionId, r.kind, r.zone,

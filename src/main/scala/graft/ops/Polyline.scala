@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.core.{Geo, S2}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Polyline operators (SURVEY.md §2.2 IntersectsPolyline, §2.3
+  * distance-to-point-meters, §2.4 connect-to-network):
+  *
+  *   - distance from a point to a polyline = min over segments of the
+  *     great-circle distance to each geodesic arc (Geo.distToArc), the
+  *     reference's polyline-projection semantics (spatial.go:425-514)
+  *   - polyline-intersects-polyline via pairwise strict arc crossings
+  *     (Geo.arcsCross), the reference's known-approximate semantics
+  *     (spatial.go:470-480 keeps the same approximation)
+  *   - nearest-path join (connect-to-network, graph/connectivity.go:39-114):
+  *     prune candidate paths by S2 covering cells, refine with exact
+  *     distance, keep the per-point minimum within `maxDistMeters`.
+  */
+object Polyline {
+
+  /** Meters from (lat,lng) to the nearest point of the polyline. */
+  def distanceToPolylineMeters(lat: Double, lng: Double,
+                               pLats: Array[Double], pLngs: Array[Double]): Double = {
+    if (pLats.length == 1)
+      return Geo.haversineMeters(lat, lng, pLats(0), pLngs(0))
+    val x = Geo.toXYZ(lat, lng)
+    var best = Double.MaxValue
+    var i = 1
+    while (i < pLats.length) {
+      val a = Geo.toXYZ(pLats(i - 1), pLngs(i - 1))
+      val b = Geo.toXYZ(pLats(i), pLngs(i))
+      val d = Geo.distToArc(x, a, b) * Geo.EarthRadiusMeters
+      if (d < best) best = d
+      i += 1
+    }
+    best
+  }
+
+  val distToPolyline = udf((lat: Double, lng: Double,
+                            pLats: Seq[Double], pLngs: Seq[Double]) =>
+    distanceToPolylineMeters(lat, lng, pLats.toArray, pLngs.toArray))
+
+  /** Do two polylines strictly cross (any segment pair)? */
+  def polylinesCross(aLat: Array[Double], aLng: Array[Double],
+                     bLat: Array[Double], bLng: Array[Double]): Boolean = {
+    var i = 1
+    while (i < aLat.length) {
+      val p1 = Geo.toXYZ(aLat(i - 1), aLng(i - 1))
+      val p2 = Geo.toXYZ(aLat(i), aLng(i))
+      var j = 1
+      while (j < bLat.length) {
+        val q1 = Geo.toXYZ(bLat(j - 1), bLng(j - 1))
+        val q2 = Geo.toXYZ(bLat(j), bLng(j))
+        if (Geo.arcsCross(p1, p2, q1, q2)) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  val crosses = udf((aLat: Seq[Double], aLng: Seq[Double],
+                     bLat: Seq[Double], bLng: Seq[Double]) =>
+    polylinesCross(aLat.toArray, aLng.toArray, bLat.toArray, bLng.toArray))
+
+  /** Covering of a polyline for the prune side: union of per-vertex cell
+    * ancestors at `level` plus segment-sampled cells (sound for segments
+    * shorter than ~the cell size at `level`; callers densify long paths). */
+  def pathCoveringAtLevel(lats: Array[Double], lngs: Array[Double], level: Int): Array[Long] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i < lats.length) {
+      out += S2.cellAt(lats(i), lngs(i), level)
+      if (i > 0) { // midpoint sample per segment
+        val (mLat, mLng) = Geo.interpolate(
+          Array(lats(i - 1), lats(i)), Array(lngs(i - 1), lngs(i)), 0.5)
+        out += S2.cellAt(mLat, mLng, level)
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** connect-to-network: for each point, the nearest path within
+    * `maxDistMeters`, pruned by shared level-`level` cells with a
+    * one-cell-ring margin on the path side.
+    *
+    * @param points (id, lat, lng, cell16)
+    * @param paths  (path_id, lats ARRAY<DOUBLE>, lngs ARRAY<DOUBLE>)
+    * @return (id, path_id, dist_m) one row per point with a match. */
+  def nearestPathJoin(points: DataFrame, paths: DataFrame,
+                      maxDistMeters: Double, level: Int = 12): DataFrame = {
+    // path side: covering cells + neighbor margin (a cell at `level` is
+    // ~2.5 km across at level 12; margin covers maxDist up to ~cell size)
+    val coverUdf = udf((lats: Seq[Double], lngs: Seq[Double]) => {
+      val base = pathCoveringAtLevel(lats.toArray, lngs.toArray, level)
+      // margin: include the 4 lat/lng-offset neighbors of each vertex cell
+      val margin = scala.collection.mutable.LinkedHashSet.empty[Long]
+      base.foreach(margin += _)
+      val dDeg = maxDistMeters / 111000.0
+      var i = 0
+      while (i < lats.length) {
+        val gDeg = dDeg / math.max(0.2, math.cos(math.toRadians(lats(i))))
+        var a = -1
+        while (a <= 1) {
+          var b = -1
+          while (b <= 1) {
+            margin += S2.cellAt(lats(i) + a * dDeg, lngs(i) + b * gDeg, level)
+            b += 1
+          }
+          a += 1
+        }
+        i += 1
+      }
+      margin.toArray
+    })
+    val pathCells = paths
+      .withColumn("pcell", explode(coverUdf(col("lats"), col("lngs"))))
+    val probes = points.withColumn("pcell",
+      graft.functions.Udfs.ancestorsAt(Seq(level))(col("cell16"))(0))
+    probes.join(broadcast(pathCells), "pcell")
+      .withColumn("dist_m", distToPolyline(col("lat"), col("lng"), col("lats"), col("lngs")))
+      .where(col("dist_m") <= maxDistMeters)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("dist_m"), col("path_id"))))
+      .where(col("rn") === 1)
+      .select(col("id"), col("path_id"), col("dist_m"))
+  }
+}

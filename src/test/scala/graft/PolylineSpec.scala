@@ -1,0 +1,93 @@
+package graft
+
+import graft.core.Geo
+import graft.model.{Synth, Tables}
+import graft.ops.{Elevation, Polyline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class PolylineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("polyline-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("distance to polyline: endpoint, interior projection, single point") {
+    // straight segment along the equator from lng 0 to 0.01
+    val la = Array(0.0, 0.0)
+    val lo = Array(0.0, 0.01)
+    // point due north of the middle: distance = |lat| in meters
+    val dMid = Polyline.distanceToPolylineMeters(0.005, 0.005, la, lo)
+    assert(math.abs(dMid - Geo.haversineMeters(0.005, 0.005, 0, 0.005)) < 1.0)
+    // point beyond the end: distance to the endpoint
+    val dEnd = Polyline.distanceToPolylineMeters(0.0, 0.02, la, lo)
+    assert(math.abs(dEnd - Geo.haversineMeters(0, 0.02, 0, 0.01)) < 1.0)
+  }
+
+  test("polylines cross iff their segments strictly cross") {
+    val x1 = (Array(-0.01, 0.01), Array(0.0, 0.0))
+    val x2 = (Array(0.0, 0.0), Array(-0.01, 0.01))
+    assert(Polyline.polylinesCross(x1._1, x1._2, x2._1, x2._2))
+    val far = (Array(1.0, 1.02), Array(1.0, 1.0))
+    assert(!Polyline.polylinesCross(x1._1, x1._2, far._1, far._2))
+  }
+
+  test("nearest-path join equals brute force within the radius") {
+    val points = Tables.images(spark, sfDir)
+      .select(col("image_id").as("id"), col("lat"), col("lng"), col("cell16"))
+    val got = Polyline.nearestPathJoin(points, Tables.paths(spark), 500.0)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toMap
+
+    val pts = points.select("id", "lat", "lng").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = pts.flatMap { case (id, lat, lng) =>
+      val cands = Synth.paths.map(p =>
+          (p.pathId, Polyline.distanceToPolylineMeters(lat, lng, p.lats, p.lngs)))
+        .filter(_._2 <= 500.0)
+      if (cands.isEmpty) None
+      else Some(id -> cands.minBy(c => (c._2, c._1)))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (pid, d)) =>
+      assert(pid == want(id)._1 && math.abs(d - want(id)._2) < 1e-9, s"point $id")
+    }
+    assert(got.nonEmpty, "fixture should produce matches near hot caps")
+  }
+
+  test("elevation IDW equals brute force") {
+    val imgs = Tables.images(spark, sfDir)
+    val sampleDf = imgs.where(col("image_id") % 40 === 0)
+      .select(col("lat").as("s_lat"), col("lng").as("s_lng"),
+        (col("image_id") % 1000).cast("double").as("height"))
+    val sampleRows = sampleDf.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val points = imgs.select(col("image_id").as("id"), col("lat"), col("lng"), col("cell16"))
+    val got = Elevation.elevations(points, sampleDf, 3000.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    val pts = points.select("id", "lat", "lng").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = pts.flatMap { case (id, lat, lng) =>
+      val in = sampleRows.map { case (sa, so, h) =>
+        (Geo.haversineMeters(lat, lng, sa, so), h)
+      }.filter(_._1 <= 3000.0)
+      if (in.isEmpty) None
+      else {
+        val ws = in.map { case (d, h) => (1.0 / math.max(d, 1.0), h) }
+        Some(id -> ws.map { case (w, h) => w * h }.sum / ws.map(_._1).sum)
+      }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - want(id)) < 1e-6, s"point $id: $v vs ${want(id)}")
+    }
+    assert(got.nonEmpty)
+  }
+}
