@@ -286,6 +286,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // --- §2.8 sightline: visibility polygons from the hot-cap centers ---
+    "q_sightline" -> ((s, _) => {
+      val origins = Synth.hotCenters.toSeq.zipWithIndex.map {
+        case ((la, lo), i) => (i.toLong, la, lo)
+      }
+      graft.ops.Sightline.sightlines(s, origins, Tables.regions(s), 5000.0)
+        .select(col("origin_id"), size(col("polygon")).as("n_vertices"))
+        .orderBy("origin_id")
+    }),
+
     // --- §2.1 GeoJSON source/sink: regions -> to-geojson -> parse ---
     "q_geojson" -> ((s, _) => {
       import s.implicits._

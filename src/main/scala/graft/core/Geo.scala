@@ -200,6 +200,36 @@ object Geo {
     math.min(raw, sphere - raw)
   }
 
+  /** Douglas-Peucker polyline simplification in the (lng, lat) plane with a
+    * degree tolerance — the reference's tile-rendering simplification shape
+    * (renderer/simplify.go:13-38). Returns kept vertex indices (ascending,
+    * always includes endpoints). */
+  def simplify(lat: Array[Double], lng: Array[Double], tolDeg: Double): Array[Int] = {
+    val n = lat.length
+    if (n <= 2) return Array.tabulate(n)(identity)
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    def perpDist(i: Int, a: Int, b: Int): Double = {
+      val dx = lng(b) - lng(a); val dy = lat(b) - lat(a)
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (len < 1e-15) math.hypot(lng(i) - lng(a), lat(i) - lat(a))
+      else math.abs(dx * (lat(a) - lat(i)) - dy * (lng(a) - lng(i))) / len
+    }
+    def rec(a: Int, b: Int): Unit = {
+      if (b - a < 2) return
+      var worst = -1.0; var wi = -1
+      var i = a + 1
+      while (i < b) {
+        val d = perpDist(i, a, b)
+        if (d > worst) { worst = d; wi = i }
+        i += 1
+      }
+      if (worst > tolDeg) { keep(wi) = true; rec(a, wi); rec(wi, b) }
+    }
+    rec(0, n - 1)
+    (0 until n).filter(keep).toArray
+  }
+
   /** 2D convex hull (lng,lat plane) via Andrew's monotone chain; returns
     * hull vertex indices in CCW order. */
   def convexHull(lat: Array[Double], lng: Array[Double]): Array[Int] = {

@@ -97,6 +97,19 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got - want) / want < 1e-9)
   }
 
+  test("Douglas-Peucker keeps endpoints, drops collinear, keeps corners") {
+    // straight line with a bump in the middle
+    val lat = Array(0.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val lng = Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+    val kept = Geo.simplify(lat, lng, tolDeg = 0.1)
+    assert(kept.head == 0 && kept.last == 5)
+    assert(kept.contains(3), "the bump must survive")
+    assert(!kept.contains(1), "the collinear point before the bump drops")
+    assert(kept.length < lat.length)
+    // zero tolerance keeps everything non-collinear; huge tol keeps only ends
+    assert(Geo.simplify(lat, lng, 10.0).toSeq == Seq(0, 5))
+  }
+
   test("geometry scalars: length/area/centroid/interpolate kernel sanity") {
     // ~1km square at the equator
     val la = Array(0.0, 0.0, 0.009, 0.009)
