@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // throughput GC with a FIXED thread count: both scaling-bench arms get
+  // identical GC resources (G1's core-scaled threads skew N-vs-4N runs)
+  "-XX:+UseParallelGC", "-XX:ParallelGCThreads=8",
 ) ++ sys.env.get("EXTRA_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -2,10 +2,10 @@ package graft.functions
 
 import graft.core.S2
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expression for the hot write-time path: lat/lng -> S2
   * level-16 cell (SURVEY.md §4.3 "custom expressions (optional, perf)").
@@ -32,8 +32,82 @@ case class S2CellAt16(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native containment probe: region ordinals containing the point, via a
+  * ProbeIndex shipped in the expression's reference array (ctx.addReferenceObj
+  * — the standard pattern for constant side data in generated code). Unboxed
+  * inputs, shared-empty result on the no-match path. */
+case class ContainmentProbeExpr(first: Expression, second: Expression, third: Expression,
+                                index: graft.ops.ProbeIndex)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "containment_probe"
+
+  override protected def nullSafeEval(cell: Any, lat: Any, lng: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      index.probe(cell.asInstanceOf[Long], lat.asInstanceOf[Double], lng.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("probeIndex", index, classOf[graft.ops.ProbeIndex].getName)
+    nullSafeCodeGen(ctx, ev, (cell, lat, lng) =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  $idxRef.probe($cell, $lat, $lng));""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ContainmentProbeExpr =
+    copy(first = f, second = s, third = t)
+}
+
+/** Native packed tile chain: TileIDs zMax..zMin as a primitive long array —
+  * no boxing across the generator boundary. */
+case class TileChainExpr(left: Expression, right: Expression, zMin: Int, zMax: Int)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "tile_chain"
+
+  override protected def nullSafeEval(lat: Any, lng: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      graft.ops.ProbeIndex.tileChain(lat.asInstanceOf[Double], lng.asInstanceOf[Double], zMin, zMax))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lat, lng) =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.ops.ProbeIndex.tileChain($lat, $lng, $zMin, $zMax));""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TileChainExpr =
+    copy(left = l, right = r)
+}
+
+/** Native H3 cell assignment (north-rule dual index) — same codegen shape as
+  * S2CellAt16. */
+case class H3CellAt(left: Expression, right: Expression, res: Int)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"h3_cell$res"
+
+  override protected def nullSafeEval(lat: Any, lng: Any): Any =
+    graft.core.H3.fromLatLngDegrees(lat.asInstanceOf[Double], lng.asInstanceOf[Double], res)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lat, lng) =>
+      s"${ev.value} = graft.core.H3.fromLatLngDegrees($lat, $lng, $res);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): H3CellAt =
+    copy(left = l, right = r)
+}
+
 object S2Expressions {
   /** Column-level entry point: `s2Cell16($"lat", $"lng")`. */
   def s2Cell16(lat: Column, lng: Column): Column =
     Bridge.column(S2CellAt16(Bridge.expression(lat), Bridge.expression(lng)))
+
+  def h3Cell(lat: Column, lng: Column, res: Int): Column =
+    Bridge.column(H3CellAt(Bridge.expression(lat), Bridge.expression(lng), res))
+
+  def containmentProbe(cell16: Column, lat: Column, lng: Column,
+                       index: graft.ops.ProbeIndex): Column =
+    Bridge.column(ContainmentProbeExpr(Bridge.expression(cell16),
+      Bridge.expression(lat), Bridge.expression(lng), index))
+
+  def tileChain(lat: Column, lng: Column, zMin: Int, zMax: Int): Column =
+    Bridge.column(TileChainExpr(Bridge.expression(lat), Bridge.expression(lng), zMin, zMax))
 }

@@ -81,6 +81,17 @@ object Containment {
     * Both paths are verified equal in OpsSpec (covering-independence). */
   def containmentProbe(images: DataFrame,
                        regions: Array[graft.model.Synth.Region]): DataFrame = {
+    val index = new ProbeIndex(regions)
+    images
+      .withColumn("ridx", explode(graft.functions.S2Expressions.containmentProbe(
+        col("cell16"), col("lat"), col("lng"), index)))
+      .withColumn("region_id", element_at(lit(index.regionIds), col("ridx") + 1))
+      .drop("ridx")
+  }
+
+  /** The pre-native-expression UDF variant, kept for plan comparison. */
+  def containmentProbeUdf(images: DataFrame,
+                          regions: Array[graft.model.Synth.Region]): DataFrame = {
     // driver-built index: covering cell -> region ordinals, plus the levels
     // present (probe cost = |levels| hash lookups per image)
     val cellIndex = new java.util.HashMap[java.lang.Long, Array[Int]]()
@@ -96,8 +107,12 @@ object Containment {
     val ringsLng: Array[Array[Array[Double]]] = regions.map(_.rings.map(_._2))
     val regionIds: Array[String] = regions.map(_.regionId)
 
+    val empty = Array.empty[Int]
     val probe = udf((cell16: Long, lat: Double, lng: Double) => {
-      var out: List[Int] = Nil
+      // allocation-free no-match fast path (the overwhelmingly common case
+      // at scale); small exact-size array otherwise
+      var n = 0
+      var first = -1
       var li = 0
       while (li < levels.length) {
         val cand = cellIndex.get(S2.parent(cell16, levels(li)))
@@ -112,13 +127,39 @@ object Containment {
               if (Geo.containsPlanar(lat, lng, rl(k), rg(k))) odd = !odd
               k += 1
             }
-            if (odd) out = ri :: out
+            if (odd) { n += 1; if (first < 0) first = ri }
             c += 1
           }
         }
         li += 1
       }
-      out.toArray
+      if (n == 0) empty
+      else if (n == 1) Array(first)
+      else {
+        val out = new Array[Int](n)
+        var w = 0
+        li = 0
+        while (li < levels.length) {
+          val cand = cellIndex.get(S2.parent(cell16, levels(li)))
+          if (cand != null) {
+            var c = 0
+            while (c < cand.length) {
+              val ri = cand(c)
+              var odd = false
+              val rl = ringsLat(ri); val rg = ringsLng(ri)
+              var k = 0
+              while (k < rl.length) {
+                if (Geo.containsPlanar(lat, lng, rl(k), rg(k))) odd = !odd
+                k += 1
+              }
+              if (odd) { out(w) = ri; w += 1 }
+              c += 1
+            }
+          }
+          li += 1
+        }
+        out
+      }
     })
 
     images

@@ -14,12 +14,21 @@ object Tiling {
 
   /** Point features: tile at zMax via the Mercator projection
     * (tiles.go:198-253), parents by halving up to zMin (tiles.go:301-339).
-    * Output: one row per (image, zoom). */
+    * Output: one row per (image, zoom).
+    *
+    * The generator emits PACKED TileIDs (primitive long[], no boxing) and
+    * z/x/y decode as Column bit arithmetic inside whole-stage codegen —
+    * the UDF boundary carries one primitive array per row. Valid for
+    * zMax <= 15 (packed z occupies the top 5 bits; zooms >= 16 set the sign
+    * bit, which the unsigned decode below would still handle). */
   def pointManifest(images: DataFrame, zMin: Int, zMax: Int): DataFrame =
     images
-      .withColumn("t", explode(Udfs.tileChain(zMin, zMax)(col("lat"), col("lng"))))
-      .select(col("image_id"),
-        col("t._1").as("z"), col("t._2").as("x"), col("t._3").as("y"))
+      .withColumn("tid", explode(graft.functions.S2Expressions.tileChain(
+        col("lat"), col("lng"), zMin, zMax)))
+      .withColumn("z", expr("CAST(shiftrightunsigned(tid, 59) AS INT)"))
+      .select(col("image_id"), col("z"),
+        expr("tid & (shiftleft(1L, z) - 1)").as("x"),
+        expr("shiftrightunsigned(tid, z) & (shiftleft(1L, z) - 1)").as("y"))
 
   /** Area features: tiles covering each region's S2 covering across zooms —
     * the MVT serving path re-expressed as a batch manifest (SURVEY.md §3.3).
