@@ -103,7 +103,8 @@ object Bench {
     var iter = 0
     var cleanN = 0
     var clean4N = 0
-    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "360000").toLong
+    // must leave the whole Bench comfortably inside the driver's timeout
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "240000").toLong
     val deadline = System.currentTimeMillis() + budgetMs
     while ((cleanN < 2 || clean4N < 2) &&
            (iter < 2 || System.currentTimeMillis() < deadline)) {

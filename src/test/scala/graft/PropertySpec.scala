@@ -1,0 +1,150 @@
+package graft
+
+import graft.core.{Geo, H3, Hashes, S2, Tiles}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property tests for the kernel invariants (FIXTURES.md:
+  * "property tests for cell/tile math invariants"). Raw-Gen sampling with a
+  * fixed seed (the scalatest-scalacheck bridge is not in the offline cache;
+  * deterministic sampling is preferable for golden stability anyway). */
+class PropertySpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], seed: Seed): A =
+    g.pureApply(Gen.Parameters.default, seed)
+
+  def forAll[A](g1: Gen[A])(f: A => Unit): Unit =
+    (0 until 300).foreach(i => f(sample(g1, Seed(42L + i))))
+  def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 300).foreach(i => f(sample(g1, Seed(42L + i)), sample(g2, Seed(1042L + i))))
+  def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
+    (0 until 300).foreach(i => f(sample(g1, Seed(42L + i)), sample(g2, Seed(1042L + i)),
+      sample(g3, Seed(2042L + i))))
+  def forAll[A, B, C, D](g1: Gen[A], g2: Gen[B], g3: Gen[C], g4: Gen[D])(f: (A, B, C, D) => Unit): Unit =
+    (0 until 300).foreach(i => f(sample(g1, Seed(42L + i)), sample(g2, Seed(1042L + i)),
+      sample(g3, Seed(2042L + i)), sample(g4, Seed(3042L + i))))
+  def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  val genLat: Gen[Double] = Gen.choose(-84.9, 84.9)
+  val genLng: Gen[Double] = Gen.choose(-179.9, 179.9)
+  val genLevel: Gen[Int] = Gen.choose(1, 29)
+  val genZoom: Gen[Int] = Gen.choose(1, 20)
+
+  test("S2: every ancestor contains the leaf; parents nest") {
+    forAll(genLat, genLng, genLevel) { (lat, lng, lvl) =>
+      val leaf = S2.fromLatLngDegrees(lat, lng)
+      val p = S2.parent(leaf, lvl)
+      assert(S2.level(p) == lvl)
+      assert(S2.contains(p, leaf))
+      if (lvl > 1) assert(S2.contains(S2.parent(leaf, lvl - 1), p))
+    }
+  }
+
+  test("S2: children partition the parent id range") {
+    forAll(genLat, genLng, Gen.choose(0, 28)) { (lat, lng, lvl) =>
+      val cell = S2.cellAt(lat, lng, lvl)
+      val kids = S2.children(cell)
+      assert(kids.length == 4)
+      kids.foreach(k => assert(S2.contains(cell, k)))
+      // child ranges are disjoint, ascending, and inside the parent range
+      val sorted = kids.sortBy(S2.rangeMin)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(S2.rangeMax(a) < S2.rangeMin(b))
+        case _ =>
+      }
+      assert(S2.rangeMin(cell) <= S2.rangeMin(sorted.head) &&
+        S2.rangeMax(sorted.last) <= S2.rangeMax(cell))
+    }
+  }
+
+  test("S2: token round-trips") {
+    forAll(genLat, genLng, genLevel) { (lat, lng, lvl) =>
+      val id = S2.cellAt(lat, lng, lvl)
+      assert(S2.fromToken(S2.token(id)) == id)
+    }
+  }
+
+  test("S2: cap covering is sound for its own center") {
+    forAll(genLat, genLng, Gen.choose(0.001, 2.0)) { (lat, lng, rDeg) =>
+      val cov = S2.covering(S2.Cap(Geo.toXYZ(lat, lng), math.toRadians(rDeg)))
+      val leaf = S2.fromLatLngDegrees(lat, lng)
+      assert(cov.exists(c => S2.contains(c, leaf)))
+    }
+  }
+
+  test("Tiles: id packing round-trips and parent halves coordinates") {
+    forAll(genZoom, Gen.choose(0L, Long.MaxValue), Gen.choose(0L, Long.MaxValue)) { (z, xr, yr) =>
+      val x = xr % (1L << z); val y = yr % (1L << z)
+      val id = Tiles.tileId(x, y, z)
+      assert(Tiles.tileIdToXYZ(id) == ((x, y, z)))
+      if (z > 1) {
+        val (px, py, pz) = Tiles.parent(x, y, z)
+        assert(px == x / 2 && py == y / 2 && pz == z - 1)
+        assert(java.lang.Long.compareUnsigned(Tiles.tileId(px, py, pz), id) < 0)
+      }
+    }
+  }
+
+  test("Tiles: a point's tile at z is the parent-chain of its tile at z+1") {
+    forAll(genLat.suchThat(l => math.abs(l) < 80), genLng, Gen.choose(2, 18)) { (lat, lng, z) =>
+      val (x1, y1) = Tiles.tileFromLatLng(lat, lng, z + 1)
+      val (x0, y0) = Tiles.tileFromLatLng(lat, lng, z)
+      assert(x0 == x1 / 2 && y0 == y1 / 2)
+    }
+  }
+
+  test("H3: resolution and digit ranges hold for random points") {
+    forAll(genLat, genLng, Gen.choose(1, 15)) { (lat, lng, res) =>
+      val id = H3.fromLatLngDegrees(lat, lng, res)
+      assert(H3.resolution(id) == res)
+      assert(H3.face(id) >= 0 && H3.face(id) < 20)
+      (2 to res).foreach(k => assert(H3.digit(id, k) >= 0 && H3.digit(id, k) <= 6))
+      if (res > 1) {
+        val p = H3.parent(id, res - 1)
+        assert(H3.resolution(p) == res - 1)
+        // prefix property
+        (2 until res).foreach(k => assert(H3.digit(p, k) == H3.digit(id, k)))
+      }
+    }
+  }
+
+  test("Geo: haversine is symmetric, non-negative, zero on identity") {
+    forAll(genLat, genLng, genLat, genLng) { (a, b, c, d) =>
+      val d1 = Geo.haversineMeters(a, b, c, d)
+      val d2 = Geo.haversineMeters(c, d, a, b)
+      assert(d1 >= 0 && math.abs(d1 - d2) < 1e-6)
+      assert(Geo.haversineMeters(a, b, a, b) == 0.0)
+      assert(d1 <= math.Pi * Geo.EarthRadiusMeters + 1.0)
+    }
+  }
+
+  test("Hashes: minhash similarity tracks containment; simhash stable") {
+    forAll(Gen.listOfN(30, Gen.choose(Long.MinValue, Long.MaxValue))) { tokens =>
+      whenever(tokens.nonEmpty) {
+        val arr = tokens.toArray
+        val sig1 = Hashes.minhash(arr, 32)
+        val sig2 = Hashes.minhash(arr, 32)
+        assert(sig1.toSeq == sig2.toSeq)
+        assert(Hashes.simhash(arr) == Hashes.simhash(arr))
+        // identical sets -> identical signatures -> estimated jaccard 1
+        assert(sig1.zip(Hashes.minhash(arr.reverse, 32)).count { case (x, y) => x == y } == 32)
+      }
+    }
+  }
+
+  test("Geo: simplify output is monotone, bounded, keeps endpoints") {
+    val genRing = for {
+      n <- Gen.choose(3, 40)
+      pts <- Gen.listOfN(n, Gen.zip(Gen.choose(-1.0, 1.0), Gen.choose(-1.0, 1.0)))
+    } yield pts
+    forAll(genRing, Gen.choose(0.0, 0.5)) { (pts, tol) =>
+      val la = pts.map(_._1).toArray
+      val lo = pts.map(_._2).toArray
+      val kept = Geo.simplify(la, lo, tol)
+      assert(kept.head == 0 && kept.last == la.length - 1)
+      assert(kept.sameElements(kept.sorted))
+      assert(kept.length <= la.length)
+    }
+  }
+}
