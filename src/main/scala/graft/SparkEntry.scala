@@ -89,6 +89,14 @@ object SparkEntry {
           Tables.regions(s))
         .select("image_id", "region_id").orderBy("image_id", "region_id")),
 
+    // --- same join pruned by the H3 hex index (north rule "H3/S2"):
+    //     identical exact refine, so it shares q_containment's oracle ---
+    "q_h3_containment" -> ((s, dir) =>
+      Containment.containmentProbeH3(
+          images(s, dir).select("image_id", "lat", "lng", "cell16"),
+          Synth.regions)
+        .select("image_id", "region_id").orderBy("image_id", "region_id")),
+
     // --- same join, forced shuffle + salted (north-rule skew path) ---
     "q_containment_salted" -> ((s, dir) =>
       Containment.containmentJoin(
@@ -361,6 +369,8 @@ object SparkEntry {
         ("SELECT doc_id, n_chars, PERCENT_RANK() OVER (ORDER BY n_chars) AS pct " +
           "FROM documents ORDER BY doc_id"),
       "q_containment" ->
+        s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
+      "q_h3_containment" ->
         s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
       "q_containment_salted" ->
         s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",

@@ -278,4 +278,79 @@ object H3 {
   }
 
   def token(id: Long): String = java.lang.Long.toHexString(id)
+
+  /** The 6 same-face axial neighbours of a cell (face-seam neighbours are
+    * clipped — documented divergence, see the class scaladoc). */
+  def neighbors(id: Long): Array[Long] = {
+    val res = resolution(id)
+    val (q, r) = cellHex(id)
+    Array((1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)).flatMap {
+      case (dq, dr) =>
+        try Some(fromFaceHex(face(id), res, (q + dq, r + dr)))
+        catch { case _: IllegalArgumentException => None } // base coord overflow
+    }
+  }
+
+  /** Hex edge length at `res` in face-plane units (gnomonic). */
+  def edgeLen(res: Int): Double = S1 / math.pow(math.sqrt(7.0), res - 1)
+
+  /** Sound-by-construction covering of a polygon at `res`: scan the ring
+    * bounding box at half the hex INRADIUS so every hex that intersects the
+    * polygon (or its boundary) contains at least one scan point; collect
+    * distinct cells. The b6 covering idiom re-expressed for the hex grid —
+    * downstream joins always refine exactly, so results are
+    * covering-independent (same contract as S2.covering). */
+  def polygonCovering(shellLat: Array[Double], shellLng: Array[Double], res: Int): Array[Long] = {
+    var latLo = Double.MaxValue; var latHi = -Double.MaxValue
+    var lngLo = Double.MaxValue; var lngHi = -Double.MaxValue
+    var i = 0
+    while (i < shellLat.length) {
+      if (shellLat(i) < latLo) latLo = shellLat(i)
+      if (shellLat(i) > latHi) latHi = shellLat(i)
+      if (shellLng(i) < lngLo) lngLo = shellLng(i)
+      if (shellLng(i) > lngHi) lngHi = shellLng(i)
+      i += 1
+    }
+    // hex inradius in face units ~ sqrt(3)/2 * edge; face units ~ radians
+    // near face center; convert conservatively to degrees (x0.8 margin)
+    val stepDeg = math.toDegrees(edgeLen(res) * math.sqrt(3.0) / 2.0) * 0.4
+    val latSteps = math.max(2, math.ceil((latHi - latLo) / stepDeg).toInt + 1)
+    val cosMid = math.max(0.2, math.cos(math.toRadians((latLo + latHi) / 2)))
+    val lngStepDeg = stepDeg / cosMid
+    val lngSteps = math.max(2, math.ceil((lngHi - lngLo) / lngStepDeg).toInt + 1)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var a = 0
+    while (a <= latSteps) {
+      var b = 0
+      val lat = latLo + (latHi - latLo) * a / latSteps
+      while (b <= lngSteps) {
+        val lng = lngLo + (lngHi - lngLo) * b / lngSteps
+        out += fromLatLngDegrees(lat, lng, res)
+        b += 1
+      }
+      a += 1
+    }
+    // boundary densification: walk each edge at the same step
+    i = 0
+    while (i < shellLat.length) {
+      val j = (i + 1) % shellLat.length
+      val segLen = math.max(math.abs(shellLat(j) - shellLat(i)),
+        math.abs(shellLng(j) - shellLng(i)) * cosMid)
+      val steps = math.max(1, math.ceil(segLen / stepDeg).toInt)
+      var s = 0
+      while (s <= steps) {
+        val t = s.toDouble / steps
+        out += fromLatLngDegrees(
+          shellLat(i) + (shellLat(j) - shellLat(i)) * t,
+          shellLng(i) + (shellLng(j) - shellLng(i)) * t, res)
+        s += 1
+      }
+      i += 1
+    }
+    // one neighbour ring as margin (covers scan-grid gaps near hex corners)
+    val withRing = scala.collection.mutable.LinkedHashSet.empty[Long]
+    out.foreach { c => withRing += c; neighbors(c).foreach(withRing += _) }
+    withRing.toArray.sorted
+  }
+
 }

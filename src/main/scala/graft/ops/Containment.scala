@@ -89,6 +89,73 @@ object Containment {
       .drop("ridx")
   }
 
+  /** H3-pruned variant of the probe (north rule: "H3/S2 index"): identical
+    * exact-refine semantics, but candidate pruning runs on the hex index —
+    * per region, a sound H3 covering (H3.polygonCovering) at a
+    * size-adaptive resolution; per image, the res-9 cell's parent at each
+    * covering resolution probes a hash index. Results are
+    * covering-independent, so this path must (and is tested to) equal the
+    * S2 path row-for-row. */
+  def containmentProbeH3(images: DataFrame,
+                         regions: Array[graft.model.Synth.Region],
+                         imageRes: Int = 9): DataFrame = {
+    import graft.core.H3
+    // per-region resolution: coarsest res whose estimated covering <= ~400
+    def resFor(r: graft.model.Synth.Region): Int = {
+      val lats = r.rings(0)._1; val lngs = r.rings(0)._2
+      val extDeg = math.max(lats.max - lats.min,
+        (lngs.max - lngs.min) * math.cos(math.toRadians(lats.head)))
+      var res = imageRes
+      while (res > 1 &&
+        math.pow(extDeg / math.toDegrees(H3.edgeLen(res)), 2) > 400) res -= 1
+      res
+    }
+    val index = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    val resSet = scala.collection.mutable.SortedSet.empty[Int]
+    regions.zipWithIndex.foreach { case (r, i) =>
+      val res = resFor(r)
+      resSet += res
+      H3.polygonCovering(r.rings(0)._1, r.rings(0)._2, res).foreach { c =>
+        val prev = index.get(c)
+        index.put(c, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    val resArr = resSet.toArray
+    val ringsLat = regions.map(_.rings.map(_._1))
+    val ringsLng = regions.map(_.rings.map(_._2))
+    val regionIds = regions.map(_.regionId)
+    val empty = Array.empty[Int]
+    val probe = udf((h3: Long, lat: Double, lng: Double) => {
+      var out: List[Int] = Nil
+      var ri = 0
+      while (ri < resArr.length) {
+        val cand = index.get(H3.parent(h3, resArr(ri)))
+        if (cand != null) {
+          var c = 0
+          while (c < cand.length) {
+            val reg = cand(c)
+            var odd = false
+            val rl = ringsLat(reg); val rg = ringsLng(reg)
+            var k = 0
+            while (k < rl.length) {
+              if (Geo.containsPlanar(lat, lng, rl(k), rg(k))) odd = !odd
+              k += 1
+            }
+            if (odd && !out.contains(reg)) out = reg :: out
+            c += 1
+          }
+        }
+        ri += 1
+      }
+      if (out.isEmpty) empty else out.toArray
+    })
+    images
+      .withColumn("h3_img", graft.functions.S2Expressions.h3Cell(col("lat"), col("lng"), imageRes))
+      .withColumn("ridx", explode(probe(col("h3_img"), col("lat"), col("lng"))))
+      .withColumn("region_id", element_at(lit(regionIds), col("ridx") + 1))
+      .drop("ridx", "h3_img")
+  }
+
   /** The pre-native-expression UDF variant, kept for plan comparison. */
   def containmentProbeUdf(images: DataFrame,
                           regions: Array[graft.model.Synth.Region]): DataFrame = {

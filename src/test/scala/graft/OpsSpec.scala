@@ -51,6 +51,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("H3-pruned containment equals the S2 path row-for-row") {
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
+    val s2 = Containment.containmentProbe(images, Synth.regions)
+      .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val h3 = Containment.containmentProbeH3(images, Synth.regions)
+      .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(h3 == s2 && h3.nonEmpty)
+  }
+
   test("containment join: shuffle+salted path equals broadcast path") {
     val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
     val a = Containment.containmentJoin(images, Tables.regions(spark))
@@ -165,6 +174,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val big = Media.encode(7L) // 7 % 16 == 7 -> 16x16
     assert(Media.decode(big)._1 == 16)
+  }
+
+  test("cell store: range read prunes buckets yet returns exactly the covered rows") {
+    import graft.core.{Geo, S2}
+    import graft.lineage.CellStore
+    val dir = java.nio.file.Files.createTempDirectory("cellstore").toString
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
+    CellStore.write(images, dir)
+    val total = CellStore.stats(spark, dir).size
+
+    // spatial query: 100 km cap at the London hot center -> covering ranges
+    val (cLat, cLng) = Synth.hotCenters(0)
+    val cov = S2.covering(S2.Cap(Geo.toXYZ(cLat, cLng), 100000.0 / Geo.EarthRadiusMeters))
+    val ranges = cov.map(c => (S2.rangeMin(c), S2.rangeMax(c))).toSeq
+    val (pruned, read) = CellStore.readRanges(spark, dir, ranges)
+    assert(read < total, s"pruning must skip buckets ($read of $total)")
+
+    // correctness: pruned scan + exact filter == full scan + exact filter
+    val inCap = graft.functions.Udfs.haversineMeters(
+      col("lat"), col("lng"), lit(cLat), lit(cLng)) <= 100000.0
+    val got = pruned.where(inCap).select("image_id").collect().map(_.getLong(0)).toSet
+    val want = images.where(inCap).select("image_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
   }
 
   test("lineage: stage commits per bucket and resume skips committed work") {
