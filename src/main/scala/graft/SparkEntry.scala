@@ -108,6 +108,11 @@ object SparkEntry {
     "q_knn" -> ((s, dir) =>
       Knn.knn(s, images(s, dir), Synth.knnQueries.toSeq, k = 10)),
 
+    // --- kNN, great-circle metric (production variant; rows-only) ---
+    "q_knn_meters" -> ((s, dir) =>
+      Knn.knnHaversine(s, images(s, dir), Synth.knnQueries.toSeq, k = 10)
+        .select("query_id", "image_id", "rank")),
+
     // --- §2.4/§2.7 tile-assignment join (point manifest, zooms 8..12) ---
     "q_tiles_points" -> ((s, dir) =>
       Tiling.pointManifest(images(s, dir), 8, 12)

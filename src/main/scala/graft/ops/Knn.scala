@@ -88,4 +88,61 @@ object Knn {
       spark.sparkContext.parallelize(resolved.toSeq, 1), resultSchema)
       .orderBy("query_id", "rank")
   }
+
+  private val resultSchemaM = StructType(Seq(
+    StructField("query_id", IntegerType, nullable = false),
+    StructField("image_id", LongType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("dist_m", DoubleType, nullable = false)))
+
+  /** Great-circle kNN — the production metric (b6 distance semantics,
+    * units/units.go). The stop rule is direct: the probed cap has
+    * great-circle radius r, so once the k-th candidate's haversine distance
+    * is <= r the result is complete. */
+  def knnHaversine(spark: SparkSession, images: DataFrame, queries: Seq[KnnQuery],
+                   k: Int = 10, initialRadiusMeters: Double = 200000.0): DataFrame = {
+    var remaining = queries
+    var radiusM = initialRadiusMeters
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
+
+    while (remaining.nonEmpty) {
+      val angle = radiusM / Geo.EarthRadiusMeters
+      val full = angle >= math.Pi
+      val qRows = remaining.map { q =>
+        val covering: Seq[Long] =
+          if (full) (0 until 6).map(f => S2.parent(f.toLong << S2.PosBits | (1L << (S2.PosBits - 1)), 0))
+          else S2.covering(S2.Cap(Geo.toXYZ(q.lat, q.lng), angle),
+            maxCells = 12, maxLevel = 16).toSeq
+        (q.queryId, q.lat, q.lng, covering)
+      }
+      val qDf = spark.createDataFrame(qRows).toDF("query_id", "qlat", "qlng", "qcells")
+      val cands = imgs.join(broadcast(qDf),
+          Udfs.inCovering(col("cell16"), col("qcells")))
+        .withColumn("dist_m", Udfs.haversineMeters(
+          col("lat"), col("lng"), col("qlat"), col("qlng")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col("image_id"))))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("image_id"), col("rank"), col("dist_m"))
+        .collect()
+
+      val byQuery = cands.groupBy(_.getInt(0))
+      val still = scala.collection.mutable.ArrayBuffer.empty[KnnQuery]
+      remaining.foreach { q =>
+        val rows = byQuery.getOrElse(q.queryId, Array.empty)
+        val complete = full ||
+          (rows.length >= k && rows.map(_.getDouble(3)).max <= radiusM)
+        if (complete) rows.foreach(r =>
+          resolved += Row(r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        else still += q
+      }
+      remaining = still.toSeq
+      radiusM *= 4
+    }
+    imgs.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(resolved.toSeq, 1), resultSchemaM)
+      .orderBy("query_id", "rank")
+  }
 }

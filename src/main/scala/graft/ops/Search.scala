@@ -57,8 +57,20 @@ object Search {
   def sumByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     df.groupBy(keyCol).agg(sum(valueCol).as("total"))
 
-  /** Exact percentile of each value (full-sort semantics of math.go:57-103).
-    */
-  def percentiles(df: DataFrame, valueCol: String): DataFrame =
-    df.withColumn("pct", percent_rank().over(Window.orderBy(col(valueCol))))
+  /** Exact percentile of each value (full-sort semantics of math.go:57-103)
+    * without a global single-partition window: aggregate to distinct values
+    * (hash agg, partial+final), cumulative-sum over the DISTINCT values only
+    * (tiny), then join the ranks back. percent_rank(v) =
+    * (#rows strictly below v) / (n - 1) — identical doubles to the window
+    * form and to SQL PERCENT_RANK. */
+  def percentiles(df: DataFrame, valueCol: String): DataFrame = {
+    val n = df.count()
+    val counts = df.groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
+    val cum = counts.withColumn("_cum",
+      sum("_cnt").over(Window.orderBy(col(valueCol))))
+    val pct = cum.withColumn("pct",
+      (col("_cum") - col("_cnt")).cast("double") / lit(math.max(1L, n - 1)).cast("double"))
+      .select(col(valueCol).as("_v"), col("pct"))
+    df.join(broadcast(pct), df(valueCol) === col("_v")).drop("_v")
+  }
 }

@@ -89,6 +89,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("haversine kNN equals brute-force great-circle top-k") {
+    val images = Tables.images(spark, sfDir)
+    val qs = Synth.knnQueries.toSeq.take(8)
+    val got = Knn.knnHaversine(spark, images, qs, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val pts = imagePoints()
+    val want = qs.flatMap { q =>
+      pts.map { case (id, lat, lng) =>
+        (id, Geo.haversineMeters(lat, lng, q.lat, q.lng))
+      }.sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex.map {
+        case ((id, _), i) => (q.queryId, id, i + 1)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("point tile manifest: each zoom is the halved parent of the next") {
     val m = Tiling.pointManifest(Tables.images(spark, sfDir), 8, 12)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
