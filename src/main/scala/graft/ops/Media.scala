@@ -121,6 +121,41 @@ object Media {
     withBytes.select(col("image_id"), col("fmt"), p(col("image_id"), col("bytes")).as("psnr_db"))
   }
 
+  /** Frame sampling (video-shaped payloads): treat the pixel payload as `h`
+    * rows of w*3 bytes ("frames") and keep every `stride`-th row — the
+    * batch shape of a real frame sampler with the decode stubbed. */
+  def frameSampled(withBytes: DataFrame, stride: Int): DataFrame = {
+    val fs = udf((bytes: Array[Byte]) => {
+      val (w, h, _, px) = decode(bytes)
+      val rowLen = w * 3
+      val kept = (0 until h by stride).toArray
+      val out = new Array[Byte](kept.length * rowLen)
+      var i = 0
+      while (i < kept.length) {
+        System.arraycopy(px, kept(i) * rowLen, out, i * rowLen, rowLen)
+        i += 1
+      }
+      out
+    })
+    withBytes.withColumn("frames", fs(col("bytes")))
+      .withColumn("n_frames", ((col("h") + stride - 1) / stride).cast("long"))
+  }
+
+  /** Feature extraction stub: per-channel mean as a 3-dim embedding —
+    * the plumbing that feeds decoded pixels into the ANN operators
+    * (Similarity.bruteForceTopK over the output). */
+  def features(withBytes: DataFrame): DataFrame = {
+    val feat = udf((bytes: Array[Byte]) => {
+      val (_, _, _, px) = decode(bytes)
+      val sums = new Array[Double](3)
+      var i = 0
+      while (i < px.length) { sums(i % 3) += (px(i) & 0xff); i += 1 }
+      val n = px.length / 3
+      Array((sums(0) / n).toFloat, (sums(1) / n).toFloat, (sums(2) / n).toFloat)
+    })
+    withBytes.withColumn("embedding", feat(col("bytes")))
+  }
+
   /** Resize stub: mapPartitions batch shape (one buffer reused per batch as a
     * real kernel would); nearest-neighbour downsample to (tw, th). */
   def resized(withBytes: DataFrame, tw: Int, th: Int): DataFrame = {

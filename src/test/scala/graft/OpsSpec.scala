@@ -215,6 +215,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want && got.nonEmpty)
   }
 
+  test("media: frame sampling and feature extraction over the binary column") {
+    import org.apache.spark.sql.functions.col
+    val withBytes = Media.withPayload(
+      Tables.images(spark, sfDir).select("image_id").limit(64))
+    val fs = Media.frameSampled(withBytes, 2).select("image_id", "h", "frames", "n_frames")
+      .collect()
+    fs.foreach { r =>
+      val h = r.getInt(1)
+      val frames = r.getAs[Array[Byte]](2)
+      assert(r.getAs[Long]("n_frames") == (h + 1) / 2)
+      assert(frames.length == ((h + 1) / 2) * (h * 3)) // w == h in fixtures
+    }
+    val feats = Media.features(withBytes).select("image_id", "embedding").collect()
+    feats.foreach { r =>
+      val e = r.getSeq[Float](1)
+      assert(e.length == 3 && e.forall(v => v >= 0 && v <= 255))
+    }
+    // features flow into the ANN operator unchanged
+    val emb = Media.features(withBytes).select(col("image_id").as("vec_id"), col("embedding"))
+    val topk = Similarity.bruteForceTopK(emb, emb.limit(2), "vec_id", "embedding", 3)
+    assert(topk.count() == 6)
+  }
+
   test("lineage: stage commits per bucket and resume skips committed work") {
     val dir = java.nio.file.Files.createTempDirectory("lineage").toString
     val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
