@@ -268,6 +268,79 @@ object H3 {
     (q, r)
   }
 
+  /** Allocation-free variant of fromLatLngDegrees (no tuples/arrays on the
+    * per-row path) — the kernel behind the H3CellAt codegen expression.
+    * Identical results (H3Spec equality test). */
+  def fromLatLngDegreesFast(latDeg: Double, lngDeg: Double, res: Int): Long = {
+    val lat = math.toRadians(latDeg)
+    val lng = math.toRadians(lngDeg)
+    val cosLat = math.cos(lat)
+    val px = cosLat * math.cos(lng)
+    val py = cosLat * math.sin(lng)
+    val pz = math.sin(lat)
+    val f = faceOf(px, py, pz)
+    // inline gnomonic projection
+    val n = faceCenters(f); val e1 = faceE1(f); val e2 = faceE2(f)
+    val d = px * n(0) + py * n(1) + pz * n(2)
+    val gx = px / d; val gy = py / d; val gz = pz / d
+    val u = gx * e1(0) + gy * e1(1) + gz * e1(2)
+    val v = gx * e2(0) + gy * e2(1) + gz * e2(2)
+    // inline hexRound at res
+    val th = -gridRot(res)
+    val cs = math.cos(th); val sn = math.sin(th)
+    val rx = u * cs - v * sn
+    val ry = u * sn + v * cs
+    val s = hexSize(res)
+    val qf = (math.sqrt(3.0) / 3.0 * rx - ry / 3.0) / s
+    val rf = (2.0 / 3.0 * ry) / s
+    var q = math.round(qf).toInt
+    var r = math.round(rf).toInt
+    val sF = -qf - rf
+    val sI = math.round(sF).toInt
+    val dq = math.abs(q - qf); val dr = math.abs(r - rf); val ds = math.abs(sI - sF)
+    if (dq > dr && dq > ds) q = -r - sI
+    else if (dr > ds) r = -q - sI
+    // integer up-walk accumulating digits directly into the id bits
+    var digitsBits = 0L
+    var k = 2
+    while (k <= MaxRes) { digitsBits |= 7L << (3 * (MaxRes - k)); k += 1 }
+    k = res
+    while (k >= 2) {
+      val pr = k - 1
+      // upAp7 inline
+      var qpf = 0.0; var rpf = 0.0
+      if ((pr & 1) == 1) { qpf = (2.0 * q - r) / 7.0; rpf = (q + 3.0 * r) / 7.0 }
+      else { qpf = (3.0 * q + r) / 7.0; rpf = (-q + 2.0 * r) / 7.0 }
+      var qp = math.round(qpf).toInt
+      var rp = math.round(rpf).toInt
+      val spF = -qpf - rpf
+      val spI = math.round(spF).toInt
+      val dq2 = math.abs(qp - qpf); val dr2 = math.abs(rp - rpf); val ds2 = math.abs(spI - spF)
+      if (dq2 > dr2 && dq2 > ds2) qp = -rp - spI
+      else if (dr2 > ds2) rp = -qp - spI
+      // center child (downAp7 inline)
+      var cq = 0; var cr = 0
+      if ((pr & 1) == 1) { cq = 3 * qp + rp; cr = -qp + 2 * rp }
+      else { cq = 2 * qp - rp; cr = qp + 3 * rp }
+      val oq = q - cq; val or = r - cr
+      val digit =
+        if (oq == 0 && or == 0) 0
+        else if (oq == 1 && or == 0) 1
+        else if (oq == 0 && or == 1) 2
+        else if (oq == -1 && or == 1) 3
+        else if (oq == -1 && or == 0) 4
+        else if (oq == 0 && or == -1) 5
+        else if (oq == 1 && or == -1) 6
+        else 0
+      digitsBits = (digitsBits & ~(7L << (3 * (MaxRes - k)))) |
+        (digit.toLong << (3 * (MaxRes - k)))
+      q = qp; r = rp
+      k -= 1
+    }
+    (res.toLong << 60) | (f.toLong << 55) |
+      ((q + 15).toLong << 50) | ((r + 15).toLong << 45) | digitsBits
+  }
+
   /** Cell center as (lat, lng) degrees. */
   def centerLatLng(id: Long): (Double, Double) = {
     val res = resolution(id)

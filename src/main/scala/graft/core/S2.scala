@@ -133,7 +133,30 @@ object S2 {
   }
 
   def cellAt(latDeg: Double, lngDeg: Double, level: Int): Long =
-    parent(fromLatLngDegrees(latDeg, lngDeg), level)
+    parent(fromLatLngDegreesFast(latDeg, lngDeg), level)
+
+  /** Allocation-free leaf-cell path (no tuples/arrays) — the write-time hot
+    * kernel behind the S2CellAt16 codegen expression; equals
+    * fromLatLngDegrees bit-for-bit (PropertySpec). */
+  def fromLatLngDegreesFast(latDeg: Double, lngDeg: Double): Long = {
+    val lat = math.toRadians(latDeg)
+    val lng = math.toRadians(lngDeg)
+    val cosLat = math.cos(lat)
+    val x = cosLat * math.cos(lng)
+    val y = cosLat * math.sin(lng)
+    val z = math.sin(lat)
+    val face = xyzToFace(x, y, z)
+    var u = 0.0; var v = 0.0
+    face match {
+      case 0 => u = y / x; v = z / x
+      case 1 => u = -x / y; v = z / y
+      case 2 => u = -x / z; v = -y / z
+      case 3 => u = z / x; v = y / x
+      case 4 => u = z / y; v = -x / y
+      case _ => u = -y / z; v = -x / z
+    }
+    fromFaceIJ(face, stToIJ(uvToST(u)), stToIJ(uvToST(v)))
+  }
 
   // ---- navigation ----
   @inline def lsb(id: Long): Long = id & -id

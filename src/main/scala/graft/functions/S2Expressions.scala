@@ -85,11 +85,11 @@ case class H3CellAt(left: Expression, right: Expression, res: Int)
   override def prettyName: String = s"h3_cell$res"
 
   override protected def nullSafeEval(lat: Any, lng: Any): Any =
-    graft.core.H3.fromLatLngDegrees(lat.asInstanceOf[Double], lng.asInstanceOf[Double], res)
+    graft.core.H3.fromLatLngDegreesFast(lat.asInstanceOf[Double], lng.asInstanceOf[Double], res)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (lat, lng) =>
-      s"${ev.value} = graft.core.H3.fromLatLngDegrees($lat, $lng, $res);")
+      s"${ev.value} = graft.core.H3.fromLatLngDegreesFast($lat, $lng, $res);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): H3CellAt =
     copy(left = l, right = r)

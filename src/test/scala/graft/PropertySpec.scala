@@ -94,6 +94,13 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("S2/H3: allocation-free fast paths equal the reference paths bit-for-bit") {
+    forAll(genLat, genLng, Gen.choose(1, 15)) { (lat, lng, res) =>
+      assert(S2.fromLatLngDegreesFast(lat, lng) == S2.fromLatLngDegrees(lat, lng))
+      assert(H3.fromLatLngDegreesFast(lat, lng, res) == H3.fromLatLngDegrees(lat, lng, res))
+    }
+  }
+
   test("H3: resolution and digit ranges hold for random points") {
     forAll(genLat, genLng, Gen.choose(1, 15)) { (lat, lng, res) =>
       val id = H3.fromLatLngDegrees(lat, lng, res)
