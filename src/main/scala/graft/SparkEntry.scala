@@ -61,6 +61,17 @@ object SparkEntry {
           Search.withinCapD2(capLat, capLng, capCos, capD2))
         .agg(count(lit(1)).as("n"))),
 
+    // --- §2.3/§2.5 tags as MAP + count-tag-value histogram
+    //     (b6 dynamic-tag model: all-tags -> (key,value) -> count) ---
+    "q_tag_histogram" -> ((s, dir) =>
+      images(s, dir)
+        .withColumn("tags", map(lit("status"), col("status"),
+          lit("priority"), col("priority")))
+        .select(explode(map_entries(col("tags"))).as("t"))
+        .groupBy(col("t.key").as("tag_key"), col("t.value").as("tag_value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tag_key", "tag_value")),
+
     // --- §2.5 count-values ---
     "q_count_values" -> ((s, dir) =>
       Search.countValues(images(s, dir), "priority").orderBy("priority")),
@@ -329,6 +340,15 @@ object SparkEntry {
           length(col("mvt")).as("mvt_bytes"))
         .orderBy("z", "x", "y")),
 
+    // --- stateful streaming: per-user sessionization (custom state via
+    //     flatMapGroupsWithState; oracle = gap-and-island SQL) ---
+    "q_sessions" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      import s.implicits._
+      EventStream.sessionize(s.table("events").as[EventStream.Event], gapSeconds = 3600)
+        .orderBy("user_id", "start_s")
+    }),
+
     // --- streaming surface, batch-equivalent aggregation (hour buckets) ---
     "q_events_window" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -366,6 +386,11 @@ object SparkEntry {
         s"$W SELECT COUNT(*) AS n FROM images WHERE status = 'F' AND $capD2Sql",
       "q_count_values" ->
         s"$W SELECT priority, COUNT(*) AS n FROM images GROUP BY priority ORDER BY priority",
+      "q_tag_histogram" ->
+        (s"$W, kv AS (SELECT 'status' AS tag_key, status AS tag_value FROM images " +
+          "UNION ALL SELECT 'priority' AS tag_key, priority AS tag_value FROM images) " +
+          "SELECT tag_key, tag_value, COUNT(*) AS n FROM kv " +
+          "GROUP BY tag_key, tag_value ORDER BY tag_key, tag_value"),
       "q_sum_by_key" ->
         "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total FROM documents GROUP BY source ORDER BY source",
       "q_top" ->
@@ -435,6 +460,13 @@ object SparkEntry {
           "CASE WHEN d.image_id IS NOT NULL THEN d.status ELSE i.status END AS status, " +
           "i.priority FROM images i LEFT JOIN delta d ON i.image_id = d.image_id) " +
           "SELECT * FROM merged WHERE status = 'X' OR image_id <= 50 ORDER BY image_id"),
+      "q_sessions" ->
+        ("WITH e AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events), " +
+          "w AS (SELECT user_id, event_id, sec, LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e), " +
+          "m AS (SELECT user_id, event_id, sec, CASE WHEN prev IS NULL OR sec - prev > 3600 THEN 1 ELSE 0 END AS ns FROM w), " +
+          "s AS (SELECT user_id, sec, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+          "SELECT user_id, MIN(sec) AS start_s, MAX(sec) AS end_s, COUNT(*) AS n_events " +
+          "FROM s GROUP BY user_id, sid ORDER BY user_id, start_s"),
       "q_events_window" ->
         ("SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS bucket, event_type, " +
           "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM events " +

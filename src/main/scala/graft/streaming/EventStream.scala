@@ -40,4 +40,58 @@ object EventStream {
       .withColumn("bucket", expr("CAST(FLOOR(UNIX_TIMESTAMP(ts) / 3600) AS BIGINT)"))
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+
+  // ---- custom state: per-user sessionization -------------------------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState: events grouped per
+    * user; a gap > `gapSeconds` closes the session and emits it. The custom
+    * per-key state surface (KeyValueGroupedDataset.flatMapGroupsWithState,
+    * builder brief / SURVEY §2.9 "UDF surface"). The batch oracle below
+    * computes identical sessions with a window gap-and-island query. */
+  def sessionize(events: org.apache.spark.sql.Dataset[Event],
+                 gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var st = state.getOption.orNull
+      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val sec = e.ts.getTime / 1000
+        if (st == null) st = SessionState(sec, sec, 1)
+        else if (sec - st.last > gapSeconds) {
+          out += Session(userId, st.start, st.last, st.n)
+          st = SessionState(sec, sec, 1)
+        } else st = SessionState(st.start, sec, st.n + 1)
+      }
+      if (st != null) out += Session(userId, st.start, st.last, st.n) // batch: flush
+      state.remove()
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** The same sessions via the declarative gap-and-island form (lag +
+    * cumulative sum) — the batch oracle for `sessionize`. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    events
+      .withColumn("sec", expr("CAST(UNIX_TIMESTAMP(ts) AS BIGINT)"))
+      .withColumn("prev", lag("sec", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min("sec").as("start_s"), max("sec").as("end_s"), count(lit(1)).as("n_events"))
+      .drop("session_id")
+  }
 }

@@ -137,6 +137,26 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("s2_cell16"))
   }
 
+  test("stateful sessionization equals the declarative gap-and-island form") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val ds = events.as[EventStream.Event]
+    val got = EventStream.sessionize(ds, gapSeconds = 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = EventStream.sessionizeBatch(events, gapSeconds = 3600)
+      .select("user_id", "start_s", "end_s", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // sanity: sessions per user are non-overlapping and gap-separated
+    got.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 - a._3 > 3600)
+        case _ =>
+      }
+    }
+  }
+
   test("streaming windowed counts equal the batch aggregation") {
     val dir = s"$sfDir"
     val batch = EventStream.batchWindowedCounts(
