@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** Batched Scala UDFs over the pure kernels (SURVEY.md §7.3: "plain Scala
   * funcs + batched UDFs (v1); optional codegen Expression later").
   *
-  * The hot write-time path (leaf/level-16 cell assignment) is also available
-  * as pure Column bit-arithmetic where possible (`parentCol`), keeping
-  * whole-stage codegen intact for join keys.
+  * The hot paths (cell assignment, containment probe, tile chains, H3) have
+  * native codegen Expression counterparts in S2Expressions — these UDF forms
+  * remain the general-purpose surface and the reference implementations the
+  * expressions are tested against.
   */
 object Udfs {
 
