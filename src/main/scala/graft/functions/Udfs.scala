@@ -83,21 +83,6 @@ object Udfs {
       out
     })
 
-  /** Allocation-lean variant: the chain as PACKED TileIDs (tiles.go:118-135
-    * layout, z in the top 5 bits) in a primitive long[] — no per-row tuple
-    * boxing; callers decode z/x/y with Column bit arithmetic (codegen). */
-  def tileChainPacked(zMin: Int, zMax: Int): UserDefinedFunction =
-    udf((lat: Double, lng: Double) => {
-      var (x, y) = Tiles.tileFromLatLng(lat, lng, zMax)
-      val out = new Array[Long](zMax - zMin + 1)
-      var z = zMax
-      while (z >= zMin) {
-        out(zMax - z) = Tiles.tileId(x, y, z)
-        x /= 2; y /= 2; z -= 1
-      }
-      out
-    })
-
   /** Tiles covering an S2 cell covering at one zoom (robust variant for
     * engine use; exact reference port retained for parity tests —
     * Tiles.scala). */

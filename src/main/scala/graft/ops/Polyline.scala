@@ -83,6 +83,40 @@ object Polyline {
     out.toArray
   }
 
+  /** sample-points-along-paths (features.go:379-427): n equidistant samples
+    * per path, deduped on the emitted point — an explode-shaped generator. */
+  def samplePointsAlongPaths(paths: DataFrame, n: Int): DataFrame = {
+    val sample = udf((lats: Seq[Double], lngs: Seq[Double]) => {
+      val la = lats.toArray; val lo = lngs.toArray
+      (0 until n).map(i => Geo.interpolate(la, lo, i.toDouble / math.max(1, n - 1)))
+    })
+    paths
+      .withColumn("p", explode(sample(col("lats"), col("lngs"))))
+      .select(col("path_id"), col("p._1").as("lat"), col("p._2").as("lng"))
+      .dropDuplicates("lat", "lng")
+  }
+
+  /** Vertex table of the path set: one row per (path, vertex index). */
+  def vertices(paths: DataFrame): DataFrame =
+    paths
+      .withColumn("i", explode(transform(col("lats"), (_, i) => i)))
+      .select(col("path_id"), col("i").as("vertex_idx"),
+        col("lats")(col("i")).as("lat"), col("lngs")(col("i")).as("lng"))
+
+  /** degree (features.go:216-223): number of path-segment endpoints meeting
+    * at each shared vertex — groupBy over the vertex table. */
+  def degree(paths: DataFrame): DataFrame =
+    vertices(paths)
+      .groupBy("lat", "lng")
+      .agg(count(lit(1)).as("degree"))
+
+  /** point-paths (features.go:366-377): which paths pass through a given
+    * vertex — a membership join on the vertex position. */
+  def pointPaths(paths: DataFrame, lat: Double, lng: Double): DataFrame =
+    vertices(paths)
+      .where(col("lat") === lat && col("lng") === lng)
+      .select("path_id").distinct()
+
   /** connect-to-network: for each point, the nearest path within
     * `maxDistMeters`, pruned by shared level-`level` cells with a
     * one-cell-ring margin on the path side.

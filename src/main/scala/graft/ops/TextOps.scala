@@ -21,10 +21,9 @@ object TextOps {
   /** Occurrences of a literal substring via length arithmetic (exact in both
     * engines: no regex). */
   def occurrences(text: Column, needle: String): Column =
-    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) / needle.length
-
-  private def occArith(text: Column, needle: String): Column =
     (length(text) - length(replace(text, lit(needle)))) / lit(needle.length)
+
+  private def occArith(text: Column, needle: String): Column = occurrences(text, needle)
 
   /** n-gram-heuristic language ID: per-language stopword hit counts (the
     * classic profile method reduced to exact arithmetic). Returns the score

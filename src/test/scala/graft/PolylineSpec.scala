@@ -61,6 +61,33 @@ class PolylineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "fixture should produce matches near hot caps")
   }
 
+  test("path ops: sample-points, vertex table, degree") {
+    val paths = Tables.paths(spark)
+    val nPaths = Synth.paths.length
+
+    val samples = Polyline.samplePointsAlongPaths(paths, 5)
+    assert(samples.count() <= nPaths * 5L && samples.count() >= nPaths.toLong)
+    // the first sample of each path is its first vertex
+    val first = samples.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    Synth.paths.take(3).foreach { p =>
+      assert(first.exists { case (id, la, lo) =>
+        id == p.pathId && la == p.lats(0) && lo == p.lngs(0) })
+    }
+
+    val verts = Polyline.vertices(paths)
+    assert(verts.count() == Synth.paths.map(_.lats.length).sum)
+
+    val deg = Polyline.degree(paths).collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toMap
+    // every vertex has degree >= 1; totals match the vertex table
+    assert(deg.values.sum == verts.count())
+
+    val p0 = Synth.paths(0)
+    val through = Polyline.pointPaths(paths, p0.lats(2), p0.lngs(2))
+      .collect().map(_.getString(0))
+    assert(through.contains(p0.pathId))
+  }
+
   test("elevation IDW equals brute force") {
     val imgs = Tables.images(spark, sfDir)
     val sampleDf = imgs.where(col("image_id") % 40 === 0)
