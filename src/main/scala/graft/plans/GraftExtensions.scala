@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   *
   * Registered via `SparkSessionExtensions` (injectOptimizerRule), the (c)
   * tier of the custom-operator ladder. */
-case class WithinCapMeters(children: Seq[Expression]) extends Expression {
+case class WithinCapMeters(children: Seq[Expression], pruned: Boolean = false)
+    extends Expression {
   require(children.length == 5, "within_cap(lat, lng, qLat, qLng, radiusMeters)")
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = children.exists(_.nullable)
@@ -62,13 +63,15 @@ case class WithinCapMeters(children: Seq[Expression]) extends Expression {
 }
 
 /** Filter(within_cap(lat, lng, L, G, R)) with literal cap -> add the
-  * bounding-box prune in front. Idempotent: skips filters already pruned. */
+  * bounding-box prune in front. Idempotent at EXPRESSION granularity: each
+  * rewritten predicate is marked `pruned`, so repeated optimizer iterations
+  * (and multiple cap predicates in one filter) are handled. */
 object PruneWithinCap extends Rule[LogicalPlan] {
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) if !alreadyPruned(cond) =>
+    case f @ Filter(cond, child) =>
       val rewritten = cond.transformUp {
         case w @ WithinCapMeters(Seq(lat, lng,
-            Literal(qLat: Double, _), Literal(qLng: Double, _), Literal(r: Double, _))) =>
+            Literal(qLat: Double, _), Literal(qLng: Double, _), Literal(r: Double, _)), false) =>
           val dLat = r / 111000.0
           val dLng = dLat / math.max(0.2, math.cos(math.toRadians(qLat)))
           val prune = And(
@@ -76,13 +79,9 @@ object PruneWithinCap extends Rule[LogicalPlan] {
               LessThanOrEqual(lat, Literal(qLat + dLat))),
             And(GreaterThanOrEqual(lng, Literal(qLng - dLng)),
               LessThanOrEqual(lng, Literal(qLng + dLng))))
-          And(prune, w)
+          And(prune, w.copy(pruned = true))
       }
       if (rewritten fastEquals cond) f else Filter(rewritten, child)
-  }
-  private def alreadyPruned(cond: Expression): Boolean = cond.exists {
-    case And(p, _: WithinCapMeters) => p.exists(_.isInstanceOf[GreaterThanOrEqual])
-    case _ => false
   }
 }
 

@@ -45,6 +45,22 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(optimized.contains((qLat - dLat).toString.take(8)), optimized)
   }
 
+  test("two cap predicates in one filter both get pruned") {
+    val images = Tables.images(spark, sfDir)
+    val q = images.where(
+      GraftExtensions.withinCap(col("lat"), col("lng"), qLat, qLng, r) ||
+        GraftExtensions.withinCap(col("lat"), col("lng"), 40.7128, -74.006, r))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert("within_cap".r.findAllIn(optimized).size == 2, optimized)
+    assert(optimized.contains((40.7128 - r / 111000.0).toString.take(7)), optimized)
+    val n = q.count()
+    val manual = images.where(
+      graft.functions.Udfs.haversineMeters(col("lat"), col("lng"), lit(qLat), lit(qLng)) <= r ||
+        graft.functions.Udfs.haversineMeters(col("lat"), col("lng"), lit(40.7128), lit(-74.006)) <= r)
+      .count()
+    assert(n == manual && n > 0)
+  }
+
   test("rule rewrite preserves results exactly") {
     // same predicate WITHOUT extensions (plain column haversine)
     val plain = SparkSession.builder().master("local[4]")
