@@ -46,11 +46,13 @@ object Reachability {
         .where(col("old").isNull || col("dist") < col("old"))
         .select(col("node"), col("dist"))
         .cache()
-      if (improved.isEmpty) done = true
+      if (improved.isEmpty) { improved.unpersist(); done = true }
       else {
         val newDist = dist.unionByName(improved)
           .groupBy("node").agg(min("dist").as("dist")).cache()
+        newDist.count() // materialize before releasing parents
         dist.unpersist()
+        if (frontier ne dist) frontier.unpersist()
         dist = newDist
         frontier = improved
       }

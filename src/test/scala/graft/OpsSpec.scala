@@ -60,6 +60,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h3 == s2 && h3.nonEmpty)
   }
 
+  test("skew: hot cells dominate the distribution and salting splits them") {
+    import org.apache.spark.sql.functions._
+    val images = Tables.images(spark, sfDir)
+    // the fixture puts 20% of rows in 3 urban caps (FIXTURES.md §1): the
+    // hottest level-10 cell must dwarf the median — the skew the north rule
+    // requires explicit handling for
+    val byCell = images
+      .withColumn("c10", graft.functions.Udfs.ancestorsAt(Seq(10))(col("cell16"))(0))
+      .groupBy("c10").count().collect().map(_.getLong(1)).sorted
+    val hottest = byCell.last
+    val median = byCell(byCell.length / 2)
+    assert(hottest > 20 * median,
+      s"fixture skew missing: hottest=$hottest median=$median")
+    // salting: the hot key spreads across `saltBuckets` distinct join keys
+    val salted = images
+      .withColumn("c10", graft.functions.Udfs.ancestorsAt(Seq(10))(col("cell16"))(0))
+      .withColumn("salt", pmod(xxhash64(col("image_id")), lit(8)).cast("int"))
+      .groupBy("c10", "salt").count()
+      .groupBy("c10").agg(count(lit(1)).as("nkeys"), max("count").as("maxpart"))
+      .orderBy(desc("maxpart")).limit(1).collect()(0)
+    assert(salted.getAs[Long]("nkeys") == 8)
+    assert(salted.getAs[Long]("maxpart") < hottest / 4,
+      "salted partitions must be much smaller than the unsalted hot key")
+  }
+
   test("containment join: shuffle+salted path equals broadcast path") {
     val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
     val a = Containment.containmentJoin(images, Tables.regions(spark))
