@@ -43,9 +43,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- §2.6 take: b6 FeatureID-ordered limit ---
+    // --- §2.6 take: b6 FeatureID-ordered limit; carries `caption` so the
+    //     oracle hash also gates the input-hint caption byte-equality ---
     "q_take" -> ((s, dir) =>
-      Search.take(images(s, dir).select("image_id", "lat", "lng"), "image_id", 10)),
+      Search.take(images(s, dir).select("image_id", "caption", "lat", "lng"), "image_id", 10)),
 
     // --- §2.2 find + tagged + rect prune ---
     "q_find_tagged" -> ((s, dir) =>
@@ -377,7 +378,7 @@ object SparkEntry {
 
     Map(
       "q_take" ->
-        s"$W SELECT image_id, lat, lng FROM images ORDER BY image_id LIMIT 10",
+        s"$W SELECT image_id, caption, lat, lng FROM images ORDER BY image_id LIMIT 10",
       "q_find_tagged" ->
         (s"$W SELECT image_id FROM images WHERE status = 'O' " +
           "AND lat BETWEEN CAST(40.70 AS DOUBLE) AND CAST(40.72 AS DOUBLE) " +

@@ -35,7 +35,7 @@ object Synth {
     val latHot = hotCenters.map(_._1)
     val lngHot = hotCenters.map(_._2)
     s"""SELECT o_orderkey AS image_id,
-       |  CONCAT('img-', CAST(o_orderkey AS STRING)) AS image_name,
+       |  CONCAT('caption-', CAST(o_orderkey AS STRING), ' ', o_orderpriority) AS caption,
        |  o_orderstatus AS status, o_orderpriority AS priority,
        |  o_totalprice AS price,
        |  CASE WHEN o_orderkey % 5 = 0 THEN
