@@ -117,7 +117,34 @@ object Udfs {
     Hashes.simhash(tokenize(s).map(Hashes.fnv1a)))
 
   def minhashSig(k: Int): UserDefinedFunction =
-    udf((s: String) => Hashes.minhash(wordShingles(s, 3).map(Hashes.fnv1a), k).toSeq)
+    udf((s: String) => Hashes.minhash(wordShingleHashes(s, 3), k).toSeq)
+
+  /** Shingle hashes without materializing shingle strings: combine the
+    * per-word FNV hashes through splitmix — one long per shingle, no
+    * intermediate allocation. Set-equivalent to hashing the joined strings
+    * (injective up to 64-bit collisions), so Jaccard/minhash semantics are
+    * unchanged and the LSH path loses no recall. */
+  def wordShingleHashes(s: String, n: Int): Array[Long] = {
+    val w = tokenize(s)
+    if (w.isEmpty) return Array.empty
+    val wh = w.map(Hashes.fnv1a)
+    if (wh.length < n) {
+      var h = 0L
+      var j = 0
+      while (j < wh.length) { h = Hashes.splitmix64(h ^ wh(j)); j += 1 }
+      return Array(h)
+    }
+    val out = new Array[Long](wh.length - n + 1)
+    var i = 0
+    while (i + n <= wh.length) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = Hashes.splitmix64(h ^ wh(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
 
   def tokenize(s: String): Array[String] =
     if (s == null || s.isEmpty) Array.empty else s.split(" ").filter(_.nonEmpty)
@@ -149,7 +176,7 @@ object Udfs {
   }
 
   val docShingles: UserDefinedFunction =
-    udf((s: String) => wordShingles(s, 3).distinct.map(Hashes.fnv1a).sorted.toSeq)
+    udf((s: String) => wordShingleHashes(s, 3).distinct.sorted.toSeq)
 
   /** Exact Jaccard of two sorted long arrays. */
   val jaccardSorted: UserDefinedFunction =
