@@ -54,8 +54,12 @@ object Bench {
     // window (~10 s at the N arm; see the steal protocol below)
     val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "64000000").toLong
 
-    // headline queries at the driver-requested parallelism
+    // headline queries at the driver-requested parallelism; warm the session
+    // first (codegen + JIT + parquet footer cache) so the first query's
+    // number measures the query, not cold start
     val spark = session(cpus)
+    try SparkEntry.queries("q_containment")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val headline = Seq("q_containment", "q_knn", "q_tiles_points", "q_h3_cells",
       "q_minhash_lsh", "q_ann_topk", "q_dedup_exact", "q_text_quality")
     val results = headline.map { name =>
@@ -142,7 +146,7 @@ object Bench {
     // arms stay inside the host's effective-core/memory headroom, so the
     // ratio measures the PLAN's parallel scalability (the honest proxy for
     // 4x executors, which add their own memory/GC capacity per node).
-    val (eff1, pairHeadroom) = measurePair(math.max(2, cpus / 8), math.max(4, cpus / 2),
+    val (_, pairHeadroom) = measurePair(math.max(2, cpus / 8), math.max(4, cpus / 2),
       t0 + budgetMs * 2 / 3)
     // Secondary: the full-machine pair (8 vs 32) — capped by the single
     // box's effective cores; reported for transparency (BENCH.md).
