@@ -307,7 +307,9 @@ object SparkEntry {
       graft.ops.Elevation.elevations(
           imgs.select(col("image_id").as("id"), col("lat"), col("lng"), col("cell16")),
           samples, radiusMeters = 3000.0)
-        .select(col("id"), round(col("elevation"), 6).as("elevation"))
+        // fixed-point accumulation inside `elevations` makes the double
+        // bit-deterministic — no defensive rounding needed for the hash gate
+        .select(col("id"), col("elevation"))
         .orderBy("id")
     }),
 

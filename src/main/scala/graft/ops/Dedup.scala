@@ -36,18 +36,25 @@ object Dedup {
                       k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sigs = df.select(col(idCol).as("id"),
-        Udfs.minhashSig(k)(col(textCol)).as("sig"),
-        Udfs.docShingles(col(textCol)).as("shingles"))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // band join carries ONLY (id, band_key) — the shingle arrays do NOT ride
+    // the x`bands` row replication through the shuffle (VERDICT r01: ~16x
+    // shuffle-volume cut); they re-attach per candidate id for the refine.
+    val keys = base.select(col("id"), Udfs.minhashSig(k)(col("text")).as("sig"))
       .withColumn("band", explode(lit((0 until bands).toArray)))
       .withColumn("band_key", xxhash64(col("band"), slice(col("sig"), col("band") * lit(rows) + lit(1), lit(rows))))
-    val a = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"), col("band_key"))
-    val b = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"), col("band_key"))
-    a.join(b, "band_key")
+      .select("id", "band_key")
+    val candPairs = keys.select(col("id").as("id_a"), col("band_key"))
+      .join(keys.select(col("id").as("id_b"), col("band_key")), "band_key")
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sh = base.select(col("id"), Udfs.docShingles(col("text")).as("shingles"))
+    candPairs
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         Udfs.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .where(col("jaccard") >= threshold)
   }
 

@@ -42,12 +42,20 @@ object Elevation {
       .withColumn("scell", explode(cellsUdf(col("s_lat"), col("s_lng"))))
     val probes = points.withColumn("scell",
       graft.functions.Udfs.ancestorsAt(Seq(level))(col("cell16"))(0))
+    // Fixed-point accumulation: quantize each weight / contribution to a
+    // long BEFORE the sum, so the distributed aggregation is exact integer
+    // arithmetic — bit-deterministic under any partitioning / merge order
+    // (double sums are not associative; a hash-gated result must not depend
+    // on shuffle order). elevation = (sum c_q / 2^20) / (sum w_q / 2^24).
     probes.join(broadcast(sampleCells), "scell")
       .withColumn("d", graft.functions.Udfs.haversineMeters(
         col("lat"), col("lng"), col("s_lat"), col("s_lng")))
       .where(col("d") <= radiusMeters)
       .withColumn("w", lit(1.0) / greatest(col("d"), lit(1.0)))
+      .withColumn("wq", floor(col("w") * lit((1L << 24).toDouble)).cast("long"))
+      .withColumn("cq", floor(col("w") * col("height") * lit((1L << 20).toDouble)).cast("long"))
       .groupBy("id")
-      .agg((sum(col("w") * col("height")) / sum(col("w"))).as("elevation"))
+      .agg(((sum("cq").cast("double") / lit((1L << 20).toDouble)) /
+        (sum("wq").cast("double") / lit((1L << 24).toDouble))).as("elevation"))
   }
 }

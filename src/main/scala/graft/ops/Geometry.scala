@@ -80,9 +80,28 @@ object Geometry {
       org.apache.spark.sql.Encoders.scalaDouble
   }
 
+  private val hullAreaUdaf = udaf(HullAreaAgg,
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble))
+
   /** Convex hull area (m^2) of each group's points — `reachable-area`
-    * semantics (api/functions/graph.go:202-216): hull then spherical area. */
-  def hullAreaM2(df: DataFrame, groupCol: String, latCol: String, lngCol: String): DataFrame = {
+    * semantics (api/functions/graph.go:202-216): hull then spherical area.
+    *
+    * Runs through the BOUNDED HullAreaAgg aggregator (partial + final
+    * aggregation; buffers compact to their hull at 256 points), never an
+    * unbounded per-group collect — safe for 10^12-row groups. Result is
+    * bit-deterministic regardless of merge order: the strict (collinear-
+    * dropping) hull's extreme-point set is invariant under compaction, and
+    * the final area walks the hull cycle from the deterministic leftmost
+    * start vertex. */
+  def hullAreaM2(df: DataFrame, groupCol: String, latCol: String, lngCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hullAreaUdaf(col(latCol), col(lngCol)).as("hull_area_m2"))
+
+  /** collect_list reference form of hullAreaM2 — test-only cross-check for
+    * the bounded aggregator (kept OUT of gated query paths: the unbounded
+    * per-group collect is exactly the scale-killer the aggregator avoids). */
+  def hullAreaM2Collect(df: DataFrame, groupCol: String, latCol: String, lngCol: String): DataFrame = {
     val hullArea = udf((lats: Seq[Double], lngs: Seq[Double]) => {
       val idx = Geo.convexHull(lats.toArray, lngs.toArray)
       if (idx.length < 3) 0.0

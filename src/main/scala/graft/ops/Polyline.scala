@@ -118,37 +118,45 @@ object Polyline {
       .select("path_id").distinct()
 
   /** connect-to-network: for each point, the nearest path within
-    * `maxDistMeters`, pruned by shared level-`level` cells with a
-    * one-cell-ring margin on the path side.
+    * `maxDistMeters`, pruned by a SOUND shared-cell equi-join (no offset-grid
+    * heuristic — ADVICE r01): the path side emits, for every sample taken at
+    * most h = cellEdge(level)/2 meters apart along each segment, ALL level-
+    * `level` cells intersecting cap(sample, maxDist + h/2 + slack)
+    * (S2.coveringAtLevel is may-intersect sound). A point p within maxDist of
+    * the path is within maxDist + h/2 (+ slack for the lat/lng-linear sample
+    * walk) of some sample, so p's own level-`level` cell intersects that
+    * sample's cap and the equi-join keeps the pair. No segment-length
+    * precondition.
     *
     * @param points (id, lat, lng, cell16)
     * @param paths  (path_id, lats ARRAY<DOUBLE>, lngs ARRAY<DOUBLE>)
     * @return (id, path_id, dist_m) one row per point with a match. */
   def nearestPathJoin(points: DataFrame, paths: DataFrame,
                       maxDistMeters: Double, level: Int = 12): DataFrame = {
-    // path side: covering cells + neighbor margin (a cell at `level` is
-    // ~2.5 km across at level 12; margin covers maxDist up to ~cell size)
+    val edgeM = (math.Pi / 2.0) * Geo.EarthRadiusMeters / (1L << level)
+    val stepM = edgeM / 2.0
+    val reachM = maxDistMeters + stepM / 2.0 + 0.02 * maxDistMeters + 1.0
     val coverUdf = udf((lats: Seq[Double], lngs: Seq[Double]) => {
-      val base = pathCoveringAtLevel(lats.toArray, lngs.toArray, level)
-      // margin: include the 4 lat/lng-offset neighbors of each vertex cell
-      val margin = scala.collection.mutable.LinkedHashSet.empty[Long]
-      base.foreach(margin += _)
-      val dDeg = maxDistMeters / 111000.0
-      var i = 0
+      val cells = scala.collection.mutable.LinkedHashSet.empty[Long]
+      def addCap(la: Double, lo: Double): Unit =
+        S2.coveringAtLevel(
+          S2.Cap(Geo.toXYZ(la, lo), reachM / Geo.EarthRadiusMeters), level)
+          .foreach(cells += _)
+      addCap(lats(0), lngs(0))
+      var i = 1
       while (i < lats.length) {
-        val gDeg = dDeg / math.max(0.2, math.cos(math.toRadians(lats(i))))
-        var a = -1
-        while (a <= 1) {
-          var b = -1
-          while (b <= 1) {
-            margin += S2.cellAt(lats(i) + a * dDeg, lngs(i) + b * gDeg, level)
-            b += 1
-          }
-          a += 1
+        val segLen = Geo.haversineMeters(lats(i - 1), lngs(i - 1), lats(i), lngs(i))
+        val n = math.max(1, math.ceil(segLen / stepM).toInt)
+        var j = 1
+        while (j <= n) {
+          val (la, lo) = Geo.interpolate(
+            Array(lats(i - 1), lats(i)), Array(lngs(i - 1), lngs(i)), j.toDouble / n)
+          addCap(la, lo)
+          j += 1
         }
         i += 1
       }
-      margin.toArray
+      cells.toArray
     })
     val pathCells = paths
       .withColumn("pcell", explode(coverUdf(col("lats"), col("lngs"))))

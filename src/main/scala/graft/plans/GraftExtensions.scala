@@ -67,18 +67,43 @@ case class WithinCapMeters(children: Seq[Expression], pruned: Boolean = false)
   * rewritten predicate is marked `pruned`, so repeated optimizer iterations
   * (and multiple cap predicates in one filter) are handled. */
 object PruneWithinCap extends Rule[LogicalPlan] {
+
+  /** Sound lat/lng bounding box of cap(qLat, qLng, r meters), or None when a
+    * box prune would be unsound and the rewrite must be skipped (ADVICE r01):
+    * the cap reaches a pole, the exact longitude-extent formula's
+    * precondition sin(rr) < cos(lat) fails, or the window crosses +-180.
+    *
+    * Latitude extent: rr = r/R radians exactly (haversine's own earth model).
+    * Longitude extent: the EXACT spherical bound asin(sin(rr)/cos(qLat)) —
+    * not the linear under-estimate — with a relative + absolute float margin. */
+  def capBounds(qLat: Double, qLng: Double, r: Double)
+      : Option[(Double, Double, Double, Double)] = {
+    if (!(r >= 0) || r >= math.Pi / 2 * Geo.EarthRadiusMeters) return None
+    val rr = r / Geo.EarthRadiusMeters
+    val dLat = math.toDegrees(rr) * (1 + 1e-9) + 1e-9
+    val latLo = qLat - dLat; val latHi = qLat + dLat
+    if (latLo <= -89.999 || latHi >= 89.999) return None
+    val sinr = math.sin(rr)
+    val cosphi = math.cos(math.toRadians(qLat))
+    if (sinr >= cosphi) return None
+    val dLng = math.toDegrees(math.asin(sinr / cosphi)) * (1 + 1e-9) + 1e-9
+    val lngLo = qLng - dLng; val lngHi = qLng + dLng
+    if (lngLo <= -180.0 || lngHi >= 180.0) return None
+    Some((latLo, latHi, lngLo, lngHi))
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val rewritten = cond.transformUp {
         case w @ WithinCapMeters(Seq(lat, lng,
-            Literal(qLat: Double, _), Literal(qLng: Double, _), Literal(r: Double, _)), false) =>
-          val dLat = r / 111000.0
-          val dLng = dLat / math.max(0.2, math.cos(math.toRadians(qLat)))
+            Literal(qLat: Double, _), Literal(qLng: Double, _), Literal(r: Double, _)), false)
+            if capBounds(qLat, qLng, r).isDefined =>
+          val (latLo, latHi, lngLo, lngHi) = capBounds(qLat, qLng, r).get
           val prune = And(
-            And(GreaterThanOrEqual(lat, Literal(qLat - dLat)),
-              LessThanOrEqual(lat, Literal(qLat + dLat))),
-            And(GreaterThanOrEqual(lng, Literal(qLng - dLng)),
-              LessThanOrEqual(lng, Literal(qLng + dLng))))
+            And(GreaterThanOrEqual(lat, Literal(latLo)),
+              LessThanOrEqual(lat, Literal(latHi))),
+            And(GreaterThanOrEqual(lng, Literal(lngLo)),
+              LessThanOrEqual(lng, Literal(lngHi))))
           And(prune, w.copy(pruned = true))
       }
       if (rewritten fastEquals cond) f else Filter(rewritten, child)

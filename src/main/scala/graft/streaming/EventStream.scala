@@ -52,7 +52,13 @@ object EventStream {
     * user; a gap > `gapSeconds` closes the session and emits it. The custom
     * per-key state surface (KeyValueGroupedDataset.flatMapGroupsWithState,
     * builder brief / SURVEY §2.9 "UDF surface"). The batch oracle below
-    * computes identical sessions with a window gap-and-island query. */
+    * computes identical sessions with a window gap-and-island query.
+    *
+    * BATCH-ONLY (ADVICE r01): this form flushes the open session at the end
+    * of its single invocation — correct when all of a user's events arrive
+    * in one pass (batch execution), wrong across micro-batches. The
+    * streaming-correct form is `sessionizeStreaming` below, which holds the
+    * open session in GroupState under an event-time timeout. */
   def sessionize(events: org.apache.spark.sql.Dataset[Event],
                  gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -75,6 +81,46 @@ object EventStream {
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** Streaming-correct sessionization (ADVICE r01): the open session stays
+    * in GroupState with an EVENT-TIME TIMEOUT at last+gap, so a session
+    * spanning micro-batches is extended, not split; it is emitted only when
+    * the watermark passes its gap expiry. Callers must set
+    * `.withWatermark("ts", ...)` upstream. Asserted equal to the batch form
+    * across a two-batch split in StreamSpec. */
+  def sessionizeStreaming(events: org.apache.spark.sql.Dataset[Event],
+                          gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(userId: Long, evs: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(Session(userId, st.start, st.last, st.n))
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var st = state.getOption.orNull
+        evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val sec = e.ts.getTime / 1000
+          if (st == null) st = SessionState(sec, sec, 1)
+          else if (sec - st.last > gapSeconds) {
+            out += Session(userId, st.start, st.last, st.n)
+            st = SessionState(sec, sec, 1)
+          } else st = SessionState(st.start, sec, st.n + 1)
+        }
+        if (st != null) {
+          state.update(st)
+          // fires once the event-time watermark passes the gap expiry
+          state.setTimeoutTimestamp((st.last + gapSeconds) * 1000L + 1L)
+        }
+        out.iterator
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
   }
 

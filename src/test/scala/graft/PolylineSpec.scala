@@ -107,13 +107,18 @@ class PolylineSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.filter(_._1 <= 3000.0)
       if (in.isEmpty) None
       else {
+        // replicate the operator's fixed-point accumulation exactly (the
+        // quantization makes the distributed sum order-independent, so the
+        // brute force must quantize identically for a bit-exact compare)
         val ws = in.map { case (d, h) => (1.0 / math.max(d, 1.0), h) }
-        Some(id -> ws.map { case (w, h) => w * h }.sum / ws.map(_._1).sum)
+        val sumWq = ws.map { case (w, _) => math.floor(w * (1L << 24).toDouble).toLong }.sum
+        val sumCq = ws.map { case (w, h) => math.floor(w * h * (1L << 20).toDouble).toLong }.sum
+        Some(id -> (sumCq.toDouble / (1L << 20).toDouble) / (sumWq.toDouble / (1L << 24).toDouble))
       }
     }.toMap
     assert(got.keySet == want.keySet)
     got.foreach { case (id, v) =>
-      assert(math.abs(v - want(id)) < 1e-6, s"point $id: $v vs ${want(id)}")
+      assert(v == want(id), s"point $id: $v vs ${want(id)}")
     }
     assert(got.nonEmpty)
   }

@@ -54,9 +54,36 @@ class SightlineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // before the 5 km radius
     val rs1 = out(1L).map(p => math.hypot(p.getDouble(0), p.getDouble(1)))
     assert(rs1.exists(_ < 5000.0 - 1.0), "urban origin should be occluded")
-    // origin 2 has no barriers within 5 km -> not present (no rows from the
-    // cap join) — b6 returns the full cap; our operator only emits origins
-    // with barriers, callers default to the cap otherwise
-    assert(!out.contains(2L))
+    // origin 2 has no barriers within 5 km -> still emitted, as the full
+    // 32-vertex cap at the radius (left-join semantics, ADVICE r01 — matches
+    // visibilityPolygon's empty-scene behavior)
+    val rs2 = out(2L).map(p => math.hypot(p.getDouble(0), p.getDouble(1)))
+    assert(out(2L).length == 32)
+    rs2.foreach(r => assert(math.abs(r - 5000.0) < 1e-6))
+  }
+
+  test("cell-pruned barrier selection equals brute force over all segments") {
+    val origins = Seq((1L, Synth.hotCenters(0)._1, Synth.hotCenters(0)._2),
+      (2L, Synth.hotCenters(1)._1 + 0.02, Synth.hotCenters(1)._2 - 0.01))
+    val radius = 5000.0
+    val out = Sightline.sightlines(spark, origins, Tables.regions(spark), radius)
+      .collect().map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1).length)).toMap
+    // brute force: exact segNear over every region shell segment, no prune
+    origins.foreach { case (id, oLat, oLng) =>
+      val cosO = math.cos(math.toRadians(oLat))
+      def local(lat: Double, lng: Double) =
+        ((lng - oLng) * 111320.0 * cosO, (lat - oLat) * 111320.0)
+      val barriers = Synth.regions.flatMap { reg =>
+        val (ys, xs) = reg.rings(0)
+        ys.indices.flatMap { i =>
+          val j = (i + 1) % ys.length
+          val d = graft.ops.Polyline.distanceToPolylineMeters(oLat, oLng,
+            Array(ys(i), ys(j)), Array(xs(i), xs(j)))
+          if (d <= radius) Some((local(ys(i), xs(i)), local(ys(j), xs(j)))) else None
+        }
+      }
+      val expected = Sightline.visibilityPolygon(barriers, radius).length
+      assert(out(id) == expected, s"origin $id: pruned join must equal brute force")
+    }
   }
 }
