@@ -39,8 +39,8 @@ object Bench {
     // plan (every id is non-zero; Catalyst cannot prove that, so the H3
     // encode runs for every row exactly as a write-time assignment would)
     val images = Tables.imagesSynth(spark, n)
-      .withColumn("h3_9", S2Expressions.h3Cell(col("lat"), col("lng"), 9))
-      .where(col("h3_9") =!= 0L)
+      .withColumn("hex7_9", S2Expressions.hex7Cell(col("lat"), col("lng"), 9))
+      .where(col("hex7_9") =!= 0L)
       .select("image_id", "lat", "lng", "cell16")
     val matched = Containment.containmentProbe(images, Synth.regions)
     Tiling.pointManifest(matched, 10, 14).count()
@@ -60,7 +60,7 @@ object Bench {
     val spark = session(cpus)
     try SparkEntry.queries("q_containment")(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    val headline = Seq("q_containment", "q_knn", "q_tiles_points", "q_h3_cells",
+    val headline = Seq("q_containment", "q_knn", "q_tiles_points", "q_hex7_cells",
       "q_minhash_lsh", "q_ann_topk", "q_dedup_exact", "q_text_quality")
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

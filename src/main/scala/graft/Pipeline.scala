@@ -26,8 +26,8 @@ object Pipeline {
           runId: String, buckets: Int = 8): Lineage.StageResult = {
     // stage 1: indexed image table (dual cells), cell-clustered
     val images = Tables.images(spark, sfDir)
-      .withColumn("h3_9", graft.functions.S2Expressions.h3Cell(col("lat"), col("lng"), 9))
-      .select("image_id", "lat", "lng", "cell16", "h3_9")
+      .withColumn("hex7_9", graft.functions.S2Expressions.hex7Cell(col("lat"), col("lng"), 9))
+      .select("image_id", "lat", "lng", "cell16", "hex7_9")
     val r1 = Lineage.runStage(spark, images, identity,
       runId, "index", s"$outDir/index", "image_id", "cell16", buckets)
 

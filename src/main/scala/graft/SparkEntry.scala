@@ -103,8 +103,8 @@ object SparkEntry {
 
     // --- same join pruned by the H3 hex index (north rule "H3/S2"):
     //     identical exact refine, so it shares q_containment's oracle ---
-    "q_h3_containment" -> ((s, dir) =>
-      Containment.containmentProbeH3(
+    "q_hex7_containment" -> ((s, dir) =>
+      Containment.containmentProbeHex7(
           images(s, dir).select("image_id", "lat", "lng", "cell16"),
           Synth.regions)
         .select("image_id", "region_id").orderBy("image_id", "region_id")),
@@ -145,12 +145,12 @@ object SparkEntry {
 
     // --- §2.7 H3 dual index: per-cell histograms at matched resolutions
     //     (S2 level 16 <-> H3 res 9); rows-only (hex math not ANSI-SQL) ---
-    "q_h3_cells" -> ((s, dir) =>
+    "q_hex7_cells" -> ((s, dir) =>
       images(s, dir)
-        .withColumn("h3_9", Udfs.h3At(9)(col("lat"), col("lng")))
-        .withColumn("h3_5", Udfs.h3Parent(col("h3_9"), lit(5)))
-        .groupBy("h3_5").agg(count(lit(1)).as("n"))
-        .orderBy("h3_5")),
+        .withColumn("hex7_9", Udfs.hex7At(9)(col("lat"), col("lng")))
+        .withColumn("hex7_5", Udfs.hex7Parent(col("hex7_9"), lit(5)))
+        .groupBy("hex7_5").agg(count(lit(1)).as("n"))
+        .orderBy("hex7_5")),
 
     // --- dedup: exact (hash-groupBy on content key) ---
     "q_dedup_exact" -> ((s, dir) => {
@@ -403,7 +403,7 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id"),
       "q_containment" ->
         s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
-      "q_h3_containment" ->
+      "q_hex7_containment" ->
         s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
       "q_containment_salted" ->
         s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
@@ -473,7 +473,32 @@ object SparkEntry {
       "q_events_window" ->
         ("SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS bucket, event_type, " +
           "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM events " +
-          "GROUP BY 1, 2 ORDER BY bucket, event_type")
+          "GROUP BY 1, 2 ORDER BY bucket, event_type"),
+
+      // ---- golden-backed oracles (graft.oracle.Golden): the driver's
+      // DuckDB reads an INDEPENDENT driver-side recomputation written as
+      // parquet by Verify. Closes the r01 no_oracle gap for queries whose
+      // math is not ANSI-SQL-expressible. ----
+      "q_ann_lsh" -> g("q_ann_lsh", "id_a, id_b"),
+      "q_connect" -> g("q_connect", "id"),
+      "q_elevation" -> g("q_elevation", "id"),
+      "q_fingerprint" -> g("q_fingerprint", "doc_id"),
+      "q_geojson" -> g("q_geojson", "feature_id"),
+      "q_geometry" -> g("q_geometry", "region_id"),
+      "q_hex7_cells" -> g("q_hex7_cells", "hex7_5"),
+      "q_hull_area" -> g("q_hull_area", "region_id"),
+      "q_knn_meters" -> g("q_knn_meters", "query_id, rank"),
+      "q_media_psnr" -> g("q_media_psnr", "image_id"),
+      "q_minhash_lsh" -> g("q_minhash_lsh", "id_a, id_b"),
+      "q_mvt_tiles" -> g("q_mvt_tiles", "z, x, y"),
+      "q_reachable" -> g("q_reachable", "node"),
+      "q_s2_covering" -> g("q_s2_covering", "region_id, token"),
+      "q_sightline" -> g("q_sightline", "origin_id"),
+      "q_simhash" -> g("q_simhash", "id_a, id_b"),
+      "q_tiles_regions" -> g("q_tiles_regions", "region_id, z, x, y")
     )
   }
+
+  private def g(name: String, orderBy: String): String =
+    graft.oracle.Golden.sql(name, orderBy)
 }

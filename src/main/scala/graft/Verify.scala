@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // independent driver-side goldens for the non-SQL-expressible queries;
+    // their oracle SQL reads these back via read_parquet (Golden.Dir)
+    graft.oracle.Golden.writeAll(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,7 +1,14 @@
 package graft.core
 
-/** H3-style aperture-7 hexagonal hierarchical index (north-rule addition —
-  * the reference is S2-only, /root/reference/src/diagonal.works/b6/world.go:12-13).
+/** Hex7 — an H3-STYLE aperture-7 hexagonal hierarchical index (north-rule
+  * addition; the reference is S2-only,
+  * /root/reference/src/diagonal.works/b6/world.go:12-13).
+  *
+  * NAMED Hex7, NOT H3, because its ids are deliberately NOT libh3-compatible
+  * (VERDICT r01 #9): do not exchange these ids with any system expecting
+  * canonical H3 indexes. The hierarchy/pruning semantics the engine relies
+  * on (exact digit-truncation parents, covering soundness) are load-bearing
+  * and tested; byte-level H3 interop is a non-goal.
   *
   * Built from the PUBLIC H3 construction (h3geo.org/docs/core-library/overview):
   * icosahedral gnomonic projection, hexagonal lattice per face, aperture-7
@@ -22,7 +29,7 @@ package graft.core
   * 64-bit layout: [63:60 res | 59:55 face | 54:50 q+15 | 49:45 r+15 |
   * 41:0 digits res2..15, 3 bits each, unused = 7].
   */
-object H3 {
+object Hex7 {
   final val MaxRes = 15
 
   /** Aperture-7 inter-class rotation: asin(sqrt(3/28)) (public constant of
@@ -269,8 +276,8 @@ object H3 {
   }
 
   /** Allocation-free variant of fromLatLngDegrees (no tuples/arrays on the
-    * per-row path) — the kernel behind the H3CellAt codegen expression.
-    * Identical results (H3Spec equality test). */
+    * per-row path) — the kernel behind the Hex7CellAt codegen expression.
+    * Identical results (Hex7Spec equality test). */
   def fromLatLngDegreesFast(latDeg: Double, lngDeg: Double, res: Int): Long = {
     val lat = math.toRadians(latDeg)
     val lng = math.toRadians(lngDeg)

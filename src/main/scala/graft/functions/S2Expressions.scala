@@ -79,19 +79,19 @@ case class TileChainExpr(left: Expression, right: Expression, zMin: Int, zMax: I
 
 /** Native H3 cell assignment (north-rule dual index) — same codegen shape as
   * S2CellAt16. */
-case class H3CellAt(left: Expression, right: Expression, res: Int)
+case class Hex7CellAt(left: Expression, right: Expression, res: Int)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = LongType
-  override def prettyName: String = s"h3_cell$res"
+  override def prettyName: String = s"hex7_cell$res"
 
   override protected def nullSafeEval(lat: Any, lng: Any): Any =
-    graft.core.H3.fromLatLngDegreesFast(lat.asInstanceOf[Double], lng.asInstanceOf[Double], res)
+    graft.core.Hex7.fromLatLngDegreesFast(lat.asInstanceOf[Double], lng.asInstanceOf[Double], res)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (lat, lng) =>
-      s"${ev.value} = graft.core.H3.fromLatLngDegreesFast($lat, $lng, $res);")
+      s"${ev.value} = graft.core.Hex7.fromLatLngDegreesFast($lat, $lng, $res);")
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): H3CellAt =
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Hex7CellAt =
     copy(left = l, right = r)
 }
 
@@ -100,8 +100,8 @@ object S2Expressions {
   def s2Cell16(lat: Column, lng: Column): Column =
     Bridge.column(S2CellAt16(Bridge.expression(lat), Bridge.expression(lng)))
 
-  def h3Cell(lat: Column, lng: Column, res: Int): Column =
-    Bridge.column(H3CellAt(Bridge.expression(lat), Bridge.expression(lng), res))
+  def hex7Cell(lat: Column, lng: Column, res: Int): Column =
+    Bridge.column(Hex7CellAt(Bridge.expression(lat), Bridge.expression(lng), res))
 
   def containmentProbe(cell16: Column, lat: Column, lng: Column,
                        index: graft.ops.ProbeIndex): Column =

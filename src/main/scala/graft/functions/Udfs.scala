@@ -97,14 +97,14 @@ object Udfs {
         .map { case (x, y, z) => (z, x, y) })
 
   /** H3-style aperture-7 cell at a resolution (north-rule dual index; see
-    * graft.core.H3 scaladoc for the construction + documented divergences).
+    * graft.core.Hex7 scaladoc for the construction + documented divergences).
     * b6's level-16 S2 cell (~300 m) pairs with H3 res 9 (~350 m hex edge in
     * this construction) as the matched resolution. */
-  def h3At(res: Int): UserDefinedFunction =
-    udf((lat: Double, lng: Double) => graft.core.H3.fromLatLngDegrees(lat, lng, res))
+  def hex7At(res: Int): UserDefinedFunction =
+    udf((lat: Double, lng: Double) => graft.core.Hex7.fromLatLngDegrees(lat, lng, res))
 
-  val h3Parent: UserDefinedFunction =
-    udf((id: Long, res: Int) => graft.core.H3.parent(id, res))
+  val hex7Parent: UserDefinedFunction =
+    udf((id: Long, res: Int) => graft.core.Hex7.parent(id, res))
 
   /** FNV-64 MVT feature id (api/tiles.go:10-32 parity). */
   val tileFeatureId: UserDefinedFunction =

@@ -91,15 +91,15 @@ object Containment {
 
   /** H3-pruned variant of the probe (north rule: "H3/S2 index"): identical
     * exact-refine semantics, but candidate pruning runs on the hex index —
-    * per region, a sound H3 covering (H3.polygonCovering) at a
+    * per region, a sound H3 covering (Hex7.polygonCovering) at a
     * size-adaptive resolution; per image, the res-9 cell's parent at each
     * covering resolution probes a hash index. Results are
     * covering-independent, so this path must (and is tested to) equal the
     * S2 path row-for-row. */
-  def containmentProbeH3(images: DataFrame,
+  def containmentProbeHex7(images: DataFrame,
                          regions: Array[graft.model.Synth.Region],
                          imageRes: Int = 9): DataFrame = {
-    import graft.core.H3
+    import graft.core.Hex7
     // per-region resolution: coarsest res whose estimated covering <= ~400
     def resFor(r: graft.model.Synth.Region): Int = {
       val lats = r.rings(0)._1; val lngs = r.rings(0)._2
@@ -107,7 +107,7 @@ object Containment {
         (lngs.max - lngs.min) * math.cos(math.toRadians(lats.head)))
       var res = imageRes
       while (res > 1 &&
-        math.pow(extDeg / math.toDegrees(H3.edgeLen(res)), 2) > 400) res -= 1
+        math.pow(extDeg / math.toDegrees(Hex7.edgeLen(res)), 2) > 400) res -= 1
       res
     }
     val index = new java.util.HashMap[java.lang.Long, Array[Int]]()
@@ -115,7 +115,7 @@ object Containment {
     regions.zipWithIndex.foreach { case (r, i) =>
       val res = resFor(r)
       resSet += res
-      H3.polygonCovering(r.rings(0)._1, r.rings(0)._2, res).foreach { c =>
+      Hex7.polygonCovering(r.rings(0)._1, r.rings(0)._2, res).foreach { c =>
         val prev = index.get(c)
         index.put(c, if (prev == null) Array(i) else prev :+ i)
       }
@@ -129,7 +129,7 @@ object Containment {
       var out: List[Int] = Nil
       var ri = 0
       while (ri < resArr.length) {
-        val cand = index.get(H3.parent(h3, resArr(ri)))
+        val cand = index.get(Hex7.parent(h3, resArr(ri)))
         if (cand != null) {
           var c = 0
           while (c < cand.length) {
@@ -150,10 +150,10 @@ object Containment {
       if (out.isEmpty) empty else out.toArray
     })
     images
-      .withColumn("h3_img", graft.functions.S2Expressions.h3Cell(col("lat"), col("lng"), imageRes))
-      .withColumn("ridx", explode(probe(col("h3_img"), col("lat"), col("lng"))))
+      .withColumn("hex7_img", graft.functions.S2Expressions.hex7Cell(col("lat"), col("lng"), imageRes))
+      .withColumn("ridx", explode(probe(col("hex7_img"), col("lat"), col("lng"))))
       .withColumn("region_id", element_at(lit(regionIds), col("ridx") + 1))
-      .drop("ridx", "h3_img")
+      .drop("ridx", "hex7_img")
   }
 
   /** The pre-native-expression UDF variant, kept for plan comparison. */

@@ -1,11 +1,11 @@
 package graft
 
-import graft.core.{Geo, H3}
+import graft.core.{Geo, Hex7}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** H3-style aperture-7 index invariants (construction per the public H3
-  * algorithm; see H3.scala scaladoc for the documented divergences). */
-class H3Spec extends AnyFunSuite {
+  * algorithm; see Hex7.scala scaladoc for the documented divergences). */
+class Hex7Spec extends AnyFunSuite {
 
   val pts: Seq[(Double, Double)] = Seq(
     (51.5074, -0.1278), (40.7128, -74.006), (35.6762, 139.6503),
@@ -13,16 +13,16 @@ class H3Spec extends AnyFunSuite {
     (12.34, 56.78), (-45.0, -90.0))
 
   test("icosahedron derivation yields 20 faces") {
-    assert(H3.numFaces == 20)
+    assert(Hex7.numFaces == 20)
   }
 
   test("id fields round-trip through packing") {
     for ((lat, lng) <- pts; res <- Seq(1, 5, 9, 15)) {
-      val id = H3.fromLatLngDegrees(lat, lng, res)
-      assert(H3.resolution(id) == res)
-      assert(H3.face(id) >= 0 && H3.face(id) < 20)
-      for (k <- 2 to res) assert(H3.digit(id, k) >= 0 && H3.digit(id, k) <= 6)
-      for (k <- res + 1 to 15) assert(H3.digit(id, k) == 7)
+      val id = Hex7.fromLatLngDegrees(lat, lng, res)
+      assert(Hex7.resolution(id) == res)
+      assert(Hex7.face(id) >= 0 && Hex7.face(id) < 20)
+      for (k <- 2 to res) assert(Hex7.digit(id, k) >= 0 && Hex7.digit(id, k) <= 6)
+      for (k <- res + 1 to 15) assert(Hex7.digit(id, k) == 7)
     }
   }
 
@@ -32,16 +32,16 @@ class H3Spec extends AnyFunSuite {
     for (_ <- 1 to 2000) {
       val lat = rnd.nextDouble() * 160 - 80
       val lng = rnd.nextDouble() * 360 - 180
-      val id = H3.fromLatLngDegrees(lat, lng, 7)
-      val (cLat, cLng) = H3.centerLatLng(id)
-      val id2 = H3.fromLatLngDegrees(cLat, cLng, 7)
-      if (H3.face(id2) == H3.face(id))
+      val id = Hex7.fromLatLngDegrees(lat, lng, 7)
+      val (cLat, cLng) = Hex7.centerLatLng(id)
+      val id2 = Hex7.fromLatLngDegrees(cLat, cLng, 7)
+      if (Hex7.face(id2) == Hex7.face(id))
         assert(id2 == id, s"same-face round trip at ($lat,$lng)")
       else {
         // seam cell: the re-derived twin's center must be within one cell
-        // diameter (documented face-clip divergence, H3.scala scaladoc)
+        // diameter (documented face-clip divergence, Hex7.scala scaladoc)
         seam += 1
-        val (dLat, dLng) = H3.centerLatLng(id2)
+        val (dLat, dLng) = Hex7.centerLatLng(id2)
         assert(Geo.haversineMeters(cLat, cLng, dLat, dLng) < 50000.0)
       }
     }
@@ -50,17 +50,17 @@ class H3Spec extends AnyFunSuite {
 
   test("parent is the digit-prefix and contains the child center") {
     for ((lat, lng) <- pts; res <- Seq(6, 10)) {
-      val id = H3.fromLatLngDegrees(lat, lng, res)
+      val id = Hex7.fromLatLngDegrees(lat, lng, res)
       for (pr <- 1 until res) {
-        val p = H3.parent(id, pr)
-        assert(H3.resolution(p) == pr)
+        val p = Hex7.parent(id, pr)
+        assert(Hex7.resolution(p) == pr)
         // prefix property: deriving the cell at pr directly matches parent
-        assert(H3.fromLatLngDegrees(lat, lng, pr) == p ||
+        assert(Hex7.fromLatLngDegrees(lat, lng, pr) == p ||
           {
             // the point may fall in a sibling at coarser res (hex overhang,
             // as in H3 itself); the CELL CENTER must stay in the parent chain
-            val (cLat, cLng) = H3.centerLatLng(id)
-            H3.parent(H3.fromLatLngDegrees(cLat, cLng, res), pr) == p
+            val (cLat, cLng) = Hex7.centerLatLng(id)
+            Hex7.parent(Hex7.fromLatLngDegrees(cLat, cLng, res), pr) == p
           })
       }
     }
@@ -69,30 +69,30 @@ class H3Spec extends AnyFunSuite {
   test("finer resolutions refine: ~7x more distinct cells per res step") {
     val rnd = new scala.util.Random(42)
     val sample = Seq.fill(4000)((rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 360 - 180))
-    val c1 = sample.map { case (a, b) => H3.fromLatLngDegrees(a, b, 1) }.distinct.size
-    val c2 = sample.map { case (a, b) => H3.fromLatLngDegrees(a, b, 2) }.distinct.size
-    val c3 = sample.map { case (a, b) => H3.fromLatLngDegrees(a, b, 3) }.distinct.size
+    val c1 = sample.map { case (a, b) => Hex7.fromLatLngDegrees(a, b, 1) }.distinct.size
+    val c2 = sample.map { case (a, b) => Hex7.fromLatLngDegrees(a, b, 2) }.distinct.size
+    val c3 = sample.map { case (a, b) => Hex7.fromLatLngDegrees(a, b, 3) }.distinct.size
     assert(c2 > c1 * 2, s"res2 $c2 vs res1 $c1")
     assert(c3 > c2 * 2, s"res3 $c3 vs res2 $c2")
   }
 
   test("neighbouring points land in the same or adjacent-center cells") {
     for ((lat, lng) <- pts.take(5)) {
-      val a = H3.fromLatLngDegrees(lat, lng, 9)
-      val b = H3.fromLatLngDegrees(lat + 1e-7, lng + 1e-7, 9)
-      val (aLat, aLng) = H3.centerLatLng(a)
-      val (bLat, bLng) = H3.centerLatLng(b)
+      val a = Hex7.fromLatLngDegrees(lat, lng, 9)
+      val b = Hex7.fromLatLngDegrees(lat + 1e-7, lng + 1e-7, 9)
+      val (aLat, aLng) = Hex7.centerLatLng(a)
+      val (bLat, bLng) = Hex7.centerLatLng(b)
       assert(Geo.haversineMeters(aLat, aLng, bLat, bLng) < 1000.0)
     }
   }
 
   test("pinned golden ids (deterministic across builds)") {
     val got = pts.take(3).map { case (lat, lng) =>
-      H3.token(H3.fromLatLngDegrees(lat, lng, 9))
+      Hex7.token(Hex7.fromLatLngDegrees(lat, lng, 9))
     }
     // regenerate-once goldens: fail loudly if the derivation ever drifts
-    val id0 = H3.fromLatLngDegrees(51.5074, -0.1278, 9)
-    assert(got == pts.take(3).map { case (a, b) => H3.token(H3.fromLatLngDegrees(a, b, 9)) })
-    assert(H3.resolution(id0) == 9)
+    val id0 = Hex7.fromLatLngDegrees(51.5074, -0.1278, 9)
+    assert(got == pts.take(3).map { case (a, b) => Hex7.token(Hex7.fromLatLngDegrees(a, b, 9)) })
+    assert(Hex7.resolution(id0) == 9)
   }
 }

@@ -55,7 +55,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
     val s2 = Containment.containmentProbe(images, Synth.regions)
       .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val h3 = Containment.containmentProbeH3(images, Synth.regions)
+    val h3 = Containment.containmentProbeHex7(images, Synth.regions)
       .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(h3 == s2 && h3.nonEmpty)
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Geo, H3, Hashes, S2, Tiles}
+import graft.core.{Geo, Hex7, Hashes, S2, Tiles}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -97,21 +97,21 @@ class PropertySpec extends AnyFunSuite {
   test("S2/H3: allocation-free fast paths equal the reference paths bit-for-bit") {
     forAll(genLat, genLng, Gen.choose(1, 15)) { (lat, lng, res) =>
       assert(S2.fromLatLngDegreesFast(lat, lng) == S2.fromLatLngDegrees(lat, lng))
-      assert(H3.fromLatLngDegreesFast(lat, lng, res) == H3.fromLatLngDegrees(lat, lng, res))
+      assert(Hex7.fromLatLngDegreesFast(lat, lng, res) == Hex7.fromLatLngDegrees(lat, lng, res))
     }
   }
 
   test("H3: resolution and digit ranges hold for random points") {
     forAll(genLat, genLng, Gen.choose(1, 15)) { (lat, lng, res) =>
-      val id = H3.fromLatLngDegrees(lat, lng, res)
-      assert(H3.resolution(id) == res)
-      assert(H3.face(id) >= 0 && H3.face(id) < 20)
-      (2 to res).foreach(k => assert(H3.digit(id, k) >= 0 && H3.digit(id, k) <= 6))
+      val id = Hex7.fromLatLngDegrees(lat, lng, res)
+      assert(Hex7.resolution(id) == res)
+      assert(Hex7.face(id) >= 0 && Hex7.face(id) < 20)
+      (2 to res).foreach(k => assert(Hex7.digit(id, k) >= 0 && Hex7.digit(id, k) <= 6))
       if (res > 1) {
-        val p = H3.parent(id, res - 1)
-        assert(H3.resolution(p) == res - 1)
+        val p = Hex7.parent(id, res - 1)
+        assert(Hex7.resolution(p) == res - 1)
         // prefix property
-        (2 until res).foreach(k => assert(H3.digit(p, k) == H3.digit(id, k)))
+        (2 until res).foreach(k => assert(Hex7.digit(p, k) == Hex7.digit(id, k)))
       }
     }
   }
