@@ -277,17 +277,37 @@ object SparkEntry {
     }),
 
     // --- §2.4 reachability: frontier expansion over a deterministic graph
-    //     derived from orders (ring + chords); rows-only, pinned by test ---
-    "q_reachable" -> ((s, dir) => {
-      Tables.registerBase(s, dir)
-      val edges = s.sql(
-        """SELECT o_orderkey AS src, (o_orderkey % 1000) * 7 + 1 AS dst,
-          |       1.0 + (o_orderkey % 13) AS cost FROM orders
-          |UNION ALL
-          |SELECT (o_orderkey % 1000) * 7 + 1 AS src, o_orderkey AS dst,
-          |       1.0 + (o_orderkey % 13) AS cost FROM orders""".stripMargin)
-      Reachability.reachable(s, edges, Seq(1L, 8L), cutoff = 20.0)
-        .orderBy("node")
+    //     derived from orders (ring + chords); golden oracle = real Dijkstra ---
+    "q_reachable" -> ((s, dir) =>
+      Reachability.reachable(s, graphEdges(s, dir), Seq(1L, 8L), cutoff = 20.0)
+        .orderBy("node")),
+
+    // --- §2.4 network-distance closest / closest-distance
+    //     (api/functions/graph.go:106-153): nearest "tagged" node by graph
+    //     distance per origin ---
+    "q_closest" -> ((s, dir) => {
+      val edges = graphEdges(s, dir)
+      val targets = edges.select(col("src").as("node")).distinct()
+        .where(col("node") % 97 === 0)
+      Reachability.closest(s, edges, Seq(1L, 8L, 15L), targets, cutoff = 16.0)
+        .orderBy("origin")
+    }),
+
+    // --- §2.4 paths-to-reach (graph.go:155-200): per-edge usage counts of
+    //     the shortest-path tree from the origin ---
+    "q_paths_to_reach" -> ((s, dir) =>
+      Reachability.pathsToReach(s, graphEdges(s, dir), origin = 1L, cutoff = 20.0)
+        .orderBy("src", "dst")),
+
+    // --- §2.4 building-access (access.go:9-43): which buildings each origin
+    //     reaches within the cutoff, minimal distance per (origin, building) ---
+    "q_building_access" -> ((s, dir) => {
+      val edges = graphEdges(s, dir)
+      val buildings = edges.select(col("src").as("node")).distinct()
+        .where(col("node") % 5 === 0)
+        .withColumn("building_id", col("node") % 500)
+      Reachability.buildingAccess(s, edges, Seq(1L, 8L, 15L), buildings, cutoff = 14.0)
+        .orderBy("origin", "building_id")
     }),
 
     // --- §2.4 connect-to-network: nearest path within 500 m ---
@@ -492,6 +512,9 @@ object SparkEntry {
       "q_minhash_lsh" -> g("q_minhash_lsh", "id_a, id_b"),
       "q_mvt_tiles" -> g("q_mvt_tiles", "z, x, y"),
       "q_reachable" -> g("q_reachable", "node"),
+      "q_closest" -> g("q_closest", "origin"),
+      "q_building_access" -> g("q_building_access", "origin, building_id"),
+      "q_paths_to_reach" -> g("q_paths_to_reach", "src, dst"),
       "q_s2_covering" -> g("q_s2_covering", "region_id, token"),
       "q_sightline" -> g("q_sightline", "origin_id"),
       "q_simhash" -> g("q_simhash", "id_a, id_b"),
@@ -501,4 +524,17 @@ object SparkEntry {
 
   private def g(name: String, orderBy: String): String =
     graft.oracle.Golden.sql(name, orderBy)
+
+  /** The deterministic graph fixture (ring + chords over order keys):
+    * undirected via both directed rows; costs are exact integer-valued
+    * doubles so min-plus sums hash-compare exactly. */
+  def graphEdges(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerBase(s, dir)
+    s.sql(
+      """SELECT o_orderkey AS src, (o_orderkey % 1000) * 7 + 1 AS dst,
+        |       1.0 + (o_orderkey % 13) AS cost FROM orders
+        |UNION ALL
+        |SELECT (o_orderkey % 1000) * 7 + 1 AS src, o_orderkey AS dst,
+        |       1.0 + (o_orderkey % 13) AS cost FROM orders""".stripMargin)
+  }
 }

@@ -16,10 +16,65 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: edges should be pre-partitioned by `src` so the iterated
   * join co-locates (at design scale: bucketed Iceberg table); the frontier
-  * is usually small — broadcast it when it fits. Checkpointing every ~10
-  * rounds truncates the lineage chain.
+  * is usually small — broadcast it when it fits. Every per-round table is
+  * `localCheckpoint`ed: without lineage truncation the plan (and Catalyst's
+  * planning time) grows linearly with the iteration count, which is the
+  * classic iterative-Spark trap.
   */
 object Reachability {
+
+  /** Materialize a (small) iteration table and REBUILD it from the persisted
+    * RDD: the returned frame's logical plan is a flat LogicalRDD scan, so
+    * the per-round analysis/optimization cost stays CONSTANT across
+    * iterations. Plain cache() is not enough — the Dataset's LOGICAL plan
+    * still grows each round and Catalyst re-walks (and re-canonicalizes) the
+    * whole accumulated tree, which turned quadratic-plus in practice
+    * (round 4 of a 5-round flood spent 15 s planning 3 rows).
+    * (`localCheckpoint` would do the same but trips a constraint-rewrite
+    * bug under unionByName in Spark 4.1.) */
+  private def materialize(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
+    (spark.createDataFrame(rdd, df.schema), n)
+  }
+
+  /** The shared min-plus fixpoint: `init` carries `keyCols :+ "dist"` where
+    * the last key column is the frontier node. Returns the settled table. */
+  private def flood(spark: SparkSession, edges: DataFrame, init: DataFrame,
+                    keyCols: Seq[String], cutoff: Double, maxIters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("cost").cast("double")).cache()
+    var dist = materialize(init)._1
+    var frontier = dist
+    var i = 0
+    var done = false
+    val carry = keyCols.filterNot(_ == "node")
+    while (i < maxIters && !done) {
+      val expanded = frontier
+        .withColumnRenamed("node", "fnode").withColumnRenamed("dist", "fdist")
+        .join(e, col("fnode") === col("src"))
+        .select(carry.map(col) ++ Seq(col("dst").as("node"),
+          (col("fdist") + col("cost")).as("dist")): _*)
+        .where(col("dist") <= cutoff)
+        .groupBy(keyCols.map(col): _*).agg(min("dist").as("dist"))
+      // keep only genuine improvements over the settled table
+      val (improved, nImproved) = materialize(expanded.as("x")
+        .join(dist.as("s"),
+          keyCols.map(c => col(s"x.$c") === col(s"s.$c")).reduce(_ && _), "left")
+        .where(col("s.dist").isNull || col("x.dist") < col("s.dist"))
+        .select(keyCols.map(c => col(s"x.$c").as(c)) :+ col("x.dist").as("dist"): _*))
+      if (nImproved == 0) done = true
+      else {
+        dist = materialize(dist.unionByName(improved)
+          .groupBy(keyCols.map(col): _*).agg(min("dist").as("dist")))._1
+        frontier = improved
+      }
+      i += 1
+    }
+    e.unpersist()
+    dist
+  }
 
   /** All nodes within `cutoff` cost of the origin set.
     * @param edges (src LONG, dst LONG, cost DOUBLE) directed; undirected
@@ -28,37 +83,99 @@ object Reachability {
   def reachable(spark: SparkSession, edges: DataFrame, origins: Seq[Long],
                 cutoff: Double, maxIters: Int = 50): DataFrame = {
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"), col("cost").cast("double")).cache()
-    var dist = origins.distinct.map(o => (o, 0.0)).toDF("node", "dist").cache()
-    var frontier = dist
-    var i = 0
-    var done = false
-    while (i < maxIters && !done) {
-      val f = frontier.select(col("node").as("fnode"), col("dist").as("fdist"))
-      val expanded = f.join(e, col("fnode") === col("src"))
-        .select(col("dst").as("node"), (col("fdist") + col("cost")).as("dist"))
-        .where(col("dist") <= cutoff)
-        .groupBy("node").agg(min("dist").as("dist"))
-      // keep only genuine improvements over the settled table
-      val improved = expanded.join(dist.withColumnRenamed("dist", "old")
-          .withColumnRenamed("node", "onode"),
-          expanded("node") === col("onode"), "left")
-        .where(col("old").isNull || col("dist") < col("old"))
-        .select(col("node"), col("dist"))
-        .cache()
-      if (improved.isEmpty) { improved.unpersist(); done = true }
-      else {
-        val newDist = dist.unionByName(improved)
-          .groupBy("node").agg(min("dist").as("dist")).cache()
-        newDist.count() // materialize before releasing parents
-        dist.unpersist()
-        if (frontier ne dist) frontier.unpersist()
-        dist = newDist
-        frontier = improved
-      }
-      i += 1
+    val init = origins.distinct.map(o => (o, 0.0)).toDF("node", "dist")
+    flood(spark, edges, init, Seq("node"), cutoff, maxIters)
+  }
+
+  /** Per-origin distances: same min-plus loop keyed by (origin, node) —
+    * the substrate for `closest` and `building-access`.
+    * @return (origin LONG, node LONG, dist DOUBLE). */
+  def reachableMulti(spark: SparkSession, edges: DataFrame, origins: Seq[Long],
+                     cutoff: Double, maxIters: Int = 50): DataFrame = {
+    import spark.implicits._
+    val init = origins.distinct.map(o => (o, o, 0.0)).toDF("origin", "node", "dist")
+    flood(spark, edges, init, Seq("origin", "node"), cutoff, maxIters)
+  }
+
+  /** Network-distance `closest` / `closest-distance` (SURVEY.md §2.4;
+    * reference api/functions/graph.go:106-153 floods to the cutoff then
+    * takes the matching feature of minimal distance): per origin, the target
+    * node of minimal network distance, ties broken by node id.
+    * @param targets (node LONG) the "query" side (e.g. tagged features).
+    * @return (origin, node, dist) one row per origin that reaches >=1
+    *         target. */
+  def closest(spark: SparkSession, edges: DataFrame, origins: Seq[Long],
+              targets: DataFrame, cutoff: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    reachableMulti(spark, edges, origins, cutoff)
+      .join(targets.select(col("node")), Seq("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("origin").orderBy(col("dist"), col("node"))))
+      .where(col("rn") === 1)
+      .select(col("origin"), col("node"), col("dist"))
+  }
+
+  /** `building-access` (reference api/functions/access.go:9-43: which
+    * "buildings" each origin can reach within the cutoff): per-origin flood
+    * joined against the building->node table, minimal distance per
+    * (origin, building).
+    * @param buildings (node LONG, building_id LONG).
+    * @return (origin, building_id, dist). */
+  def buildingAccess(spark: SparkSession, edges: DataFrame, origins: Seq[Long],
+                     buildings: DataFrame, cutoff: Double): DataFrame =
+    reachableMulti(spark, edges, origins, cutoff)
+      .join(buildings, Seq("node"))
+      .groupBy("origin", "building_id").agg(min("dist").as("dist"))
+
+  /** `paths-to-reach` (reference api/functions/graph.go:155-200: for every
+    * reached node, walk its shortest path back to the origin and count each
+    * edge's usage): re-expressed distributed —
+    *
+    *   1. settled distances from one origin (min-plus fixpoint);
+    *   2. deterministic shortest-path tree: pred(v) = the edge (u,v) with
+    *      dist(u) + cost == dist(v), ties -> min u (exact double equality
+    *      holds at the fixpoint because dist(v) IS one of those sums);
+    *   3. edge usage by iterative climb: each node contributes one use to
+    *      every tree edge on its path — `depth` rounds of joining the
+    *      climbing frontier with the (broadcastable) pred map.
+    *
+    * @return (src, dst, uses LONG) tree edges with their usage counts. */
+  def pathsToReach(spark: SparkSession, edges: DataFrame, origin: Long,
+                   cutoff: Double, maxDepth: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("cost").cast("double"))
+    val dist = reachable(spark, edges, Seq(origin), cutoff)
+    // pred(v): min src among edges attaining dist(v) = dist(src) + cost
+    val pred = materialize(
+      dist.select(col("node").as("dst"), col("dist").as("ddst"))
+        .where(col("dst") =!= origin)
+        .join(e, Seq("dst"))
+        .join(dist.select(col("node").as("src"), col("dist").as("dsrc")), Seq("src"))
+        .where(col("dsrc") + col("cost") === col("ddst"))
+        .groupBy("dst").agg(min("src").as("pred")))._1
+    // climb: frontier (leaf = every non-origin node, cur); one use per hop
+    var (frontier, nFrontier) = materialize(dist.where(col("node") =!= origin)
+      .select(col("node").as("leaf"), col("node").as("cur")))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var depth = 0
+    while (depth < maxDepth && nFrontier > 0) {
+      val hop = materialize(
+        frontier.join(broadcast(pred), frontier("cur") === pred("dst"))
+          .select(col("leaf"), col("pred"), col("cur")))._1
+      rounds += hop.groupBy(col("pred").as("src"), col("cur").as("dst"))
+        .agg(count(lit(1)).as("uses"))
+      val (next, nNext) = materialize(hop.where(col("pred") =!= origin)
+        .select(col("leaf"), col("pred").as("cur")))
+      frontier = next
+      nFrontier = nNext
+      depth += 1
     }
-    e.unpersist()
-    dist
+    rounds.reduceOption(_ unionByName _)
+      .map(_.groupBy("src", "dst").agg(sum("uses").as("uses")))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dst", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("uses", org.apache.spark.sql.types.LongType)))))
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Reachability
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Hand-computed goldens for the graph family (network closest,
+  * paths-to-reach usage counts, building access) on a 4-node graph:
+  *
+  *   1 --1-- 2 --1-- 3 --1-- 4      plus the chord 1 --3-- 3
+  *
+  * dist from 1: {1:0, 2:1, 3:2, 4:3}; shortest-path tree 1->2->3->4. */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("graph-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def edges = {
+    import spark.implicits._
+    Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (1L, 3L, 3.0))
+      .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .toDF("src", "dst", "cost")
+  }
+
+  test("reachableMulti: per-origin settled distances") {
+    val got = Reachability.reachableMulti(spark, edges, Seq(1L, 4L), cutoff = 10.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 1L)) == 0.0 && got((1L, 2L)) == 1.0 &&
+      got((1L, 3L)) == 2.0 && got((1L, 4L)) == 3.0)
+    assert(got((4L, 1L)) == 3.0 && got((4L, 3L)) == 1.0)
+    assert(got.size == 8)
+  }
+
+  test("closest: nearest target by network distance, tie by node id") {
+    import spark.implicits._
+    val targets = Seq(3L, 4L).toDF("node")
+    val got = Reachability.closest(spark, edges, Seq(1L, 4L), targets, cutoff = 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 3L, 2.0), (4L, 4L, 0.0)))
+  }
+
+  test("buildingAccess: minimal distance per (origin, building)") {
+    import spark.implicits._
+    // nodes 3 and 4 both belong to building 7
+    val buildings = Seq((3L, 7L), (4L, 7L), (2L, 9L)).toDF("node", "building_id")
+    val got = Reachability.buildingAccess(spark, edges, Seq(1L), buildings, cutoff = 10.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map((1L, 7L) -> 2.0, (1L, 9L) -> 1.0))
+  }
+
+  test("pathsToReach: per-edge usage counts of the shortest-path tree") {
+    val got = Reachability.pathsToReach(spark, edges, origin = 1L, cutoff = 10.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // leaves 2,3,4 all use edge 1->2; 3,4 use 2->3; 4 uses 3->4
+    assert(got == Map((1L, 2L) -> 3L, (2L, 3L) -> 2L, (3L, 4L) -> 1L))
+  }
+}
