@@ -356,6 +356,67 @@ object SparkEntry {
         .orderBy("feature_id")
     }),
 
+    // --- §2.3 path ordered-join (features.go:458-494): split every fixture
+    //     path in half, reverse the second half, ordered-join must restore
+    //     the original (exercises the orientation-fixing concat) ---
+    "q_path_join" -> ((s, _) => {
+      val p = Tables.paths(s)
+      // Column `/` is double division — truncate to int or the even-length
+      // slice gets a fractional length
+      val m = ((size(col("lats")) + 1) / 2).cast("int")
+      val halves = p.select(col("path_id"),
+        slice(col("lats"), lit(1), m).as("a_lats"),
+        slice(col("lngs"), lit(1), m).as("a_lngs"),
+        reverse(slice(col("lats"), m, size(col("lats")) - m + 1)).as("b_lats"),
+        reverse(slice(col("lngs"), m, size(col("lngs")) - m + 1)).as("b_lngs"))
+      graft.ops.Polyline.orderedJoinPaths(halves)
+        .select(col("path_id"), size(col("j_lats")).as("n_vertices"),
+          col("j_lats")(0).as("first_lat"), col("j_lngs")(0).as("first_lng"),
+          element_at(col("j_lats"), -1).as("last_lat"),
+          element_at(col("j_lngs"), -1).as("last_lng"))
+        .orderBy("path_id")
+    }),
+
+    // --- §2.1 GeoJSON breadth: LineString / MultiPoint / Polygon /
+    //     MultiPolygon parse + geojson-areas inversion (geojson.go:133-145) ---
+    "q_geojson_full" -> ((s, _) => {
+      import s.implicits._
+      val fc = Seq(Synth.geojsonFullFixture).toDF("json")
+      val parsed = graft.sources.GeoJson.parseFeatureCollection(fc, "json")
+      val nParts = when(col("geom_type") === "Point", lit(1))
+        .when(col("geom_type") === "LineString", lit(1))
+        .when(col("geom_type") === "MultiPoint", size(col("points_lat")))
+        .when(col("geom_type") === "Polygon", size(col("rings_lat")))
+        .when(col("geom_type") === "MultiPolygon", size(col("polys_lat")))
+      val nPoints = when(col("geom_type") === "Point", lit(1))
+        .when(col("geom_type") === "LineString", size(col("path_lat")))
+        .when(col("geom_type") === "MultiPoint", size(col("points_lat")))
+        .when(col("geom_type") === "Polygon",
+          aggregate(col("rings_lat"), lit(0), (a, r) => a + size(r)))
+        .when(col("geom_type") === "MultiPolygon",
+          aggregate(col("polys_lat"), lit(0),
+            (a, poly) => a + aggregate(poly, lit(0), (b, r) => b + size(r))))
+      val areas = graft.sources.GeoJson.geojsonAreas(parsed)
+        .where(col("poly_idx") === 0)
+        .select(col("feature_id"), col("inverted"))
+      parsed.select(col("feature_id"), col("geom_type"),
+          nParts.as("n_parts"), nPoints.as("n_points"))
+        .join(areas, Seq("feature_id"), "left")
+        .orderBy("feature_id")
+    }),
+
+    // --- §2.1/§3.3 MVT line + area layers (renderer/encoder.go:77-143):
+    //     paths at z10, region polygons at z6, per-tile blobs ---
+    "q_mvt_paths" -> ((s, _) => {
+      val lines = Tiling.mvtPathTiles(Tables.paths(s), 10, "paths")
+        .select(lit("paths").as("layer"), col("z"), col("x"), col("y"),
+          col("n_features"), length(col("mvt")).as("mvt_bytes"))
+      val areas = Tiling.mvtRegionTiles(Tables.regions(s), 6, "areas")
+        .select(lit("areas").as("layer"), col("z"), col("x"), col("y"),
+          col("n_features"), length(col("mvt")).as("mvt_bytes"))
+      lines.unionByName(areas).orderBy("layer", "z", "x", "y")
+    }),
+
     // --- §2.1/§3.3 MVT sink: per-tile vector-tile blobs ---
     "q_mvt_tiles" -> ((s, dir) =>
       Tiling.mvtPointTiles(images(s, dir).select("image_id", "lat", "lng"), 10, "images")
@@ -516,6 +577,9 @@ object SparkEntry {
       "q_building_access" -> g("q_building_access", "origin, building_id"),
       "q_paths_to_reach" -> g("q_paths_to_reach", "src, dst"),
       "q_s2_covering" -> g("q_s2_covering", "region_id, token"),
+      "q_path_join" -> g("q_path_join", "path_id"),
+      "q_geojson_full" -> g("q_geojson_full", "feature_id"),
+      "q_mvt_paths" -> g("q_mvt_paths", "layer, z, x, y"),
       "q_sightline" -> g("q_sightline", "origin_id"),
       "q_simhash" -> g("q_simhash", "id_a, id_b"),
       "q_tiles_regions" -> g("q_tiles_regions", "region_id, z, x, y")

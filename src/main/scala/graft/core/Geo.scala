@@ -200,6 +200,21 @@ object Geo {
     math.min(raw, sphere - raw)
   }
 
+  /** Signed planar shoelace area of a ring in the (lng, lat) plane, deg²:
+    * positive for counter-clockwise winding. Orientation test for rings away
+    * from the poles (geojson-areas inversion check). */
+  def shoelaceSigned(lat: Array[Double], lng: Array[Double]): Double = {
+    val n = lat.length
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      s += lng(i) * lat(j) - lng(j) * lat(i)
+      i += 1
+    }
+    s / 2.0
+  }
+
   /** Douglas-Peucker polyline simplification in the (lng, lat) plane with a
     * degree tolerance — the reference's tile-rendering simplification shape
     * (renderer/simplify.go:13-38). Returns kept vertex indices (ascending,

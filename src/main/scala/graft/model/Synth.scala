@@ -206,6 +206,31 @@ object Synth {
     b.result()
   }
 
+  /** GeoJSON-breadth fixture (shared INPUT for q_geojson_full; the golden's
+    * expected OUTPUT is derived from the underlying arrays independently):
+    * 5 LineStrings from the path fixtures, a MultiPoint of the hot centers,
+    * a Polygon with region 0's shell REVERSED (flips winding, exercising the
+    * geojson-areas inversion), and a MultiPolygon of regions 1+2 shells. */
+  val geojsonFullFixture: String = {
+    def pos(lat: Double, lng: Double) = s"[$lng,$lat]"
+    def ring(lats: Array[Double], lngs: Array[Double], rev: Boolean) = {
+      val idx = if (rev) lats.indices.reverse else lats.indices
+      idx.map(i => pos(lats(i), lngs(i))).mkString("[", ",", "]")
+    }
+    val lines = paths.take(5).map { p =>
+      s"""{"type":"Feature","id":"line-${p.pathId}","properties":{},"geometry":{"type":"LineString","coordinates":${p.lats.indices.map(i => pos(p.lats(i), p.lngs(i))).mkString("[", ",", "]")}}}"""
+    }
+    val mp = s"""{"type":"Feature","id":"mp-0","properties":{},"geometry":{"type":"MultiPoint","coordinates":${hotCenters.map { case (la, lo) => pos(la, lo) }.mkString("[", ",", "]")}}}"""
+    val r0 = regions(0).rings(0)
+    val polyRev = s"""{"type":"Feature","id":"poly-rev","properties":{},"geometry":{"type":"Polygon","coordinates":[${ring(r0._1, r0._2, rev = true)}]}}"""
+    val mpoly = {
+      val p1 = regions(1).rings(0); val p2 = regions(2).rings(0)
+      s"""{"type":"Feature","id":"mpoly-12","properties":{},"geometry":{"type":"MultiPolygon","coordinates":[[${ring(p1._1, p1._2, rev = false)}],[${ring(p2._1, p2._2, rev = false)}]]}}"""
+    }
+    (lines :+ mp :+ polyRev :+ mpoly)
+      .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+  }
+
   /** 25 pinned query points: 6 inside the hot caps (dense path), 19
     * scattered (sparse path — nearest neighbours can be 1000s of km away). */
   val knnQueries: Array[KnnQuery] = {

@@ -96,6 +96,55 @@ object Polyline {
       .dropDuplicates("lat", "lng")
   }
 
+  /** Path `join` (reference api/functions/features.go:440-456): concatenate
+    * b after a, dropping b's first vertex when it equals a's last. */
+  def joinPathsKernel(aLat: Array[Double], aLng: Array[Double],
+                      bLat: Array[Double], bLng: Array[Double])
+      : (Array[Double], Array[Double]) = {
+    val skip =
+      if (aLat.nonEmpty && bLat.nonEmpty &&
+        bLat(0) == aLat(aLat.length - 1) && bLng(0) == aLng(aLng.length - 1)) 1
+      else 0
+    (aLat ++ bLat.drop(skip), aLng ++ bLng.drop(skip))
+  }
+
+  /** Path `ordered-join` (features.go:458-494): join a then b, reversing
+    * either so the shared end vertex lines up; the shared vertex is emitted
+    * once. None when the paths share no end vertex (the reference errors). */
+  def orderedJoinKernel(aLat: Array[Double], aLng: Array[Double],
+                        bLat: Array[Double], bLng: Array[Double])
+      : Option[(Array[Double], Array[Double])] = {
+    val aN = aLat.length; val bN = bLat.length
+    if (aN == 0 || bN == 0) return None
+    def pe(x1: Double, y1: Double, x2: Double, y2: Double) = x1 == x2 && y1 == y2
+    val orient =
+      if (pe(aLat(aN - 1), aLng(aN - 1), bLat(0), bLng(0))) Some((false, false))
+      else if (pe(aLat(aN - 1), aLng(aN - 1), bLat(bN - 1), bLng(bN - 1))) Some((false, true))
+      else if (pe(aLat(0), aLng(0), bLat(0), bLng(0))) Some((true, false))
+      else if (pe(aLat(0), aLng(0), bLat(bN - 1), bLng(bN - 1))) Some((true, true))
+      else None
+    orient.map { case (ra, rb) =>
+      val al = if (ra) aLat.reverse else aLat
+      val ag = if (ra) aLng.reverse else aLng
+      val bl = if (rb) bLat.reverse else bLat
+      val bg = if (rb) bLng.reverse else bLng
+      (al ++ bl.drop(1), ag ++ bg.drop(1))
+    }
+  }
+
+  /** Dataset form of ordered-join over (a_lats, a_lngs, b_lats, b_lngs)
+    * columns: adds `j_lats`/`j_lngs` (null when the paths don't connect). */
+  def orderedJoinPaths(pairs: DataFrame): DataFrame = {
+    val oj = udf((aLat: Seq[Double], aLng: Seq[Double],
+                  bLat: Seq[Double], bLng: Seq[Double]) =>
+      orderedJoinKernel(aLat.toArray, aLng.toArray, bLat.toArray, bLng.toArray)
+        .map { case (la, lo) => (la.toSeq, lo.toSeq) })
+    pairs.withColumn("j",
+        oj(col("a_lats"), col("a_lngs"), col("b_lats"), col("b_lngs")))
+      .withColumn("j_lats", col("j._1")).withColumn("j_lngs", col("j._2"))
+      .drop("j")
+  }
+
   /** Vertex table of the path set: one row per (path, vertex index). */
   def vertices(paths: DataFrame): DataFrame =
     paths

@@ -57,6 +57,101 @@ object Tiling {
     * as a batch job (SURVEY.md §3.3): features -> tile assignment ->
     * groupBy(z,x,y) -> encoded bytes, with id-ordered determinism and the
     * 10k/tile cap. Output: (z, x, y, n_features, mvt BINARY). */
+  /** One-pixel-ish simplification tolerance in degrees longitude at a zoom:
+    * the tile spans 360/2^z degrees across Mvt.Extent pixels. */
+  def pixelTolDeg(zoom: Int): Double =
+    360.0 / ((1L << zoom).toDouble * graft.sources.Mvt.Extent)
+
+  /** MVT LINESTRING layer: assign each path to the tiles touched by its
+    * vertices and segment midpoints, then per tile encode the paths (id
+    * order) with Douglas-Peucker simplification at one-pixel tolerance —
+    * the reference's line rendering path (renderer/encoder.go:77-143 +
+    * simplify.go) as a batch sink. Output: (z, x, y, n_features, mvt). */
+  def mvtPathTiles(paths: DataFrame, zoom: Int, layerName: String): DataFrame = {
+    import graft.core.{Geo, Tiles}
+    import graft.sources.Mvt
+    val tilesUdf = udf((lats: Seq[Double], lngs: Seq[Double]) => {
+      val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+      var i = 0
+      while (i < lats.length) {
+        out += Tiles.tileFromLatLng(lats(i), lngs(i), zoom)
+        if (i > 0)
+          out += Tiles.tileFromLatLng((lats(i - 1) + lats(i)) / 2, (lngs(i - 1) + lngs(i)) / 2, zoom)
+        i += 1
+      }
+      out.toSeq
+    })
+    val tol = pixelTolDeg(zoom)
+    val encode = udf((x: Long, y: Long,
+                      ids: Seq[String], lats: Seq[Seq[Double]], lngs: Seq[Seq[Double]]) => {
+      val order = ids.indices.sortBy(ids(_))
+      val feats = order.map { i =>
+        val la = lats(i).toArray; val lo = lngs(i).toArray
+        val keep = Geo.simplify(la, lo, tol)
+        val xs = new Array[Int](keep.length); val ys = new Array[Int](keep.length)
+        var k = 0
+        while (k < keep.length) {
+          val (px, py) = Mvt.tileLocal(la(keep(k)), lo(keep(k)), zoom, x, y)
+          xs(k) = px; ys(k) = py
+          k += 1
+        }
+        (Mvt.featureId(1L, "graft/path", ids(i).split("-").last.toLong), 2,
+          Mvt.lineGeometry(xs, ys))
+      }
+      Mvt.encodeGeomLayer(layerName, feats)
+    })
+    paths
+      .withColumn("t", explode(tilesUdf(col("lats"), col("lngs"))))
+      .select(col("path_id"), col("lats"), col("lngs"),
+        col("t._1").as("x"), col("t._2").as("y"))
+      .groupBy("x", "y")
+      .agg(collect_list("path_id").as("ids"),
+        collect_list("lats").as("las"), collect_list("lngs").as("los"))
+      .select(lit(zoom).as("z"), col("x"), col("y"),
+        size(col("ids")).cast("long").as("n_features"),
+        encode(col("x"), col("y"), col("ids"), col("las"), col("los")).as("mvt"))
+  }
+
+  /** MVT POLYGON layer: regions assigned to tiles via their S2 covering
+    * (the serving path's MightIntersect prune, SURVEY §3.3), rings encoded
+    * with MoveTo/LineTo/ClosePath and one-pixel simplification. */
+  def mvtRegionTiles(regions: DataFrame, zoom: Int, layerName: String): DataFrame = {
+    import graft.core.Geo
+    import graft.sources.Mvt
+    val tol = pixelTolDeg(zoom)
+    val encode = udf((x: Long, y: Long, ids: Seq[String],
+                      ringsLat: Seq[Seq[Seq[Double]]], ringsLng: Seq[Seq[Seq[Double]]]) => {
+      val order = ids.indices.sortBy(ids(_))
+      val feats = order.map { i =>
+        val rings = ringsLat(i).indices.map { r =>
+          val la = ringsLat(i)(r).toArray; val lo = ringsLng(i)(r).toArray
+          val keep = Geo.simplify(la, lo, tol)
+          val xs = new Array[Int](keep.length); val ys = new Array[Int](keep.length)
+          var k = 0
+          while (k < keep.length) {
+            val (px, py) = Mvt.tileLocal(la(keep(k)), lo(keep(k)), zoom, x, y)
+            xs(k) = px; ys(k) = py
+            k += 1
+          }
+          (xs, ys)
+        }
+        (Mvt.featureId(2L, "graft/region", ids(i).split("-").last.toLong), 3,
+          Mvt.polygonGeometry(rings))
+      }
+      Mvt.encodeGeomLayer(layerName, feats)
+    })
+    regions
+      .withColumn("t", explode(Udfs.tilesForCovering(zoom)(col("cells"))))
+      .select(col("region_id"), col("rings_lat"), col("rings_lng"),
+        col("t._2").as("x"), col("t._3").as("y"))
+      .groupBy("x", "y")
+      .agg(collect_list("region_id").as("ids"),
+        collect_list("rings_lat").as("rlas"), collect_list("rings_lng").as("rlos"))
+      .select(lit(zoom).as("z"), col("x"), col("y"),
+        size(col("ids")).cast("long").as("n_features"),
+        encode(col("x"), col("y"), col("ids"), col("rlas"), col("rlos")).as("mvt"))
+  }
+
   def mvtPointTiles(images: DataFrame, zoom: Int, layerName: String,
                     cap: Int = 10000): DataFrame = {
     import graft.sources.Mvt

@@ -27,25 +27,75 @@ object GeoJson {
         StructField("coordinates", StringType))))))))))
 
   /** Parse a column of GeoJSON FeatureCollection documents into one row per
-    * feature: (feature_id, geom_type, properties, rings_lat, rings_lng,
-    * lat, lng). Polygon rings are converted from [lng,lat] order. */
+    * feature. Geometry columns are type-dispatched (null for other types):
+    *
+    *   Point        -> lat, lng
+    *   Polygon      -> rings_lat, rings_lng          (ring of vertices)
+    *   LineString   -> path_lat, path_lng
+    *   MultiPoint   -> points_lat, points_lng
+    *   MultiPolygon -> polys_lat, polys_lng          (poly -> ring -> vertex)
+    *
+    * Coordinates convert from GeoJSON's [lng,lat] position order. */
   def parseFeatureCollection(df: DataFrame, jsonCol: String): DataFrame = {
     val parsed = df.withColumn("_fc",
         from_json(col(jsonCol), featureSchema, Map("allowUnquotedFieldNames" -> "false")))
       .withColumn("_f", explode(col("_fc.features")))
     val coords = col("_f.geometry.coordinates")
+    val gt = col("_f.geometry.type")
     val polyRings = from_json(coords, ArrayType(ArrayType(ArrayType(DoubleType))))
+    val positions = from_json(coords, ArrayType(ArrayType(DoubleType)))
     val point = from_json(coords, ArrayType(DoubleType))
+    val multiPoly = from_json(coords, ArrayType(ArrayType(ArrayType(ArrayType(DoubleType)))))
     parsed.select(
       col("_f.id").as("feature_id"),
-      col("_f.geometry.type").as("geom_type"),
+      gt.as("geom_type"),
       col("_f.properties").as("properties"),
-      when(col("_f.geometry.type") === "Polygon",
+      when(gt === "Polygon",
         transform(polyRings, ring => transform(ring, p => p(1)))).as("rings_lat"),
-      when(col("_f.geometry.type") === "Polygon",
+      when(gt === "Polygon",
         transform(polyRings, ring => transform(ring, p => p(0)))).as("rings_lng"),
-      when(col("_f.geometry.type") === "Point", point(1)).as("lat"),
-      when(col("_f.geometry.type") === "Point", point(0)).as("lng"))
+      when(gt === "Point", point(1)).as("lat"),
+      when(gt === "Point", point(0)).as("lng"),
+      when(gt === "LineString", transform(positions, p => p(1))).as("path_lat"),
+      when(gt === "LineString", transform(positions, p => p(0))).as("path_lng"),
+      when(gt === "MultiPoint", transform(positions, p => p(1))).as("points_lat"),
+      when(gt === "MultiPoint", transform(positions, p => p(0))).as("points_lng"),
+      when(gt === "MultiPolygon", transform(multiPoly,
+        poly => transform(poly, ring => transform(ring, p => p(1))))).as("polys_lat"),
+      when(gt === "MultiPolygon", transform(multiPoly,
+        poly => transform(poly, ring => transform(ring, p => p(0))))).as("polys_lng"))
+  }
+
+  /** geojson-areas (reference api/functions/geojson.go:133-145): the
+    * polygons of a document, INVERTING any polygon whose shell, as ordered,
+    * encloses more than half the sphere (the reference checks
+    * `Loop(0).Area() > 2*pi` and calls Invert). For lat/lng-ring polygons
+    * away from the poles that is exactly "shell wound clockwise", so the
+    * normalization reverses CW shells (and their holes) to CCW. One row per
+    * polygon: (feature_id, poly_idx, n_rings, inverted, rings_lat,
+    * rings_lng). */
+  def geojsonAreas(parsed: DataFrame): DataFrame = {
+    import graft.core.Geo
+    val polys = parsed
+      .where(col("geom_type") === "Polygon" || col("geom_type") === "MultiPolygon")
+      .select(col("feature_id"),
+        when(col("geom_type") === "Polygon",
+          array(struct(col("rings_lat").as("la"), col("rings_lng").as("lo"))))
+          .otherwise(zip_with(col("polys_lat"), col("polys_lng"),
+            (la, lo) => struct(la.as("la"), lo.as("lo")))).as("ps"))
+      .select(col("feature_id"), posexplode(col("ps")).as(Seq("poly_idx", "p")))
+    val normalize = udf((ringsLat: Seq[Seq[Double]], ringsLng: Seq[Seq[Double]]) => {
+      val shellCw = Geo.shoelaceSigned(ringsLat(0).toArray, ringsLng(0).toArray) < 0
+      val (la, lo) =
+        if (shellCw) (ringsLat.map(_.reverse), ringsLng.map(_.reverse))
+        else (ringsLat, ringsLng)
+      (shellCw, la, lo)
+    })
+    polys.withColumn("n", normalize(col("p.la"), col("p.lo")))
+      .select(col("feature_id"), col("poly_idx"),
+        size(col("p.la")).as("n_rings"),
+        col("n._1").as("inverted"),
+        col("n._2").as("rings_lat"), col("n._3").as("rings_lng"))
   }
 
   /** Render point rows as a GeoJSON Feature per row (to-geojson). */

@@ -88,6 +88,70 @@ object Mvt {
     tile.result()
   }
 
+  /** LINESTRING geometry commands (MVT 2.1 §4.3, matching the shapes of the
+    * reference's renderer/encoder.go:77-143): MoveTo(1) then LineTo(n-1),
+    * cursor-relative zigzag deltas; the cursor starts at (0,0) per feature. */
+  def lineGeometry(xs: Array[Int], ys: Array[Int]): Array[Byte] = {
+    val g = new Buf
+    var cx = 0; var cy = 0
+    g.varint((1L << 3) | 1) // MoveTo, count 1
+    g.varint(zigzag(xs(0) - cx)); g.varint(zigzag(ys(0) - cy))
+    cx = xs(0); cy = ys(0)
+    if (xs.length > 1) {
+      g.varint(((xs.length - 1).toLong << 3) | 2) // LineTo, count n-1
+      var i = 1
+      while (i < xs.length) {
+        g.varint(zigzag(xs(i) - cx)); g.varint(zigzag(ys(i) - cy))
+        cx = xs(i); cy = ys(i)
+        i += 1
+      }
+    }
+    g.result()
+  }
+
+  /** POLYGON geometry commands: per ring MoveTo(1) + LineTo(n-1) +
+    * ClosePath(1); the closing vertex is NOT repeated; the cursor persists
+    * across rings within one feature (MVT 2.1 §4.3.4.4). */
+  def polygonGeometry(rings: Seq[(Array[Int], Array[Int])]): Array[Byte] = {
+    val g = new Buf
+    var cx = 0; var cy = 0
+    rings.foreach { case (xs, ys) =>
+      g.varint((1L << 3) | 1) // MoveTo, count 1
+      g.varint(zigzag(xs(0) - cx)); g.varint(zigzag(ys(0) - cy))
+      cx = xs(0); cy = ys(0)
+      if (xs.length > 1) {
+        g.varint(((xs.length - 1).toLong << 3) | 2) // LineTo, count n-1
+        var i = 1
+        while (i < xs.length) {
+          g.varint(zigzag(xs(i) - cx)); g.varint(zigzag(ys(i) - cy))
+          cx = xs(i); cy = ys(i)
+          i += 1
+        }
+      }
+      g.varint((1L << 3) | 7) // ClosePath, count 1
+    }
+    g.result()
+  }
+
+  /** Encode one tag-less layer of pre-built feature geometries.
+    * @param feats (featureId, geomType 2=LINESTRING 3=POLYGON, geomBytes). */
+  def encodeGeomLayer(layerName: String, feats: Seq[(Long, Int, Array[Byte])]): Array[Byte] = {
+    val layer = new Buf
+    layer.uint(15, 2)          // version
+    layer.string(1, layerName) // name
+    feats.foreach { case (id, gt, geom) =>
+      val feat = new Buf
+      feat.uint(1, id)
+      feat.uint(3, gt)
+      feat.bytes(4, geom)
+      layer.bytes(2, feat.result())
+    }
+    layer.uint(5, Extent)
+    val tile = new Buf
+    tile.bytes(3, layer.result())
+    tile.result()
+  }
+
   /** Feature id exactly as the reference: FNV-64 of (type, ns, value)
     * (api/tiles.go:10-32). */
   def featureId(typeCode: Long, ns: String, value: Long): Long =

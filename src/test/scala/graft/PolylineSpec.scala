@@ -122,4 +122,25 @@ class PolylineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got.nonEmpty)
   }
+
+  test("path join drops the shared vertex; keeps both otherwise") {
+    val (la1, lo1) = Polyline.joinPathsKernel(
+      Array(0.0, 1.0), Array(0.0, 0.0), Array(1.0, 2.0), Array(0.0, 0.0))
+    assert(la1.toSeq == Seq(0.0, 1.0, 2.0))
+    val (la2, _) = Polyline.joinPathsKernel(
+      Array(0.0, 1.0), Array(0.0, 0.0), Array(5.0, 6.0), Array(0.0, 0.0))
+    assert(la2.toSeq == Seq(0.0, 1.0, 5.0, 6.0))
+    assert(lo1.length == 3)
+  }
+
+  test("ordered-join fixes orientation in all four cases and rejects disjoint") {
+    val a = (Array(0.0, 1.0), Array(0.0, 0.0))
+    def oj(b: (Array[Double], Array[Double])) =
+      Polyline.orderedJoinKernel(a._1, a._2, b._1, b._2).map(_._1.toSeq)
+    assert(oj((Array(1.0, 2.0), Array(0.0, 0.0))) == Some(Seq(0.0, 1.0, 2.0)))   // FF
+    assert(oj((Array(2.0, 1.0), Array(0.0, 0.0))) == Some(Seq(0.0, 1.0, 2.0)))   // FT
+    assert(oj((Array(0.0, -1.0), Array(0.0, 0.0))) == Some(Seq(1.0, 0.0, -1.0))) // TF
+    assert(oj((Array(-1.0, 0.0), Array(0.0, 0.0))) == Some(Seq(1.0, 0.0, -1.0))) // TT
+    assert(oj((Array(5.0, 6.0), Array(5.0, 5.0))).isEmpty)
+  }
 }

@@ -107,4 +107,60 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.util.Arrays.equals(
       again.getAs[Array[Byte]]("mvt"), big.getAs[Array[Byte]]("mvt")))
   }
+
+  test("MVT line geometry: hand-computed command sequence") {
+    // (1,2) -> (3,4): MoveTo(1,1) zz(1) zz(2), LineTo(1,2) zz(2) zz(2)
+    val g = Mvt.lineGeometry(Array(1, 3), Array(2, 4))
+    assert(g.toSeq == Seq[Byte](9, 2, 4, 10, 4, 4))
+  }
+
+  test("MVT polygon geometry: hand-computed command sequence with ClosePath") {
+    // ring (0,0) (10,0) (10,10): MoveTo, LineTo x2, ClosePath
+    val g = Mvt.polygonGeometry(Seq((Array(0, 10, 10), Array(0, 0, 10))))
+    assert(g.toSeq == Seq[Byte](9, 0, 0, 18, 20, 0, 0, 20, 15))
+  }
+
+  test("MVT polygon cursor persists across rings within a feature") {
+    val g = Mvt.polygonGeometry(Seq(
+      (Array(0, 10), Array(0, 0)),
+      (Array(12, 13), Array(1, 1))))
+    // second ring's MoveTo is relative to (10,0): dx=2, dy=1
+    def varints(b: Array[Byte]): Seq[Long] = {
+      var i = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (i < b.length) {
+        var v = 0L; var s = 0
+        while ({ val x = b(i); i += 1; v |= (x & 0x7fL) << s; s += 7; (x & 0x80) != 0 }) ()
+        out += v
+      }
+      out.toSeq
+    }
+    def unzig(v: Long): Long = (v >>> 1) ^ -(v & 1)
+    val vs = varints(g)
+    // [MoveTo,0,0, LineTo(1),20,0, ClosePath, MoveTo,dx,dy, LineTo(1)...,ClosePath]
+    assert(vs(6) == 15)                      // first ClosePath
+    assert(unzig(vs(8)) == 2 && unzig(vs(9)) == 1)
+  }
+
+  test("GeoJSON breadth: LineString/MultiPoint/MultiPolygon parse + areas inversion") {
+    import spark.implicits._
+    val parsed = GeoJson.parseFeatureCollection(
+      Seq(graft.model.Synth.geojsonFullFixture).toDF("json"), "json")
+    val byId = parsed.collect().map(r => r.getAs[String]("feature_id") -> r).toMap
+    assert(byId("line-path-0000").getAs[String]("geom_type") == "LineString")
+    assert(byId("line-path-0000").getAs[scala.collection.Seq[Double]]("path_lat").length ==
+      graft.model.Synth.paths(0).lats.length)
+    assert(byId("mp-0").getAs[scala.collection.Seq[Double]]("points_lat").length == 3)
+    assert(byId("mpoly-12").getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("polys_lat").length == 2)
+    val areas = GeoJson.geojsonAreas(parsed).collect()
+      .map(r => (r.getAs[String]("feature_id"), r.getAs[Int]("poly_idx")) -> r).toMap
+    // the reversed region-0 shell must be flagged + normalized back
+    val rev = areas(("poly-rev", 0))
+    val r0 = graft.model.Synth.regions(0).rings(0)
+    val expectCw = graft.core.Geo.shoelaceSigned(r0._1.reverse, r0._2.reverse) < 0
+    assert(rev.getAs[Boolean]("inverted") == expectCw)
+    if (expectCw)
+      assert(rev.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rings_lat")(0).toSeq == r0._1.toSeq)
+    assert(areas(("mpoly-12", 1)) != null)
+  }
 }
