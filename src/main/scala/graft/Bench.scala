@@ -127,12 +127,19 @@ object Bench {
         iter += 1
       }
       val usable = if (pairs.exists(_.clean)) pairs.filter(_.clean) else pairs
-      val best = usable.maxBy(p => (p.tn / p.tm))
-      val eff = (best.tn / best.tm) / (m.toDouble / n)
+      // headline = MEDIAN clean-pair efficiency (ADVICE r01: the best pair
+      // is a systematic upward cherry-pick); min/max reported alongside
+      def effOf(p: Pair) = (p.tn / p.tm) / (m.toDouble / n)
+      val effs = usable.map(effOf).sorted
+      val eff =
+        if (effs.length % 2 == 1) effs(effs.length / 2)
+        else (effs(effs.length / 2 - 1) + effs(effs.length / 2)) / 2.0
+      val med = usable.minBy(p => math.abs(effOf(p) - eff))
+      def r3(x: Double) = math.rint(x * 1000) / 1000.0
       (eff,
-        s"""{"rows":$scaleRows,"cores_n":$n,"sec_n":${best.tn},"images_per_sec_n":${(scaleRows / best.tn).toLong},""" +
-        s""""cores_4n":$m,"sec_4n":${best.tm},"images_per_sec_4n":${(scaleRows / best.tm).toLong},""" +
-        s""""efficiency":${math.rint(eff * 1000) / 1000.0},""" +
+        s"""{"rows":$scaleRows,"cores_n":$n,"sec_n":${med.tn},"images_per_sec_n":${(scaleRows / med.tn).toLong},""" +
+        s""""cores_4n":$m,"sec_4n":${med.tm},"images_per_sec_4n":${(scaleRows / med.tm).toLong},""" +
+        s""""efficiency":${r3(eff)},"efficiency_min":${r3(effs.head)},"efficiency_max":${r3(effs.last)},""" +
         s""""clean_pairs":$cleanPairs,"steal_polluted":${!pairs.exists(_.clean)}}""")
     }
 

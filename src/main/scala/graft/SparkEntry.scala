@@ -356,6 +356,32 @@ object SparkEntry {
         .orderBy("feature_id")
     }),
 
+    // --- §3.2 shell pipeline with lambdas (shell.y:95-100): find + filter
+    //     lambda + map-to-pair + take, evaluated purely as Catalyst ---
+    "q_shell" -> ((s, dir) =>
+      graft.api.Shell.run(images(s, dir),
+        "find [#status=O] | filter {x -> (gt (get x price) 50000)} | " +
+          "map {x -> (pair (get x image_id) (divide (get x price) 2))} | take 20",
+        idCol = "first")),
+
+    // --- §1.1 4-type Feature model: Typed queries + FeatureID-ordered take
+    //     over the unified heterogeneous world (world.go:52-64,157-177) ---
+    "q_typed_take" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.model.Features.world(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ftype").orderBy(graft.model.Features.idOrder: _*)))
+        .where(col("rn") <= 4)
+        .select(col("ftype"), col("ns"), col("fid"), col("rn"))
+        .orderBy("ftype", "rn")
+    }),
+
+    // --- §1.1 relations: member dereference (id-lookup join) against the
+    //     unified world (world.go:605-616) ---
+    "q_relation_members" -> ((s, dir) =>
+      graft.model.Features.dereferenceMembers(graft.model.Features.world(s, dir))
+        .orderBy("rel_fid", "mfid")),
+
     // --- §2.3 path ordered-join (features.go:458-494): split every fixture
     //     path in half, reverse the second half, ordered-join must restore
     //     the original (exercises the orientation-fixing concat) ---
@@ -462,6 +488,10 @@ object SparkEntry {
     Map(
       "q_take" ->
         s"$W SELECT image_id, caption, lat, lng FROM images ORDER BY image_id LIMIT 10",
+      "q_shell" ->
+        (s"""$W SELECT image_id AS "first", price / CAST(2.0 AS DOUBLE) AS "second" """ +
+          "FROM images WHERE status = 'O' AND price > CAST(50000.0 AS DOUBLE) " +
+          "ORDER BY image_id LIMIT 20"),
       "q_find_tagged" ->
         (s"$W SELECT image_id FROM images WHERE status = 'O' " +
           "AND lat BETWEEN CAST(40.70 AS DOUBLE) AND CAST(40.72 AS DOUBLE) " +
@@ -578,6 +608,8 @@ object SparkEntry {
       "q_paths_to_reach" -> g("q_paths_to_reach", "src, dst"),
       "q_s2_covering" -> g("q_s2_covering", "region_id, token"),
       "q_path_join" -> g("q_path_join", "path_id"),
+      "q_typed_take" -> g("q_typed_take", "ftype, rn"),
+      "q_relation_members" -> g("q_relation_members", "rel_fid, mfid"),
       "q_geojson_full" -> g("q_geojson_full", "feature_id"),
       "q_mvt_paths" -> g("q_mvt_paths", "layer, z, x, y"),
       "q_sightline" -> g("q_sightline", "origin_id"),

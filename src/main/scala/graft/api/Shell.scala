@@ -42,8 +42,54 @@ object Shell {
         val lat = la.toDouble; val lng = lo.toDouble; val rm = r.toDouble
         val d = rm / 111000.0
         df.where(Search.withinCapD2(lat, lng, math.cos(math.toRadians(lat)), d * d))
+      case "filter" :: rest =>
+        // filter {x -> (gt (get x price) 100)}   (shell.y:95-100 lambdas;
+        // api/functions/collections.go:210-246 filter)
+        val (param, body) = lambdaBody(rest.mkString(" "))
+        df.where(expression(body, param))
+      case "map" :: rest =>
+        // map {x -> (pair e1 e2)} -> (first, second); map {x -> e} -> value
+        // (api/functions/map.go:10-48)
+        val (param, body) = lambdaBody(rest.mkString(" "))
+        val c = expression(body, param)
+        if (body.trim.startsWith("(pair"))
+          df.select(c.getField("first").as("first"), c.getField("second").as("second"))
+        else df.select(c.as("value"))
       case other => throw new IllegalArgumentException(s"unknown stage: $stage")
     }
+  }
+
+  /** `{x -> body}` -> (param, body). */
+  private def lambdaBody(s: String): (String, String) = {
+    val inner = s.trim.stripPrefix("{").stripSuffix("}").trim
+    val parts = inner.split("->", 2)
+    (parts(0).trim, parts(1).trim)
+  }
+
+  /** Lambda-body expression -> Column: s-exprs over the reference's scalar
+    * function surface (math.go:10-55 add/divide/gt/clamp; features.go
+    * get accessors; map.go pair). `(get x key)` reads column `key`; bare
+    * names read columns; numeric literals are doubles. */
+  def expression(src: String, param: String): Column = {
+    val s = src.trim
+    if (s.startsWith("(")) {
+      val inner = s.substring(1, s.length - 1).trim
+      val (op, rest) = inner.span(!_.isWhitespace)
+      val args = splitArgs(rest.trim)
+      def e(i: Int) = expression(args(i), param)
+      op match {
+        case "get" | "get-float" | "get-int" | "get-string" | "value" =>
+          require(args.head == param, s"unbound lambda variable in $s")
+          col(args(1).stripPrefix("\"").stripSuffix("\""))
+        case "add" | "add-ints" => e(0) + e(1)
+        case "divide" | "divide-int" => e(0) / e(1)
+        case "gt" => e(0) > e(1)
+        case "clamp" => least(greatest(e(0), e(1)), e(2))
+        case "pair" => struct(e(0).as("first"), e(1).as("second"))
+        case other => throw new IllegalArgumentException(s"unknown function: $other")
+      }
+    } else if (s.matches("-?\\d+(\\.\\d+)?")) lit(s.toDouble)
+    else col(s)
   }
 
   /** Query literal -> Column predicate: `[#k=v]`, `[#k]`, `(and q1 q2)`,
@@ -92,7 +138,7 @@ object Shell {
     val t = stage.trim
     val (op, rest) = t.span(!_.isWhitespace)
     if (rest.trim.isEmpty) List(op)
-    else if (op == "find") List(op, rest.trim)
+    else if (op == "find" || op == "filter" || op == "map") List(op, rest.trim)
     else op :: rest.trim.split("\\s+").toList
   }
 }

@@ -65,4 +65,26 @@ class ShellSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Shell.run(images, "find [#status] | count").collect()(0).getLong(0)
     assert(got == images.count())
   }
+
+  test("lambda stages: filter + map-to-pair match manual Column pipeline") {
+    val images = Tables.images(spark, sfDir)
+    val got = Shell.run(images,
+      "find [#status=O] | filter {x -> (gt (get x price) 50000)} | " +
+        "map {x -> (pair (get x image_id) (divide (get x price) 2))} | take 20",
+      idCol = "first")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = images.where(col("status") === "O" && col("price") > 50000.0)
+      .select(col("image_id").as("first"), (col("price") / 2.0).as("second"))
+      .orderBy("first").limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("lambda map to a scalar yields a single value column") {
+    val images = Tables.images(spark, sfDir)
+    val out = Shell.run(images, "map {x -> (clamp (divide (get x price) 1000) 0 100)}")
+    assert(out.columns.toSeq == Seq("value"))
+    val vs = out.collect().map(_.getDouble(0))
+    assert(vs.forall(v => v >= 0.0 && v <= 100.0))
+  }
 }
