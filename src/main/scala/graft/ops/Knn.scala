@@ -89,6 +89,63 @@ object Knn {
       .orderBy("query_id", "rank")
   }
 
+  /** CellStore-backed kNN: identical semantics and results to `knn`, but
+    * each expansion round READS ONLY the store buckets overlapping the
+    * round's cap coverings (`CellStore.readRanges`) instead of re-scanning
+    * the full projection — the design-scale shape (VERDICT r01 hazard):
+    * early rounds touch only the files under the query caps, so a 10^12-row
+    * table costs IO proportional to the caps, not the table. */
+  def knnFromStore(spark: SparkSession, storeDir: String, queries: Seq[KnnQuery],
+                   k: Int = 10, initialRadiusDeg: Double = 2.0): DataFrame = {
+    import graft.lineage.CellStore
+    var remaining = queries
+    var radiusDeg = initialRadiusDeg
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[Row]
+    while (remaining.nonEmpty) {
+      val full = radiusDeg >= 180.0
+      val qRows = remaining.map { q =>
+        val covering: Seq[Long] =
+          if (full) (0 until 6).map(f => S2.parent(f.toLong << S2.PosBits | (1L << (S2.PosBits - 1)), 0))
+          else S2.covering(
+            S2.Cap(Geo.toXYZ(q.lat, q.lng), math.toRadians(radiusDeg)),
+            maxCells = 12, maxLevel = 16).toSeq
+        (q.queryId, q.lat, q.lng, q.cosLat, covering)
+      }
+      val qDf = spark.createDataFrame(qRows)
+        .toDF("query_id", "qlat", "qlng", "qcos", "qcells")
+      val ranges = qRows.flatMap(_._5).map(c => (S2.rangeMin(c), S2.rangeMax(c)))
+      val imgs =
+        if (full) CellStore.readAll(spark, storeDir)
+        else CellStore.readRanges(spark, storeDir, ranges)._1
+      val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+        ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
+      val cands = imgs.join(broadcast(qDf),
+          Udfs.inCovering(col("cell16"), col("qcells")))
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("d2"), col("image_id"))))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("image_id"), col("rank"), col("d2"))
+        .collect()
+      val byQuery = cands.groupBy(_.getInt(0))
+      val still = scala.collection.mutable.ArrayBuffer.empty[KnnQuery]
+      remaining.foreach { q =>
+        val rows = byQuery.getOrElse(q.queryId, Array.empty)
+        val kthBoundDeg =
+          if (rows.length < k) Double.MaxValue
+          else math.sqrt(rows.map(_.getDouble(3)).max) * (1.0 + 1.0 / q.cosLat)
+        if (full || (rows.length >= k && kthBoundDeg <= radiusDeg))
+          rows.foreach(r => resolved += Row(r.getInt(0), r.getLong(1), r.getInt(2)))
+        else still += q
+      }
+      remaining = still.toSeq
+      radiusDeg *= 8
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(resolved.toSeq, 1), resultSchema)
+      .orderBy("query_id", "rank")
+  }
+
   private val resultSchemaM = StructType(Seq(
     StructField("query_id", IntegerType, nullable = false),
     StructField("image_id", LongType, nullable = false),

@@ -58,19 +58,46 @@ object Search {
     df.groupBy(keyCol).agg(sum(valueCol).as("total"))
 
   /** Exact percentile of each value (full-sort semantics of math.go:57-103)
-    * without a global single-partition window: aggregate to distinct values
-    * (hash agg, partial+final), cumulative-sum over the DISTINCT values only
-    * (tiny), then join the ranks back. percent_rank(v) =
-    * (#rows strictly below v) / (n - 1) — identical doubles to the window
-    * form and to SQL PERCENT_RANK. */
+    * with NO single-partition stage anywhere (r01 hazard closed):
+    *
+    *   1. aggregate to distinct values (hash agg, partial+final);
+    *   2. range-partition + sort the distinct values, take per-partition
+    *      totals (one tiny collect), prefix them on the driver;
+    *   3. per-partition cumulative sum seeded with the partition's offset
+    *      (mapPartitions — genuinely imperative per-partition logic);
+    *   4. join the ranks back on the value.
+    *
+    * percent_rank(v) = (#rows strictly below v) / (n - 1) — exact long
+    * arithmetic until one final double division, so results are identical
+    * to the window form and to SQL PERCENT_RANK regardless of partitioning.
+    * Scales to continuous high-cardinality columns: the widest stage is a
+    * range-partitioned sort of the distinct values. */
   def percentiles(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
     val n = df.count()
+    // cache pins the (sampled, hence per-run) range boundaries so both
+    // passes see identical partitions
     val counts = df.groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
-    val cum = counts.withColumn("_cum",
-      sum("_cnt").over(Window.orderBy(col(valueCol))))
-    val pct = cum.withColumn("pct",
-      (col("_cum") - col("_cnt")).cast("double") / lit(math.max(1L, n - 1)).cast("double"))
+      .repartitionByRange(col(valueCol))
+      .sortWithinPartitions(valueCol)
+      .cache()
+    val totals = counts
+      .select(spark_partition_id().as("_pid"), col("_cnt"))
+      .groupBy("_pid").agg(sum("_cnt").as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nParts = counts.rdd.getNumPartitions
+    val offsets = Array.tabulate(nParts)(identity)
+      .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
+    val schema = counts.schema.add("_cum", org.apache.spark.sql.types.LongType)
+    val cumRdd = counts.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r => acc += r.getLong(1); org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc) }
+    }
+    val pct = spark.createDataFrame(cumRdd, schema)
+      .withColumn("pct",
+        (col("_cum") - col("_cnt")).cast("double") / lit(math.max(1L, n - 1)).cast("double"))
       .select(col(valueCol).as("_v"), col("pct"))
-    df.join(broadcast(pct), df(valueCol) === col("_v")).drop("_v")
+    val out = df.join(pct, df(valueCol) === col("_v")).drop("_v")
+    out
   }
 }

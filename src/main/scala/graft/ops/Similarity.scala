@@ -67,17 +67,25 @@ object Similarity {
   def cosineLshPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      threshold: Double, bits: Int = 32, bands: Int = 4): DataFrame = {
     val rows = bits / bands
-    val sk = hyperplaneSketch(withNorm(df, idCol, vecCol), "id", "vec", bits, dim)
+    val base = withNorm(df, idCol, vecCol)
+    // band join carries ONLY (id, band_key) — the vectors do NOT ride the
+    // x`bands` replication through the shuffle (same restructure as the
+    // minhash path); they re-attach per candidate id for the exact refine
+    val keys = hyperplaneSketch(base.select("id", "vec"), "id", "vec", bits, dim)
       .withColumn("band", explode(lit((0 until bands).toArray)))
       .withColumn("band_key",
         expr(s"concat(band, ':', shiftrightunsigned(sketch, band * $rows) & ${(1L << rows) - 1}L)"))
-    val a = sk.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a"), col("band_key"))
-    val b = sk.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b"), col("band_key"))
-    a.join(b, "band_key")
+      .select("id", "band_key")
+    val candPairs = keys.select(col("id").as("id_a"), col("band_key"))
+      .join(keys.select(col("id").as("id_b"), col("band_key")), "band_key")
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candPairs
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")).as("cosine"))
-      .distinct()
       .where(col("cosine") >= threshold)
   }
 }

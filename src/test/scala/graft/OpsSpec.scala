@@ -285,4 +285,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.agg(sum("output_rows")).collect()(0).getLong(0) == want)
     assert(m.select("checksum").collect().forall(!_.isNullAt(0)))
   }
+
+  test("CellStore-backed kNN equals the cached-projection path") {
+    val images = Tables.images(spark, sfDir)
+      .select("image_id", "lat", "lng", "cell16")
+    val dir = java.nio.file.Files.createTempDirectory("knnstore").toString
+    graft.lineage.CellStore.write(images, dir)
+    val qs = Synth.knnQueries.toSeq.take(8)
+    val a = graft.ops.Knn.knn(spark, images, qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    val b = graft.ops.Knn.knnFromStore(spark, dir, qs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

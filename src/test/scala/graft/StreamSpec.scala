@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming-correctness gate for sessionizeStreaming (ADVICE r01): a
+  * session whose events span micro-batches must be EXTENDED, not split, and
+  * is emitted only when the event-time watermark passes its gap expiry. */
+class StreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("stream-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ev(id: Long, user: Long, sec: Long): EventStream.Event =
+    EventStream.Event(id, new java.sql.Timestamp(sec * 1000L), user, "t", 1.0, "{}")
+
+  test("session spanning micro-batches is extended and emitted on gap expiry") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventStream.Event]
+    val sessions = EventStream.sessionizeStreaming(
+      ms.toDS().withWatermark("ts", "10 seconds"), gapSeconds = 3600)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    try {
+      // batch 1: user 1, two events 10 min apart
+      ms.addData(ev(1, 1L, 100000), ev(2, 1L, 100600))
+      q.processAllAvailable()
+      // batch 2: user 1 again 20 min later — same session, must extend
+      ms.addData(ev(3, 1L, 101800))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0,
+        "open session must NOT be emitted before the watermark passes its expiry")
+      // batches 3+4: another user far in the future advances the watermark
+      // past user 1's expiry (101800 + 3600); the timeout then fires
+      ms.addData(ev(4, 2L, 120000))
+      q.processAllAvailable()
+      ms.addData(ev(5, 2L, 120001))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.contains((1L, 100000L, 101800L, 3L)),
+        s"expected user 1 session (100000,101800,3) after expiry; got ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("batch sessionize and gap-and-island batch oracle agree (regression)") {
+    import spark.implicits._
+    val events = Seq(ev(1, 1L, 0), ev(2, 1L, 600), ev(3, 1L, 9000), ev(4, 2L, 50))
+    val got = EventStream.sessionize(events.toDS(), gapSeconds = 3600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = EventStream.sessionizeBatch(events.toDF(), gapSeconds = 3600)
+      .select("user_id", "start_s", "end_s", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got == Set((1L, 0L, 600L, 2L), (1L, 9000L, 9000L, 1L), (2L, 50L, 50L, 1L)))
+  }
+}
