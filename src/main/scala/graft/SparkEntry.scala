@@ -382,6 +382,23 @@ object SparkEntry {
       graft.model.Features.dereferenceMembers(graft.model.Features.world(s, dir))
         .orderBy("rel_fid", "mfid")),
 
+    // --- §2.8 polygon clip (Foster-boolean convex-window slice,
+    //     geometry/foster.go:21-27): clip each region shell to its inner
+    //     half bounding box ---
+    "q_clip" -> ((s, _) => {
+      val la = col("rings_lat")(0); val lo = col("rings_lng")(0)
+      val latLo = (array_min(la) * lit(3.0) + array_max(la)) / lit(4.0)
+      val latHi = (array_min(la) + array_max(la) * lit(3.0)) / lit(4.0)
+      val lngLo = (array_min(lo) * lit(3.0) + array_max(lo)) / lit(4.0)
+      val lngHi = (array_min(lo) + array_max(lo) * lit(3.0)) / lit(4.0)
+      Tables.regions(s)
+        .select(col("region_id"),
+          Geometry.clipToRect(la, lo, latLo, latHi, lngLo, lngHi).as("c"))
+        .select(col("region_id"), size(col("c._1")).as("n_vertices"),
+          col("c._3").as("clip_area_m2"))
+        .orderBy("region_id")
+    }),
+
     // --- §2.3 path ordered-join (features.go:458-494): split every fixture
     //     path in half, reverse the second half, ordered-join must restore
     //     the original (exercises the orientation-fixing concat) ---
@@ -611,6 +628,7 @@ object SparkEntry {
       "q_typed_take" -> g("q_typed_take", "ftype, rn"),
       "q_relation_members" -> g("q_relation_members", "rel_fid, mfid"),
       "q_geojson_full" -> g("q_geojson_full", "feature_id"),
+      "q_clip" -> g("q_clip", "region_id"),
       "q_mvt_paths" -> g("q_mvt_paths", "layer, z, x, y"),
       "q_sightline" -> g("q_sightline", "origin_id"),
       "q_simhash" -> g("q_simhash", "id_a, id_b"),

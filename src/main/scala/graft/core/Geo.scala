@@ -200,6 +200,63 @@ object Geo {
     math.min(raw, sphere - raw)
   }
 
+  /** Sutherland–Hodgman polygon clip in the (lng, lat) plane: clip the
+    * subject ring by a CONVEX clip ring given in CCW order. Returns the
+    * clipped ring (possibly empty). This is the analytically load-bearing
+    * slice of the reference's Foster polygon booleans
+    * (geometry/foster.go:21-27): intersection against convex windows —
+    * tile rects, bounding boxes, cap polygons. General non-convex booleans
+    * remain out of scope (documented in COVERAGE.md).
+    * @return (lat[], lng[]) of the clipped ring. */
+  def clipRing(subjLat: Array[Double], subjLng: Array[Double],
+               clipLat: Array[Double], clipLng: Array[Double])
+      : (Array[Double], Array[Double]) = {
+    var curLat = subjLat
+    var curLng = subjLng
+    val m = clipLat.length
+    var e = 0
+    while (e < m && curLat.length > 0) {
+      val aLat = clipLat(e); val aLng = clipLng(e)
+      val bLat = clipLat((e + 1) % m); val bLng = clipLng((e + 1) % m)
+      // inside = left of the directed edge a->b (clip ring CCW in lng/lat)
+      def inside(pLat: Double, pLng: Double): Boolean =
+        (bLng - aLng) * (pLat - aLat) - (bLat - aLat) * (pLng - aLng) >= 0
+      def intersect(p1Lat: Double, p1Lng: Double, p2Lat: Double, p2Lng: Double)
+          : (Double, Double) = {
+        val dLat = p2Lat - p1Lat; val dLng = p2Lng - p1Lng
+        val den = (bLng - aLng) * dLat - (bLat - aLat) * dLng
+        val t = ((bLng - aLng) * (aLat - p1Lat) - (bLat - aLat) * (aLng - p1Lng)) / den
+        (p1Lat + t * dLat, p1Lng + t * dLng)
+      }
+      val outLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val outLng = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val n = curLat.length
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        val pIn = inside(curLat(i), curLng(i))
+        val qIn = inside(curLat(j), curLng(j))
+        if (pIn) { outLat += curLat(i); outLng += curLng(i) }
+        if (pIn != qIn) {
+          val (xLat, xLng) = intersect(curLat(i), curLng(i), curLat(j), curLng(j))
+          outLat += xLat; outLng += xLng
+        }
+        i += 1
+      }
+      curLat = outLat.toArray
+      curLng = outLng.toArray
+      e += 1
+    }
+    (curLat, curLng)
+  }
+
+  /** Clip a ring to a lat/lng rectangle (convex window; CCW in lng/lat). */
+  def clipRingToRect(lat: Array[Double], lng: Array[Double],
+                     latLo: Double, latHi: Double, lngLo: Double, lngHi: Double)
+      : (Array[Double], Array[Double]) =
+    clipRing(lat, lng,
+      Array(latLo, latLo, latHi, latHi), Array(lngLo, lngHi, lngHi, lngLo))
+
   /** Signed planar shoelace area of a ring in the (lng, lat) plane, deg²:
     * positive for counter-clockwise winding. Orientation test for rings away
     * from the poles (geojson-areas inversion check). */

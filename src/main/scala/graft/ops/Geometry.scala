@@ -80,6 +80,16 @@ object Geometry {
       org.apache.spark.sql.Encoders.scalaDouble
   }
 
+  /** Polygon clip against a per-row lat/lng rect — the convex-window slice
+    * of the reference's Foster polygon booleans (geometry/foster.go:21-27),
+    * the shape tile-rect clipping needs. Returns (rings, clipped spherical
+    * area; 0 when the clip result degenerates below 3 vertices). */
+  val clipToRect = udf((lats: Seq[Double], lngs: Seq[Double],
+                        latLo: Double, latHi: Double, lngLo: Double, lngHi: Double) => {
+    val (cl, cg) = Geo.clipRingToRect(lats.toArray, lngs.toArray, latLo, latHi, lngLo, lngHi)
+    (cl.toSeq, cg.toSeq, if (cl.length >= 3) Geo.sphericalAreaM2(cl, cg) else 0.0)
+  })
+
   private val hullAreaUdaf = udaf(HullAreaAgg,
     org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble))

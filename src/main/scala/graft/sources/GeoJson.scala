@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,8 +8,9 @@ import org.apache.spark.sql.types._
   * reference api/functions/geojson.go:18-145) as from_json/to_json over a
   * typed schema — fully declarative, no hand parser.
   *
-  * Supported geometry: Point and Polygon (rings of [lng, lat] positions, as
-  * the GeoJSON spec orders coordinates). Properties come through as a map. */
+  * Supported geometry: Point, Polygon, LineString, MultiPoint and
+  * MultiPolygon ([lng, lat] position order per the GeoJSON spec).
+  * Properties come through as a map. */
 object GeoJson {
 
   /** Schema of a GeoJSON FeatureCollection with polygon/point geometry.
@@ -96,6 +97,41 @@ object GeoJson {
         size(col("p.la")).as("n_rings"),
         col("n._1").as("inverted"),
         col("n._2").as("rings_lat"), col("n._3").as("rings_lng"))
+  }
+
+  /** apply-to-point / apply-to-path / apply-to-area + map-geometries
+    * (reference api/functions/geojson.go:147-215): type-dispatched geometry
+    * rewriting over a parsed feature frame. Each transform applies ONLY to
+    * rows of its geometry type; all other rows pass through unchanged —
+    * exactly the reference's applyTo* wrappers, expressed as conditional
+    * Column rewrites (no VM, no UDF unless the caller's transform uses one).
+    *
+    * @param pointFn (lat, lng) => (lat, lng)
+    * @param pathFn  (path_lat, path_lng) => (path_lat, path_lng)
+    * @param areaFn  (rings_lat, rings_lng) => (rings_lat, rings_lng) */
+  def mapGeometries(parsed: DataFrame,
+                    pointFn: Option[(Column, Column) => (Column, Column)] = None,
+                    pathFn: Option[(Column, Column) => (Column, Column)] = None,
+                    areaFn: Option[(Column, Column) => (Column, Column)] = None): DataFrame = {
+    val gt = col("geom_type")
+    val afterPoint = pointFn.fold(parsed) { f =>
+      val (la, lo) = f(col("lat"), col("lng"))
+      parsed
+        .withColumn("lat", when(gt === "Point", la).otherwise(col("lat")))
+        .withColumn("lng", when(gt === "Point", lo).otherwise(col("lng")))
+    }
+    val afterPath = pathFn.fold(afterPoint) { f =>
+      val (la, lo) = f(col("path_lat"), col("path_lng"))
+      afterPoint
+        .withColumn("path_lat", when(gt === "LineString", la).otherwise(col("path_lat")))
+        .withColumn("path_lng", when(gt === "LineString", lo).otherwise(col("path_lng")))
+    }
+    areaFn.fold(afterPath) { f =>
+      val (la, lo) = f(col("rings_lat"), col("rings_lng"))
+      afterPath
+        .withColumn("rings_lat", when(gt === "Polygon", la).otherwise(col("rings_lat")))
+        .withColumn("rings_lng", when(gt === "Polygon", lo).otherwise(col("rings_lng")))
+    }
   }
 
   /** Render point rows as a GeoJSON Feature per row (to-geojson). */

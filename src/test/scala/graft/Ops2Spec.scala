@@ -179,4 +179,27 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("polygon clip: hand-computed rect-window vectors") {
+    import graft.core.Geo
+    // unit square (lat,lng in 0..10) clipped by rect 5..15 -> square 5..10
+    val (cl, cg) = Geo.clipRingToRect(
+      Array(0.0, 0.0, 10.0, 10.0), Array(0.0, 10.0, 10.0, 0.0),
+      5.0, 15.0, 5.0, 15.0)
+    assert(cl.length == 4)
+    val verts = cl.zip(cg).map { case (a, b) => (a, b) }.toSet
+    assert(verts == Set((5.0, 10.0), (5.0, 5.0), (10.0, 5.0), (10.0, 10.0)))
+    // disjoint window -> empty
+    val (el, _) = Geo.clipRingToRect(
+      Array(0.0, 0.0, 1.0, 1.0), Array(0.0, 1.0, 1.0, 0.0), 5.0, 6.0, 5.0, 6.0)
+    assert(el.isEmpty)
+    // window containing the subject -> subject unchanged (same vertex set)
+    val (fl, fg) = Geo.clipRingToRect(
+      Array(0.0, 0.0, 1.0, 1.0), Array(0.0, 1.0, 1.0, 0.0), -5.0, 6.0, -5.0, 6.0)
+    assert(fl.zip(fg).toSet == Set((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)))
+    // triangle poking into the window -> clipped triangle corner
+    val (tl, tg) = Geo.clipRingToRect(
+      Array(0.0, 4.0, 0.0), Array(0.0, 0.0, 4.0), 0.0, 2.0, 0.0, 10.0)
+    assert(tl.max == 2.0 && tl.length >= 3)
+  }
 }

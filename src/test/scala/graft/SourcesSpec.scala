@@ -163,4 +163,23 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rev.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rings_lat")(0).toSeq == r0._1.toSeq)
     assert(areas(("mpoly-12", 1)) != null)
   }
+
+  test("map-geometries: type-dispatched rewrite leaves other types untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val parsed = GeoJson.parseFeatureCollection(
+      Seq(graft.model.Synth.geojsonFullFixture).toDF("json"), "json")
+    val shifted = GeoJson.mapGeometries(parsed,
+      pointFn = Some((la, lo) => (la + 1.0, lo)),
+      pathFn = Some((la, lo) => (reverse(la), reverse(lo))))
+    val byId = shifted.collect().map(r => r.getAs[String]("feature_id") -> r).toMap
+    // paths reversed
+    val p0 = graft.model.Synth.paths(0)
+    assert(byId("line-path-0000").getAs[scala.collection.Seq[Double]]("path_lat").head
+      == p0.lats.last)
+    // polygons untouched (no areaFn)
+    val r0 = graft.model.Synth.regions(0).rings(0)
+    assert(byId("poly-rev").getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rings_lat")(0).length
+      == r0._1.length)
+  }
 }
