@@ -197,6 +197,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // --- similarity: IVF ANN (scale path #2): deterministic spherical
+    //     k-means coarse quantizer, probe-pruned exact top-k ---
+    "q_ann_ivf" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val emb = s.table("embeddings")
+      val sample = emb.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val centroids = Similarity.trainCentroids(sample, nClusters = 16, iters = 5)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", 10, centroids, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // --- similarity: LSH-bucketed ANN pairs (scale path, approximate) ---
     "q_ann_lsh" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -608,6 +621,7 @@ object SparkEntry {
       // parquet by Verify. Closes the r01 no_oracle gap for queries whose
       // math is not ANSI-SQL-expressible. ----
       "q_ann_lsh" -> g("q_ann_lsh", "id_a, id_b"),
+      "q_ann_ivf" -> g("q_ann_ivf", "query_id, rank"),
       "q_connect" -> g("q_connect", "id"),
       "q_elevation" -> g("q_elevation", "id"),
       "q_fingerprint" -> g("q_fingerprint", "doc_id"),

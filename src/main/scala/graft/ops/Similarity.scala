@@ -38,6 +38,97 @@ object Similarity {
       .select(col("query_id"), col("id").as("result_id"), col("rank"))
   }
 
+  /** Deterministic spherical k-means for the IVF coarse quantizer: trained
+    * driver-side on a BOUNDED sample (rows sorted by id; init = the first
+    * nClusters vectors; fixed iteration count; cosine assignment with
+    * lowest-index tie-break; empty clusters keep their centroid). At design
+    * scale the sample is a `.limit(...)` over the corpus — the quantizer is
+    * a constant-size model, never a full pass. */
+  def trainCentroids(sample: Array[(Long, Array[Float])], nClusters: Int,
+                     iters: Int): Array[Array[Double]] = {
+    def normalize(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.sqrt(s)
+      v.map(x => if (n == 0) 0.0 else x.toDouble / n)
+    }
+    val data = sample.sortBy(_._1).map(p => normalize(p._2))
+    var centroids = data.take(nClusters).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nClusters)(new Array[Double](data(0).length))
+      val counts = new Array[Int](nClusters)
+      data.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.indices.toArray.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          var s = 0.0; var d = 0
+          while (d < sums(c).length) { s += sums(c)(d) * sums(c)(d); d += 1 }
+          val n = math.sqrt(s)
+          if (n == 0) centroids(c) else sums(c).map(_ / n)
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Index of the max-dot centroid (ties -> lowest index). */
+  def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      var s = 0.0; var d = 0
+      val ct = centroids(c)
+      while (d < ct.length && d < v.length) { s += ct(d) * v(d); d += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nProbe nearest centroids for a query vector (dot desc, index asc). */
+  def probeList(v: Array[Double], centroids: Array[Array[Double]], nProbe: Int): Array[Int] = {
+    centroids.indices.map { c =>
+      var s = 0.0; var d = 0
+      val ct = centroids(c)
+      while (d < ct.length && d < v.length) { s += ct(d) * v(d); d += 1 }
+      (c, s)
+    }.sortBy { case (c, s) => (-s, c) }.take(nProbe).map(_._1).toArray
+  }
+
+  /** IVF ANN (builder brief "IVF ... as the scale path"): corpus rows carry
+    * their nearest-centroid cluster id (a write-time assignment — the
+    * bucketing/partition key at scale, so a probe reads only its clusters'
+    * files); queries explode their nProbe probe clusters and the exact
+    * cosine top-k runs over ONLY the joined clusters. With
+    * nProbe == nClusters the result equals bruteForceTopK exactly
+    * (tested); smaller nProbe trades recall for a nClusters/nProbe scan
+    * cut. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val assign = udf((v: Seq[Float]) =>
+      nearestCentroid(v.map(_.toDouble).toArray, centroids))
+    val probes = udf((v: Seq[Float]) =>
+      probeList(v.map(_.toDouble).toArray, centroids, nProbe))
+    val c = withNorm(corpus, idCol, vecCol).withColumn("cluster", assign(col("vec")))
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+      .withColumn("cluster", explode(probes(col("qvec"))))
+    c.join(broadcast(q), Seq("cluster"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("result_id"), col("rank"))
+  }
+
   /** Signed random-hyperplane sketch: `bits` sign bits from deterministic
     * pseudo-random planes (seeded, no data dependence). */
   def hyperplaneSketch(df: DataFrame, idCol: String, vecCol: String,

@@ -202,4 +202,25 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
       Array(0.0, 4.0, 0.0), Array(0.0, 0.0, 4.0), 0.0, 2.0, 0.0, 10.0)
     assert(tl.max == 2.0 && tl.length >= 3)
   }
+
+  test("IVF ANN: full probe equals brute force exactly; partial probe keeps recall") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions._
+    graft.model.Tables.registerBase(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val sample = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centroids = Similarity.trainCentroids(sample, nClusters = 8, iters = 5)
+    val queries = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10, centroids, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute, "probing every cluster must equal brute force")
+    val partial = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10, centroids, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = partial.count(bruteIds.contains).toDouble / bruteIds.size
+    assert(recall >= 0.5, s"recall@10 with 3/8 probes too low: $recall")
+  }
 }
