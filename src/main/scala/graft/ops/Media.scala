@@ -156,8 +156,8 @@ object Media {
     withBytes.withColumn("embedding", feat(col("bytes")))
   }
 
-  /** Resize stub: mapPartitions batch shape (one buffer reused per batch as a
-    * real kernel would); nearest-neighbour downsample to (tw, th). */
+  /** Resize stub: per-row UDF form; nearest-neighbour downsample to
+    * (tw, th). `resizedPartitions` below is the batch-kernel form. */
   def resized(withBytes: DataFrame, tw: Int, th: Int): DataFrame = {
     val rz = udf((bytes: Array[Byte]) => {
       val (w, h, _, px) = decode(bytes)
@@ -179,5 +179,41 @@ object Media {
       out
     })
     withBytes.withColumn("resized", rz(col("bytes")))
+  }
+
+  /** TRUE batch-shaped resize: mapPartitions with one scratch buffer
+    * allocated per PARTITION and reused across its rows — the Scala
+    * analogue of a mapInPandas/Arrow-batch image kernel (the builder
+    * brief's multimodal batch shape; a real codec would amortize decoder
+    * state the same way). Output rows equal `resized` bit-for-bit
+    * (MediaSpec/OpsSpec). */
+  def resizedPartitions(withBytes: DataFrame, tw: Int, th: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.BinaryType
+    val spark = withBytes.sparkSession
+    val schema = withBytes.schema.add("resized", BinaryType)
+    val bytesIdx = withBytes.schema.fieldIndex("bytes")
+    val rdd = withBytes.rdd.mapPartitions { it =>
+      val scratch = new Array[Byte](tw * th * 3) // reused per row in the batch
+      it.map { r =>
+        val (w, h, _, px) = decode(r.getAs[Array[Byte]](bytesIdx))
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val sx = x * w / tw; val sy = y * h / th
+            var c = 0
+            while (c < 3) {
+              scratch((y * tw + x) * 3 + c) = px((sy * w + sx) * 3 + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ scratch.clone())
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 }

@@ -298,4 +298,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("batch-shaped resize (mapPartitions) equals the per-row UDF form") {
+    val imgs = Media.withPayload(
+      Tables.images(spark, sfDir).select("image_id").limit(64))
+    val a = Media.resized(imgs, 4, 4)
+      .select("image_id", "resized").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val b = Media.resizedPartitions(imgs, 4, 4)
+      .select("image_id", "resized").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(a == b && a.nonEmpty)
+  }
 }
