@@ -100,10 +100,15 @@ object Tiling {
       }
       Mvt.encodeGeomLayer(layerName, feats)
     })
+    import org.apache.spark.sql.expressions.Window
     paths
       .withColumn("t", explode(tilesUdf(col("lats"), col("lngs"))))
       .select(col("path_id"), col("lats"), col("lngs"),
         col("t._1").as("x"), col("t._2").as("y"))
+      // same pre-collect cap discipline as the point sink (reference 10k)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("x", "y").orderBy(col("path_id"))))
+      .where(col("rn") <= 10000)
       .groupBy("x", "y")
       .agg(collect_list("path_id").as("ids"),
         collect_list("lats").as("las"), collect_list("lngs").as("los"))
@@ -140,10 +145,14 @@ object Tiling {
       }
       Mvt.encodeGeomLayer(layerName, feats)
     })
+    import org.apache.spark.sql.expressions.Window
     regions
       .withColumn("t", explode(Udfs.tilesForCovering(zoom)(col("cells"))))
       .select(col("region_id"), col("rings_lat"), col("rings_lng"),
         col("t._2").as("x"), col("t._3").as("y"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("x", "y").orderBy(col("region_id"))))
+      .where(col("rn") <= 10000)
       .groupBy("x", "y")
       .agg(collect_list("region_id").as("ids"),
         collect_list("rings_lat").as("rlas"), collect_list("rings_lng").as("rlos"))

@@ -58,7 +58,12 @@ object EventStream {
     * of its single invocation — correct when all of a user's events arrive
     * in one pass (batch execution), wrong across micro-batches. The
     * streaming-correct form is `sessionizeStreaming` below, which holds the
-    * open session in GroupState under an event-time timeout. */
+    * open session in GroupState under an event-time timeout.
+    *
+    * Memory contract: one user's events for the invocation are sorted in
+    * memory (flatMapGroupsWithState does not guarantee sorted input). For
+    * batch workloads where single keys can hold millions of events, use the
+    * declarative `sessionizeBatch` (window functions, spillable) instead. */
   def sessionize(events: org.apache.spark.sql.Dataset[Event],
                  gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
