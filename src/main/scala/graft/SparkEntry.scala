@@ -323,6 +323,17 @@ object SparkEntry {
         .orderBy("origin", "building_id")
     }),
 
+    // --- §2.2 IntersectsPolyline: cell-pruned crossing join of paths
+    //     against region shells (spatial.go:425-514 approximate semantics) ---
+    "q_crossing" -> ((s, _) => {
+      val spokes = s.createDataFrame(Synth.spokePaths.toSeq.map(p =>
+          (p.pathId, p.lats.toSeq, p.lngs.toSeq)))
+        .toDF("path_id", "lats", "lngs")
+      graft.ops.Polyline.crossingJoin(
+          Tables.paths(s).unionByName(spokes), Tables.regions(s))
+        .orderBy("path_id", "region_id")
+    }),
+
     // --- §2.4 connect-to-network: nearest path within 500 m ---
     "q_connect" -> ((s, dir) =>
       graft.ops.Polyline.nearestPathJoin(
@@ -623,6 +634,7 @@ object SparkEntry {
       "q_ann_lsh" -> g("q_ann_lsh", "id_a, id_b"),
       "q_ann_ivf" -> g("q_ann_ivf", "query_id, rank"),
       "q_connect" -> g("q_connect", "id"),
+      "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),
       "q_fingerprint" -> g("q_fingerprint", "doc_id"),
       "q_geojson" -> g("q_geojson", "feature_id"),

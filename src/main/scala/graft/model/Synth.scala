@@ -206,6 +206,29 @@ object Synth {
     b.result()
   }
 
+  /** Crossing-probe fixture: 4 radial "spokes" per hot center, 0 -> 6 km
+    * outward — each MUST cross its 3 km urban shell, giving the crossing
+    * join a dense deterministic gate (q_crossing). */
+  val spokePaths: Array[Path] = {
+    val b = Array.newBuilder[Path]
+    for (k <- 0 until 3; d <- 0 until 4) {
+      val (cLat, cLng) = hotCenters(k)
+      val ang = math.Pi / 2 * d + 0.3
+      val lats = new Array[Double](4)
+      val lngs = new Array[Double](4)
+      var i = 0
+      while (i < 4) {
+        val rM = 2000.0 * i
+        lats(i) = math.rint((cLat + rM * math.cos(ang) / 111320.0) * 1000000) / 1000000.0
+        lngs(i) = math.rint((cLng + rM * math.sin(ang) /
+          (111320.0 * math.cos(math.toRadians(cLat)))) * 1000000) / 1000000.0
+        i += 1
+      }
+      b += Path(f"spoke-$k%02d$d%02d", lats, lngs)
+    }
+    b.result()
+  }
+
   /** GeoJSON-breadth fixture (shared INPUT for q_geojson_full; the golden's
     * expected OUTPUT is derived from the underlying arrays independently):
     * 5 LineStrings from the path fixtures, a MultiPoint of the hot centers,

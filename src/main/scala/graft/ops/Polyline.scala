@@ -96,6 +96,70 @@ object Polyline {
       .dropDuplicates("lat", "lng")
   }
 
+  /** IntersectsPolyline as a DISTRIBUTED crossing join (SURVEY §2.2;
+    * reference spatial.go:425-514, deliberately keeping its documented
+    * boundary-crossing approximation for areas): which paths strictly cross
+    * which region SHELL boundaries.
+    *
+    * Prune (sound, equi-join only): the path side samples each segment
+    * every h = cellEdge(level)/2 meters and emits, for every level-`level`
+    * cell intersecting cap(sample, h/2 + slack), the cell AND its coarser
+    * ancestors; the region side emits each covering cell clamped to
+    * `level` (deeper cells take their level-`level` parent). A crossing
+    * point lies on the path AND inside the region, so its sample's inflated
+    * covering meets the region covering at some shared cell id. Exact
+    * refine: pairwise great-circle arc crossings against the CLOSED shell.
+    *
+    * @return (path_id, region_id) one row per crossing pair. */
+  def crossingJoin(paths: DataFrame, regions: DataFrame, level: Int = 14): DataFrame = {
+    val edgeM = (math.Pi / 2.0) * Geo.EarthRadiusMeters / (1L << level)
+    val stepM = edgeM / 2.0
+    val reachM = stepM / 2.0 * 1.05 + 1.0
+    val pathCellsUdf = udf((lats: Seq[Double], lngs: Seq[Double]) => {
+      val cells = scala.collection.mutable.LinkedHashSet.empty[Long]
+      def addCap(la: Double, lo: Double): Unit =
+        S2.coveringAtLevel(
+          S2.Cap(Geo.toXYZ(la, lo), reachM / Geo.EarthRadiusMeters), level)
+          .foreach { c =>
+            var l = level
+            while (l >= 0 && cells.add(S2.parent(c, l))) l -= 1
+          }
+      addCap(lats(0), lngs(0))
+      var i = 1
+      while (i < lats.length) {
+        val segLen = Geo.haversineMeters(lats(i - 1), lngs(i - 1), lats(i), lngs(i))
+        val n = math.max(1, math.ceil(segLen / stepM).toInt)
+        var j = 1
+        while (j <= n) {
+          val (la, lo) = Geo.interpolate(
+            Array(lats(i - 1), lats(i)), Array(lngs(i - 1), lngs(i)), j.toDouble / n)
+          addCap(la, lo)
+          j += 1
+        }
+        i += 1
+      }
+      cells.toArray
+    })
+    val clampUdf = udf((c: Long) =>
+      if (S2.level(c) > level) S2.parent(c, level) else c)
+    val crossesClosed = udf((pLat: Seq[Double], pLng: Seq[Double],
+                             rLat: Seq[Double], rLng: Seq[Double]) =>
+      polylinesCross(pLat.toArray, pLng.toArray,
+        (rLat :+ rLat.head).toArray, (rLng :+ rLng.head).toArray))
+    val pathSide = paths
+      .withColumn("cell", explode(pathCellsUdf(col("lats"), col("lngs"))))
+    val regionSide = regions
+      .select(col("region_id"), col("rings_lat"), col("rings_lng"),
+        explode(col("cells")).as("rcell"))
+      .withColumn("cell", clampUdf(col("rcell")))
+      .dropDuplicates("region_id", "cell")
+    pathSide.join(broadcast(regionSide), "cell")
+      .dropDuplicates("path_id", "region_id")
+      .where(crossesClosed(col("lats"), col("lngs"),
+        col("rings_lat")(0), col("rings_lng")(0)))
+      .select(col("path_id"), col("region_id"))
+  }
+
   /** Path `join` (reference api/functions/features.go:440-456): concatenate
     * b after a, dropping b's first vertex when it equals a's last. */
   def joinPathsKernel(aLat: Array[Double], aLng: Array[Double],
