@@ -234,6 +234,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- text: BPE-ish regex pre-tokenizer counts (builder brief), pure
+    //     codegen regexp; plain SQL oracle ---
+    "q_text_tokens" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      s.table("documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // --- text: rolling-hash document fingerprint (kernel; rows-only) ---
     "q_fingerprint" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -590,6 +601,11 @@ object SparkEntry {
           "CAST(spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio, " +
           "CAST(n_chars - spaces AS DOUBLE) / CAST(GREATEST(1, n_tokens) AS DOUBLE) AS mean_token_len " +
           "FROM t ORDER BY doc_id"),
+      "q_text_tokens" ->
+        ("SELECT doc_id, " +
+          "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_ws_tokens, " +
+          s"CAST(LEN(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS BIGINT) AS n_bpe_tokens " +
+          "FROM documents ORDER BY doc_id"),
       "q_text_langid" -> {
         val scoreCols = TextOps.langProfiles.map { case (lang, words) =>
           val sum = words.map(w =>

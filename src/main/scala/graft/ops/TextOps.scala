@@ -51,6 +51,15 @@ object TextOps {
         (col(nCharsCol) - spaces).cast("double") / greatest(lit(1L), col("n_tokens")).cast("double"))
   }
 
+  /** "BPE-ish" regex token count (builder brief): alpha runs, digit runs,
+    * and single non-alphanumeric marks — the classic pre-tokenizer split —
+    * as a codegen regexp expression (no UDF). The pattern avoids dialect-
+    * sensitive escapes so Java and DuckDB RE2 count identically. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** Karp-Rabin rolling-hash document fingerprint (core kernel). */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", Udfs.fingerprint(col(textCol)))
