@@ -37,4 +37,24 @@ object Overlay {
   def addTag(base: DataFrame, idCol: String, ids: Seq[Long],
              tagCol: String, value: String): DataFrame =
     base.where(col(idCol).isin(ids: _*)).withColumn(tagCol, lit(value))
+
+  /** remove-tags as a Change (change.go:42-60): delta rows for `ids` with
+    * `tagCol` nulled — under `overlay` the delta wins, so the tag reads as
+    * absent in the hypothetical world. */
+  def removeTag(base: DataFrame, idCol: String, ids: Seq[Long],
+                tagCol: String): DataFrame =
+    base.where(col(idCol).isin(ids: _*))
+      .withColumn(tagCol, lit(null).cast(base.schema(tagCol).dataType))
+
+  /** merge-changes (change.go:62-78): combine Change batches into one delta;
+    * later batches win on id collision (the reference applies in order). */
+  def mergeChanges(idCol: String, changes: Seq[DataFrame]): DataFrame = {
+    val tagged = changes.zipWithIndex
+      .map { case (c, i) => c.withColumn("_batch", lit(i)) }
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_batch").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_batch", "_rn")
+  }
 }

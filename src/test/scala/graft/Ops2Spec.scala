@@ -223,4 +223,20 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = partial.count(bruteIds.contains).toDouble / bruteIds.size
     assert(recall >= 0.5, s"recall@10 with 3/8 probes too low: $recall")
   }
+
+  test("remove-tag and merge-changes compose with overlay") {
+    import graft.ops.Overlay
+    import org.apache.spark.sql.functions._
+    val base = Tables.images(spark, sfDir).select("image_id", "status", "priority")
+    val c1 = Overlay.addTag(base, "image_id", Seq(8L, 16L), "status", "X")
+    val c2 = Overlay.removeTag(base, "image_id", Seq(16L, 24L), "status")
+    val merged = Overlay.mergeChanges("image_id", Seq(c1, c2)) // c2 wins on 16
+    val world = Overlay.overlay(base, merged, "image_id")
+      .where(col("image_id").isin(8L, 16L, 24L, 32L))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(world(8L) == Some("X"))
+    assert(world(16L).isEmpty && world(24L).isEmpty)
+    val untouched = base.where(col("image_id") === 32L).collect().head.getString(1)
+    assert(world(32L) == Some(untouched))
+  }
 }

@@ -154,4 +154,33 @@ class PropertySpec extends AnyFunSuite {
       assert(kept.length <= la.length)
     }
   }
+
+  test("clipRing: output stays inside the window, bounded area, idempotent") {
+    val rnd = new scala.util.Random(11)
+    var nonEmpty = 0
+    (0 until 200).foreach { _ =>
+      val n = 3 + rnd.nextInt(8)
+      val cLat = -60 + 120 * rnd.nextDouble(); val cLng = -170 + 340 * rnd.nextDouble()
+      val lats = Array.tabulate(n)(i => cLat + 2 * math.cos(2 * math.Pi * i / n) * (0.5 + rnd.nextDouble()))
+      val lngs = Array.tabulate(n)(i => cLng + 2 * math.sin(2 * math.Pi * i / n) * (0.5 + rnd.nextDouble()))
+      val (lo1, hi1) = { val a = cLat - 1.5 + rnd.nextDouble(); (a, a + 2.0) }
+      val (lo2, hi2) = { val a = cLng - 1.5 + rnd.nextDouble(); (a, a + 2.0) }
+      val (cl, cg) = Geo.clipRingToRect(lats, lngs, lo1, hi1, lo2, hi2)
+      val eps = 1e-9
+      cl.indices.foreach { i =>
+        assert(cl(i) >= lo1 - eps && cl(i) <= hi1 + eps, s"lat ${cl(i)} outside [$lo1,$hi1]")
+        assert(cg(i) >= lo2 - eps && cg(i) <= hi2 + eps)
+      }
+      if (cl.length >= 3) {
+        nonEmpty += 1
+        val a = math.abs(Geo.shoelaceSigned(cl, cg))
+        assert(a <= (hi1 - lo1) * (hi2 - lo2) / 2 * 2 + 1e-9, "clipped area exceeds window")
+        assert(a <= math.abs(Geo.shoelaceSigned(lats, lngs)) + 1e-9, "clip grew the polygon")
+        // idempotent: re-clipping changes nothing (up to collinear dedup)
+        val (c2l, c2g) = Geo.clipRingToRect(cl, cg, lo1, hi1, lo2, hi2)
+        assert(math.abs(math.abs(Geo.shoelaceSigned(c2l, c2g)) - a) < 1e-9)
+      }
+    }
+    assert(nonEmpty > 50)
+  }
 }
