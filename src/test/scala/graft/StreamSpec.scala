@@ -63,4 +63,31 @@ class StreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == want && got == Set((1L, 0L, 600L, 2L), (1L, 9000L, 9000L, 1L), (2L, 50L, 50L, 1L)))
   }
+
+  test("containment probe runs unchanged under Structured Streaming") {
+    import org.apache.spark.sql.functions._
+    // the probe is a stateless map-side operator, so the SAME code drives a
+    // readStream source; per-region counts must equal the batch run
+    val images = graft.model.Tables.images(spark, "/root/testdata/sf0.001")
+      .select("image_id", "lat", "lng", "cell16")
+    val dir = java.nio.file.Files.createTempDirectory("stream-img").toString
+    images.write.mode("overwrite").parquet(dir)
+    val batchCounts = graft.ops.Containment
+      .containmentProbe(images, graft.model.Synth.regions)
+      .groupBy("region_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val streamIn = spark.readStream
+      .schema(images.schema)
+      .parquet(dir)
+    val q = graft.ops.Containment.containmentProbe(streamIn, graft.model.Synth.regions)
+      .groupBy("region_id").count()
+      .writeStream.format("memory").queryName("contain_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("contain_out")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == batchCounts && got.nonEmpty)
+    } finally q.stop()
+  }
 }
