@@ -27,6 +27,14 @@ object Udfs {
 
   val cellToken: UserDefinedFunction = udf((cell: Long) => S2.token(cell))
 
+  /** Cell id -> center (lat, lng) degrees — the s2-center / s2-points
+    * surface (reference api/functions/s2.go:52-67, 98-100). */
+  val cellCenter: UserDefinedFunction = udf((cell: Long) => {
+    val c = S2.centerXYZ(cell)
+    (math.toDegrees(math.atan2(c(2), math.hypot(c(0), c(1)))),
+      math.toDegrees(math.atan2(c(1), c(0))))
+  })
+
   /** Ancestors of a cell at the given levels — the feature side of the
     * two-sided cell join (SURVEY.md §2.7 "Spatial query rewrite"). */
   def ancestorsAt(levels: Seq[Int]): UserDefinedFunction = {

@@ -80,6 +80,19 @@ object Geometry {
       org.apache.spark.sql.Encoders.scalaDouble
   }
 
+  /** cap-polygon (reference api/functions/geometry.go:76-88 builds a
+    * 128-gon buffer around a point): an n-gon ring at `radiusMeters`,
+    * equirect-scaled in longitude — a generator for explode() or as a clip/
+    * containment input. */
+  def capPolygon(n: Int) = udf((lat: Double, lng: Double, radiusMeters: Double) => {
+    val cosL = math.cos(math.toRadians(lat))
+    (0 until n).map { i =>
+      val th = 2 * math.Pi * i / n
+      (lat + radiusMeters * math.cos(th) / 111320.0,
+        lng + radiusMeters * math.sin(th) / (111320.0 * cosL))
+    }
+  })
+
   /** Polygon clip against a per-row lat/lng rect — the convex-window slice
     * of the reference's Foster polygon booleans (geometry/foster.go:21-27),
     * the shape tile-rect clipping needs. Returns (rings, clipped spherical

@@ -228,4 +228,36 @@ class CoreSpec extends AnyFunSuite {
     val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
     assert(math.abs(est - 1.0 / 3.0) < 0.15, s"est $est") // true jaccard = 50/150
   }
+
+  test("cell center round-trips: center of cellAt(p) stays inside the cell") {
+    val spark2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = Seq((51.5074, -0.1278), (-33.8688, 151.2093), (0.01, 0.01))
+    val df = pts.toDF("lat", "lng")
+      .withColumn("cell", graft.functions.Udfs.cellAtLevel(col("lat"), col("lng"), lit(12)))
+      .withColumn("c", graft.functions.Udfs.cellCenter(col("cell")))
+    df.collect().foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      val c = r.getStruct(r.fieldIndex("c"))
+      val back = S2.cellAt(c.getDouble(0), c.getDouble(1), 12)
+      assert(back == cell, s"center must map back to its cell")
+    }
+  }
+
+  test("cap-polygon: n-gon ring at the requested radius") {
+    val spark2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val ring = Seq((51.5, -0.1, 1000.0)).toDF("lat", "lng", "r")
+      .select(graft.ops.Geometry.capPolygon(32)(col("lat"), col("lng"), col("r")).as("p"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(ring.length == 32)
+    ring.foreach { v =>
+      val d = Geo.haversineMeters(51.5, -0.1, v.getDouble(0), v.getDouble(1))
+      assert(math.abs(d - 1000.0) < 15.0, s"vertex at $d m, wanted ~1000")
+    }
+  }
 }
