@@ -127,14 +127,15 @@ object Bench {
         iter += 1
       }
       val usable = if (pairs.exists(_.clean)) pairs.filter(_.clean) else pairs
-      // headline = MEDIAN clean-pair efficiency (ADVICE r01: the best pair
-      // is a systematic upward cherry-pick); min/max reported alongside
+      // headline = the LOWER-MEDIAN clean pair's own efficiency (ADVICE r01:
+      // best-pair is an upward cherry-pick; using one concrete pair keeps
+      // sec_n/sec_4n and "efficiency" mutually consistent — review r02);
+      // min/max across pairs reported alongside
       def effOf(p: Pair) = (p.tn / p.tm) / (m.toDouble / n)
-      val effs = usable.map(effOf).sorted
-      val eff =
-        if (effs.length % 2 == 1) effs(effs.length / 2)
-        else (effs(effs.length / 2 - 1) + effs(effs.length / 2)) / 2.0
-      val med = usable.minBy(p => math.abs(effOf(p) - eff))
+      val sortedPairs = usable.sortBy(effOf)
+      val effs = sortedPairs.map(effOf)
+      val med = sortedPairs((sortedPairs.length - 1) / 2)
+      val eff = effOf(med)
       def r3(x: Double) = math.rint(x * 1000) / 1000.0
       (eff,
         s"""{"rows":$scaleRows,"cores_n":$n,"sec_n":${med.tn},"images_per_sec_n":${(scaleRows / med.tn).toLong},""" +

@@ -52,7 +52,7 @@ object Shell {
         // (api/functions/map.go:10-48)
         val (param, body) = lambdaBody(rest.mkString(" "))
         val c = expression(body, param)
-        if (body.trim.startsWith("(pair"))
+        if (body.trim.startsWith("(pair "))
           df.select(c.getField("first").as("first"), c.getField("second").as("second"))
         else df.select(c.as("value"))
       case other => throw new IllegalArgumentException(s"unknown stage: $stage")
@@ -63,6 +63,8 @@ object Shell {
   private def lambdaBody(s: String): (String, String) = {
     val inner = s.trim.stripPrefix("{").stripSuffix("}").trim
     val parts = inner.split("->", 2)
+    if (parts.length != 2)
+      throw new IllegalArgumentException(s"lambda needs '->': $s")
     (parts(0).trim, parts(1).trim)
   }
 

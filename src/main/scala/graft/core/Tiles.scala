@@ -28,6 +28,38 @@ object Tiles {
     (x.toLong, y.toLong)
   }
 
+  /** EVERY tile crossed by the straight segment between two points in this
+    * zoom's Mercator projection — Amanatides-Woo supercover grid traversal
+    * in continuous tile coordinates. Exact for the projected-chord geometry
+    * the MVT encoder draws (the encoder connects projected vertices with
+    * straight lines, so the chord in projected space IS the drawn shape);
+    * no sampling heuristic, no skipped interior tiles on long segments. */
+  def tilesOnSegment(lat1: Double, lng1: Double, lat2: Double, lng2: Double,
+                     zoom: Int): Array[(Long, Long)] = {
+    val (x1, y1) = project(lat1, lng1, zoom)
+    val (x2, y2) = project(lat2, lng2, zoom)
+    var cx = math.floor(x1).toLong; var cy = math.floor(y1).toLong
+    val ex = math.floor(x2).toLong; val ey = math.floor(y2).toLong
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]((cx, cy))
+    val dx = x2 - x1; val dy = y2 - y1
+    val stepX = if (dx > 0) 1L else -1L
+    val stepY = if (dy > 0) 1L else -1L
+    var tMaxX = if (dx == 0) Double.PositiveInfinity
+      else ((cx + (if (dx > 0) 1 else 0)) - x1) / dx
+    var tMaxY = if (dy == 0) Double.PositiveInfinity
+      else ((cy + (if (dy > 0) 1 else 0)) - y1) / dy
+    val tDeltaX = if (dx == 0) Double.PositiveInfinity else math.abs(1.0 / dx)
+    val tDeltaY = if (dy == 0) Double.PositiveInfinity else math.abs(1.0 / dy)
+    var guard = (math.abs(ex - cx) + math.abs(ey - cy) + 4) * 2
+    while ((cx != ex || cy != ey) && guard > 0) {
+      if (tMaxX < tMaxY) { cx += stepX; tMaxX += tDeltaX }
+      else { cy += stepY; tMaxY += tDeltaY }
+      out += ((cx, cy))
+      guard -= 1
+    }
+    out.toArray
+  }
+
   def tileId(x: Long, y: Long, z: Int): Long =
     (z.toLong << (64 - ZBits)) | (y << z) | x
 

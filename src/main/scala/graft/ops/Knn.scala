@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * table map-side (no shuffle of the big side), rank candidates per query
   * with a distance-bounded top-k window. A query resolves when it has >= k
   * candidates whose k-th distance, inflated to a sound great-circle bound,
-  * fits inside the probed radius; unresolved queries quadruple the radius
+  * fits inside the probed radius; unresolved queries expand the radius 8x
   * (terminates at the full sphere).
   *
   * Metric: squared equirectangular degrees (exact arithmetic shared with the
@@ -33,71 +33,13 @@ object Knn {
     StructField("image_id", LongType, nullable = false),
     StructField("rank", IntegerType, nullable = false)))
 
-  def knn(spark: SparkSession, images: DataFrame, queries: Seq[KnnQuery],
-          k: Int = 10, initialRadiusDeg: Double = 2.0): DataFrame = {
-    var remaining = queries
-    var radiusDeg = initialRadiusDeg
-    val resolved = scala.collection.mutable.ArrayBuffer.empty[Row]
-
-    // cache the probe projection: every expansion round re-probes it, and
-    // without the cache the upstream cell-assignment UDF re-runs per round
-    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
-
-    while (remaining.nonEmpty) {
-      val full = radiusDeg >= 180.0
-      val qRows = remaining.map { q =>
-        val covering: Seq[Long] =
-          if (full) (0 until 6).map(f => S2.parent(f.toLong << S2.PosBits | (1L << (S2.PosBits - 1)), 0))
-          else S2.covering(
-            S2.Cap(Geo.toXYZ(q.lat, q.lng), math.toRadians(radiusDeg)),
-            maxCells = 12, maxLevel = 16).toSeq
-        (q.queryId, q.lat, q.lng, q.cosLat, covering)
-      }
-      val qDf = spark.createDataFrame(qRows)
-        .toDF("query_id", "qlat", "qlng", "qcos", "qcells")
-
-      val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
-        ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
-
-      val cands = imgs.join(broadcast(qDf),
-          Udfs.inCovering(col("cell16"), col("qcells")))
-        .withColumn("d2", d2)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("d2"), col("image_id"))))
-        .where(col("rank") <= k)
-        .select(col("query_id"), col("image_id"), col("rank"), col("d2"))
-        .collect() // <= |queries| * k tiny rows; heavy filter+topk ran distributed
-
-      val byQuery = cands.groupBy(_.getInt(0))
-      val still = scala.collection.mutable.ArrayBuffer.empty[KnnQuery]
-      remaining.foreach { q =>
-        val rows = byQuery.getOrElse(q.queryId, Array.empty)
-        val kthBoundDeg =
-          if (rows.length < k) Double.MaxValue
-          else math.sqrt(rows.map(_.getDouble(3)).max) * (1.0 + 1.0 / q.cosLat)
-        if (full || (rows.length >= k && kthBoundDeg <= radiusDeg))
-          rows.foreach(r => resolved += Row(r.getInt(0), r.getLong(1), r.getInt(2)))
-        else still += q
-      }
-      remaining = still.toSeq
-      radiusDeg *= 8
-    }
-    imgs.unpersist()
-
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(resolved.toSeq, 1), resultSchema)
-      .orderBy("query_id", "rank")
-  }
-
-  /** CellStore-backed kNN: identical semantics and results to `knn`, but
-    * each expansion round READS ONLY the store buckets overlapping the
-    * round's cap coverings (`CellStore.readRanges`) instead of re-scanning
-    * the full projection — the design-scale shape (VERDICT r01 hazard):
-    * early rounds touch only the files under the query caps, so a 10^12-row
-    * table costs IO proportional to the caps, not the table. */
-  def knnFromStore(spark: SparkSession, storeDir: String, queries: Seq[KnnQuery],
-                   k: Int = 10, initialRadiusDeg: Double = 2.0): DataFrame = {
-    import graft.lineage.CellStore
+  /** Shared expansion loop for the squared-equirectangular metric: the two
+    * public forms differ ONLY in where each round's probe rows come from
+    * (cached projection vs CellStore range read) — one loop, no drift
+    * (review r02). */
+  private def knnRounds(spark: SparkSession, queries: Seq[KnnQuery], k: Int,
+                        initialRadiusDeg: Double,
+                        imagesForRound: (Boolean, Seq[(Long, Long)]) => DataFrame): DataFrame = {
     var remaining = queries
     var radiusDeg = initialRadiusDeg
     val resolved = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -114,9 +56,7 @@ object Knn {
       val qDf = spark.createDataFrame(qRows)
         .toDF("query_id", "qlat", "qlng", "qcos", "qcells")
       val ranges = qRows.flatMap(_._5).map(c => (S2.rangeMin(c), S2.rangeMax(c)))
-      val imgs =
-        if (full) CellStore.readAll(spark, storeDir)
-        else CellStore.readRanges(spark, storeDir, ranges)._1
+      val imgs = imagesForRound(full, ranges)
       val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
         ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
       val cands = imgs.join(broadcast(qDf),
@@ -126,7 +66,7 @@ object Knn {
           Window.partitionBy(col("query_id")).orderBy(col("d2"), col("image_id"))))
         .where(col("rank") <= k)
         .select(col("query_id"), col("image_id"), col("rank"), col("d2"))
-        .collect()
+        .collect() // <= |queries| * k tiny rows; heavy filter+topk ran distributed
       val byQuery = cands.groupBy(_.getInt(0))
       val still = scala.collection.mutable.ArrayBuffer.empty[KnnQuery]
       remaining.foreach { q =>
@@ -144,6 +84,29 @@ object Knn {
     spark.createDataFrame(
       spark.sparkContext.parallelize(resolved.toSeq, 1), resultSchema)
       .orderBy("query_id", "rank")
+  }
+
+  def knn(spark: SparkSession, images: DataFrame, queries: Seq[KnnQuery],
+          k: Int = 10, initialRadiusDeg: Double = 2.0): DataFrame = {
+    // cache the probe projection: every expansion round re-probes it, and
+    // without the cache the upstream cell-assignment UDF re-runs per round
+    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
+    try knnRounds(spark, queries, k, initialRadiusDeg, (_, _) => imgs)
+    finally imgs.unpersist()
+  }
+
+  /** CellStore-backed kNN: identical semantics and results to `knn`, but
+    * each expansion round READS ONLY the store buckets overlapping the
+    * round's cap coverings (`CellStore.readRanges`) instead of re-scanning
+    * the full projection — the design-scale shape (VERDICT r01 hazard):
+    * early rounds touch only the files under the query caps, so a 10^12-row
+    * table costs IO proportional to the caps, not the table. */
+  def knnFromStore(spark: SparkSession, storeDir: String, queries: Seq[KnnQuery],
+                   k: Int = 10, initialRadiusDeg: Double = 2.0): DataFrame = {
+    import graft.lineage.CellStore
+    knnRounds(spark, queries, k, initialRadiusDeg, (full, ranges) =>
+      if (full) CellStore.readAll(spark, storeDir)
+      else CellStore.readRanges(spark, storeDir, ranges)._1)
   }
 
   private val resultSchemaM = StructType(Seq(

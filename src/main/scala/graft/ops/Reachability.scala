@@ -32,20 +32,31 @@ object Reachability {
     * (round 4 of a 5-round flood spent 15 s planning 3 rows).
     * (`localCheckpoint` would do the same but trips a constraint-rewrite
     * bug under unionByName in Spark 4.1.) */
-  private def materialize(df: DataFrame): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    val rdd = df.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = rdd.count()
-    (spark.createDataFrame(rdd, df.schema), n)
+  private final class Tracker {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.Row
+    private val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
+    def materialize(df: DataFrame): (DataFrame, Long, RDD[Row]) = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      rdds += rdd
+      (df.sparkSession.createDataFrame(rdd, df.schema), n, rdd)
+    }
+    /** Unpersist every tracked intermediate except the result the caller
+      * hands out — without this, each flood round leaked one persisted RDD
+      * for the session's lifetime. */
+    def releaseExcept(keep: RDD[Row]): Unit =
+      rdds.foreach(r => if (r ne keep) r.unpersist(blocking = false))
   }
 
   /** The shared min-plus fixpoint: `init` carries `keyCols :+ "dist"` where
     * the last key column is the frontier node. Returns the settled table. */
   private def flood(spark: SparkSession, edges: DataFrame, init: DataFrame,
-                    keyCols: Seq[String], cutoff: Double, maxIters: Int): DataFrame = {
+                    keyCols: Seq[String], cutoff: Double, maxIters: Int,
+                    tracker: Tracker): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val e = edges.select(col("src"), col("dst"), col("cost").cast("double")).cache()
-    var dist = materialize(init)._1
+    var (dist, _, distRdd) = tracker.materialize(init)
     var frontier = dist
     var i = 0
     var done = false
@@ -59,21 +70,22 @@ object Reachability {
         .where(col("dist") <= cutoff)
         .groupBy(keyCols.map(col): _*).agg(min("dist").as("dist"))
       // keep only genuine improvements over the settled table
-      val (improved, nImproved) = materialize(expanded.as("x")
+      val (improved, nImproved, _) = tracker.materialize(expanded.as("x")
         .join(dist.as("s"),
           keyCols.map(c => col(s"x.$c") === col(s"s.$c")).reduce(_ && _), "left")
         .where(col("s.dist").isNull || col("x.dist") < col("s.dist"))
         .select(keyCols.map(c => col(s"x.$c").as(c)) :+ col("x.dist").as("dist"): _*))
       if (nImproved == 0) done = true
       else {
-        dist = materialize(dist.unionByName(improved)
-          .groupBy(keyCols.map(col): _*).agg(min("dist").as("dist")))._1
+        val (d, _, r) = tracker.materialize(dist.unionByName(improved)
+          .groupBy(keyCols.map(col): _*).agg(min("dist").as("dist")))
+        dist = d; distRdd = r
         frontier = improved
       }
       i += 1
     }
     e.unpersist()
-    dist
+    (dist, distRdd)
   }
 
   /** All nodes within `cutoff` cost of the origin set.
@@ -84,7 +96,10 @@ object Reachability {
                 cutoff: Double, maxIters: Int = 50): DataFrame = {
     import spark.implicits._
     val init = origins.distinct.map(o => (o, 0.0)).toDF("node", "dist")
-    flood(spark, edges, init, Seq("node"), cutoff, maxIters)
+    val t = new Tracker
+    val (dist, distRdd) = flood(spark, edges, init, Seq("node"), cutoff, maxIters, t)
+    t.releaseExcept(distRdd)
+    dist
   }
 
   /** Per-origin distances: same min-plus loop keyed by (origin, node) —
@@ -94,7 +109,10 @@ object Reachability {
                      cutoff: Double, maxIters: Int = 50): DataFrame = {
     import spark.implicits._
     val init = origins.distinct.map(o => (o, o, 0.0)).toDF("origin", "node", "dist")
-    flood(spark, edges, init, Seq("origin", "node"), cutoff, maxIters)
+    val t = new Tracker
+    val (dist, distRdd) = flood(spark, edges, init, Seq("origin", "node"), cutoff, maxIters, t)
+    t.releaseExcept(distRdd)
+    dist
   }
 
   /** Network-distance `closest` / `closest-distance` (SURVEY.md §2.4;
@@ -142,10 +160,13 @@ object Reachability {
     * @return (src, dst, uses LONG) tree edges with their usage counts. */
   def pathsToReach(spark: SparkSession, edges: DataFrame, origin: Long,
                    cutoff: Double, maxDepth: Int = 64): DataFrame = {
+    import spark.implicits._
+    val t = new Tracker
     val e = edges.select(col("src"), col("dst"), col("cost").cast("double"))
-    val dist = reachable(spark, edges, Seq(origin), cutoff)
+    val (dist, _) = flood(spark, edges,
+      Seq((origin, 0.0)).toDF("node", "dist"), Seq("node"), cutoff, 50, t)
     // pred(v): min src among edges attaining dist(v) = dist(src) + cost
-    val pred = materialize(
+    val pred = t.materialize(
       dist.select(col("node").as("dst"), col("dist").as("ddst"))
         .where(col("dst") =!= origin)
         .join(e, Seq("dst"))
@@ -153,23 +174,28 @@ object Reachability {
         .where(col("dsrc") + col("cost") === col("ddst"))
         .groupBy("dst").agg(min("src").as("pred")))._1
     // climb: frontier (leaf = every non-origin node, cur); one use per hop
-    var (frontier, nFrontier) = materialize(dist.where(col("node") =!= origin)
+    var (frontier, nFrontier, _) = t.materialize(dist.where(col("node") =!= origin)
       .select(col("node").as("leaf"), col("node").as("cur")))
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var depth = 0
     while (depth < maxDepth && nFrontier > 0) {
-      val hop = materialize(
+      val (hop, _, _) = t.materialize(
         frontier.join(broadcast(pred), frontier("cur") === pred("dst"))
-          .select(col("leaf"), col("pred"), col("cur")))._1
+          .select(col("leaf"), col("pred"), col("cur")))
       rounds += hop.groupBy(col("pred").as("src"), col("cur").as("dst"))
         .agg(count(lit(1)).as("uses"))
-      val (next, nNext) = materialize(hop.where(col("pred") =!= origin)
+      val (next, nNext, _) = t.materialize(hop.where(col("pred") =!= origin)
         .select(col("leaf"), col("pred").as("cur")))
       frontier = next
       nFrontier = nNext
       depth += 1
     }
-    rounds.reduceOption(_ unionByName _)
+    // LOUD truncation (review r02): silently capping the climb would return
+    // undercounted uses for trees deeper than maxDepth
+    if (nFrontier > 0)
+      throw new IllegalStateException(
+        s"pathsToReach: shortest-path tree deeper than maxDepth=$maxDepth; raise maxDepth")
+    val out = rounds.reduceOption(_ unionByName _)
       .map(_.groupBy("src", "dst").agg(sum("uses").as("uses")))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -177,5 +203,8 @@ object Reachability {
           org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("dst", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("uses", org.apache.spark.sql.types.LongType)))))
+    val (outM, _, outRdd) = t.materialize(out)
+    t.releaseExcept(outRdd)
+    outM
   }
 }

@@ -93,11 +93,15 @@ object Search {
       var acc = offsets(pid)
       it.map { r => acc += r.getLong(1); org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc) }
     }
+    // materialize pct eagerly, then release the cached counts (otherwise
+    // every percentiles() call pins a cached frame for the session — review
+    // r02); localCheckpoint keeps pct independent of counts' lineage
     val pct = spark.createDataFrame(cumRdd, schema)
       .withColumn("pct",
         (col("_cum") - col("_cnt")).cast("double") / lit(math.max(1L, n - 1)).cast("double"))
       .select(col(valueCol).as("_v"), col("pct"))
-    val out = df.join(pct, df(valueCol) === col("_v")).drop("_v")
-    out
+      .localCheckpoint(true)
+    counts.unpersist()
+    df.join(pct, df(valueCol) === col("_v")).drop("_v")
   }
 }

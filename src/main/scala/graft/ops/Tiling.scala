@@ -62,21 +62,23 @@ object Tiling {
   def pixelTolDeg(zoom: Int): Double =
     360.0 / ((1L << zoom).toDouble * graft.sources.Mvt.Extent)
 
-  /** MVT LINESTRING layer: assign each path to the tiles touched by its
-    * vertices and segment midpoints, then per tile encode the paths (id
-    * order) with Douglas-Peucker simplification at one-pixel tolerance —
-    * the reference's line rendering path (renderer/encoder.go:77-143 +
+  /** MVT LINESTRING layer: assign each path to EVERY tile its projected
+    * chords cross (supercover traversal, Tiles.tilesOnSegment — exact
+    * w.r.t. the geometry the encoder draws; no vertex-sampling gaps on
+    * long segments), then per tile encode the paths (id order) with
+    * Douglas-Peucker simplification at one-pixel tolerance — the
+    * reference's line rendering path (renderer/encoder.go:77-143 +
     * simplify.go) as a batch sink. Output: (z, x, y, n_features, mvt). */
   def mvtPathTiles(paths: DataFrame, zoom: Int, layerName: String): DataFrame = {
     import graft.core.{Geo, Tiles}
     import graft.sources.Mvt
     val tilesUdf = udf((lats: Seq[Double], lngs: Seq[Double]) => {
       val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
-      var i = 0
+      var i = 1
+      if (lats.length == 1) out += Tiles.tileFromLatLng(lats(0), lngs(0), zoom)
       while (i < lats.length) {
-        out += Tiles.tileFromLatLng(lats(i), lngs(i), zoom)
-        if (i > 0)
-          out += Tiles.tileFromLatLng((lats(i - 1) + lats(i)) / 2, (lngs(i - 1) + lngs(i)) / 2, zoom)
+        Tiles.tilesOnSegment(lats(i - 1), lngs(i - 1), lats(i), lngs(i), zoom)
+          .foreach(out += _)
         i += 1
       }
       out.toSeq
