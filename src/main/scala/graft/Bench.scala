@@ -103,7 +103,7 @@ object Bench {
     /** Measure one N-vs-4N pair under the steal-gated protocol; returns a
       * JSON fragment. The deadline bounds retries, not the first iteration.
       */
-    def measurePair(n: Int, m: Int, deadline: Long): (Double, String) = {
+    def measurePair(n: Int, m: Int, deadline: Long, minClean: Int = 2): (Double, String) = {
       // efficiency comes from WITHIN-iteration pairs: both arms measured
       // back-to-back under the same host conditions, so a contention window
       // degrades both instead of unfairly pairing a lucky N rep with an
@@ -112,15 +112,15 @@ object Bench {
       val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
       var iter = 0
       def cleanPairs = pairs.count(_.clean)
-      while ((cleanPairs < 2) &&
-             (iter < 2 || System.currentTimeMillis() < deadline)) {
+      while ((cleanPairs < minClean) &&
+             (iter < minClean || System.currentTimeMillis() < deadline)) {
         val order = if (iter % 2 == 0) Seq(m, n) else Seq(n, m)
         var tn = 0.0; var tm = 0.0; var clean = true
         order.foreach { cores =>
           Thread.sleep(15000) // idle: let the throttle credit refill
           val (t, s) = oneRep(cores)
           System.err.println(f"[bench] rep cores=$cores%2d sec=$t%6.2f steal_cs=$s")
-          if (s > 100) clean = false
+          if (s > 50) clean = false
           if (cores == n) tn = t else tm = t
         }
         pairs += Pair(tn, tm, clean)
@@ -151,8 +151,10 @@ object Bench {
     // arms stay inside the host's effective-core/memory headroom, so the
     // ratio measures the PLAN's parallel scalability (the honest proxy for
     // 4x executors, which add their own memory/GC capacity per node).
+    // 3 clean pairs for the gate pair: the median of 3 absorbs one noisy
+    // window that the steal counter cannot see (in-VM bandwidth/JIT noise)
     val (_, pairHeadroom) = measurePair(math.max(2, cpus / 8), math.max(4, cpus / 2),
-      t0 + budgetMs * 2 / 3)
+      t0 + budgetMs * 2 / 3, minClean = 3)
     // Secondary: the full-machine pair (8 vs 32) — capped by the single
     // box's effective cores; reported for transparency (BENCH.md).
     val (_, pairFull) = measurePair(nCores, cpus, t0 + budgetMs)

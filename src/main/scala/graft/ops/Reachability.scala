@@ -115,6 +115,16 @@ object Reachability {
     dist
   }
 
+  /** `connect` (reference api/functions/graph.go:218-239: add a path
+    * between two points as a Change): the edge-table delta — append both
+    * directed rows; evaluate any reachability query over the union for
+    * with-change semantics. */
+  def connect(edges: DataFrame, src: Long, dst: Long, cost: Double): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.unionByName(
+      Seq((src, dst, cost), (dst, src, cost)).toDF("src", "dst", "cost"))
+  }
+
   /** Network-distance `closest` / `closest-distance` (SURVEY.md §2.4;
     * reference api/functions/graph.go:106-153 floods to the cutoff then
     * takes the matching feature of minimal distance): per origin, the target

@@ -61,4 +61,15 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // leaves 2,3,4 all use edge 1->2; 3,4 use 2->3; 4 uses 3->4
     assert(got == Map((1L, 2L) -> 3L, (2L, 3L) -> 2L, (3L, 4L) -> 1L))
   }
+
+  test("connect adds an edge usable by the next reachability query") {
+    // without the edge, node 9 is unreachable; connect(4, 9) bridges it
+    val bridged = Reachability.connect(edges, 4L, 9L, 1.0)
+    val got = Reachability.reachable(spark, bridged, Seq(1L), cutoff = 10.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(9L) == 4.0)
+    val before = Reachability.reachable(spark, edges, Seq(1L), cutoff = 10.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(!before.contains(9L))
+  }
 }
