@@ -258,6 +258,13 @@ object SparkEntry {
           images(s, dir).select("image_id")))
         .orderBy("image_id")),
 
+    // --- multimodal: frame sampling plumbing (video-shaped payloads) ---
+    "q_media_frames" -> ((s, dir) =>
+      Media.frameSampled(Media.withPayload(images(s, dir).select("image_id")), stride = 3)
+        .select(col("image_id"), col("n_frames"),
+          length(col("frames")).as("frames_bytes"))
+        .orderBy("image_id")),
+
     // --- multimodal: decoded-pixel PSNR gate (rows-only; pinned by test) ---
     "q_media_psnr" -> ((s, dir) =>
       Media.psnrCheck(Media.withPayload(images(s, dir).select("image_id")))
@@ -374,7 +381,12 @@ object SparkEntry {
         case ((la, lo), i) => (i.toLong, la, lo)
       }
       graft.ops.Sightline.sightlines(s, origins, Tables.regions(s), 5000.0)
-        .select(col("origin_id"), size(col("polygon")).as("n_vertices"))
+        .select(col("origin_id"), size(col("polygon")).as("n_vertices"),
+          // quantized radius checksum: vertex SET is deterministic, so the
+          // long sum is order-independent — a much stronger gate than the
+          // count alone
+          expr("aggregate(polygon, 0L, (a, p) -> a + CAST(FLOOR(SQRT(p._1 * p._1 + p._2 * p._2) * 1000.0) AS BIGINT))")
+            .as("r_checksum"))
         .orderBy("origin_id")
     }),
 
@@ -614,6 +626,11 @@ object SparkEntry {
         }.mkString(", ")
         s"SELECT doc_id, lang, $scoreCols FROM documents ORDER BY doc_id"
       },
+      "q_media_frames" ->
+        (s"$W SELECT image_id, " +
+          "CAST(CASE WHEN image_id % 16 = 7 THEN 6 ELSE 3 END AS BIGINT) AS n_frames, " +
+          "CAST(CASE WHEN image_id % 16 = 7 THEN 288 ELSE 72 END AS INT) AS frames_bytes " +
+          "FROM images ORDER BY image_id"),
       "q_media_meta" ->
         (s"$W SELECT image_id, " +
           "CAST(CASE WHEN image_id % 16 = 7 THEN 16 ELSE 8 END AS INT) AS dec_w, " +
