@@ -183,4 +183,32 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(nonEmpty > 50)
   }
+
+  test("tilesOnSegment: supercover includes endpoints, is 4-connected, supersets samples") {
+    val rnd = new scala.util.Random(23)
+    (0 until 200).foreach { _ =>
+      val zoom = 6 + rnd.nextInt(7)
+      val lat1 = -70 + 140 * rnd.nextDouble(); val lng1 = -170 + 340 * rnd.nextDouble()
+      // up to ~5 tile-widths away
+      val span = 5.0 * 360.0 / (1L << zoom)
+      val lat2 = math.max(-84, math.min(84, lat1 + (rnd.nextDouble() - 0.5) * span))
+      val lng2 = math.max(-179, math.min(179, lng1 + (rnd.nextDouble() - 0.5) * span))
+      val tiles = Tiles.tilesOnSegment(lat1, lng1, lat2, lng2, zoom)
+      val set = tiles.toSet
+      assert(set.contains(Tiles.tileFromLatLng(lat1, lng1, zoom)), "start tile missing")
+      assert(set.contains(Tiles.tileFromLatLng(lat2, lng2, zoom)), "end tile missing")
+      // consecutive tiles are 4-adjacent (the defining supercover property)
+      tiles.sliding(2).foreach {
+        case Array((x1, y1), (x2, y2)) =>
+          assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, "non-adjacent step")
+        case _ =>
+      }
+      // every point sampled along the segment lands in an emitted tile
+      (0 to 20).foreach { k =>
+        val f = k / 20.0
+        val t = Tiles.tileFromLatLng(lat1 + (lat2 - lat1) * f, lng1 + (lng2 - lng1) * f, zoom)
+        assert(set.contains(t), s"sampled tile $t not covered")
+      }
+    }
+  }
 }
