@@ -211,4 +211,27 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("coveringAtLevel(cap) is may-intersect sound: every in-cap point's cell is covered") {
+    val rnd = new scala.util.Random(31)
+    (0 until 100).foreach { _ =>
+      val lat = -75 + 150 * rnd.nextDouble(); val lng = -175 + 350 * rnd.nextDouble()
+      val rM = math.pow(10.0, 2 + 3.5 * rnd.nextDouble()) // 100 m .. ~316 km
+      val level = 4 + rnd.nextInt(9)
+      val cap = S2.Cap(Geo.toXYZ(lat, lng), rM / Geo.EarthRadiusMeters)
+      val cover = S2.coveringAtLevel(cap, level).toSet
+      // random bearings/distances inside the cap
+      (0 until 30).foreach { _ =>
+        val d = rM * rnd.nextDouble() / Geo.EarthRadiusMeters
+        val b = 2 * math.Pi * rnd.nextDouble()
+        val p1 = math.toRadians(lat); val l1 = math.toRadians(lng)
+        val p2 = math.asin(math.sin(p1) * math.cos(d) + math.cos(p1) * math.sin(d) * math.cos(b))
+        val l2 = l1 + math.atan2(math.sin(b) * math.sin(d) * math.cos(p1),
+          math.cos(d) - math.sin(p1) * math.sin(p2))
+        val cell = S2.cellAt(math.toDegrees(p2), math.toDegrees(l2), level)
+        assert(cover.contains(cell),
+          s"cell of in-cap point missing from coveringAtLevel (lat=$lat lng=$lng r=$rM level=$level)")
+      }
+    }
+  }
 }
