@@ -53,14 +53,35 @@ object Knn {
             maxCells = 12, maxLevel = 16).toSeq
         (q.queryId, q.lat, q.lng, q.cosLat, covering)
       }
-      val qDf = spark.createDataFrame(qRows)
-        .toDF("query_id", "qlat", "qlng", "qcos", "qcells")
+      val qDf = spark.createDataFrame(qRows.map(q => (q._1, q._2, q._3, q._4)))
+        .toDF("query_id", "qlat", "qlng", "qcos")
       val ranges = qRows.flatMap(_._5).map(c => (S2.rangeMin(c), S2.rangeMax(c)))
       val imgs = imagesForRound(full, ranges)
+      // map-side interval stab instead of a nested-loop join condition: one
+      // pass over the (tiny, driver-built) covering-interval table per row,
+      // emitting matching query ids — no |imgs| x |queries| row-pair
+      // generation; the broadcast join after the explode is a plain equi-join
+      val intervals = qRows.flatMap { case (qid, _, _, _, cov) =>
+        cov.map(c => (S2.rangeMin(c), S2.rangeMax(c), qid))
+      }.sortBy(_._1).toArray
+      val los = intervals.map(_._1)
+      val his = intervals.map(_._2)
+      val qids = intervals.map(_._3)
+      val stab = udf((cell: Long) => {
+        val lo = S2.rangeMin(cell); val hi = S2.rangeMax(cell)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < los.length) {
+          if (los(i) <= lo && hi <= his(i) && !out.contains(qids(i))) out += qids(i)
+          i += 1
+        }
+        out.toArray
+      })
       val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
         ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
-      val cands = imgs.join(broadcast(qDf),
-          Udfs.inCovering(col("cell16"), col("qcells")))
+      val cands = imgs
+        .withColumn("query_id", explode(stab(col("cell16"))))
+        .join(broadcast(qDf), "query_id")
         .withColumn("d2", d2)
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("d2"), col("image_id"))))
