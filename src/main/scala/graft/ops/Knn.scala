@@ -157,9 +157,28 @@ object Knn {
             maxCells = 12, maxLevel = 16).toSeq
         (q.queryId, q.lat, q.lng, covering)
       }
-      val qDf = spark.createDataFrame(qRows).toDF("query_id", "qlat", "qlng", "qcells")
-      val cands = imgs.join(broadcast(qDf),
-          Udfs.inCovering(col("cell16"), col("qcells")))
+      val qDf = spark.createDataFrame(qRows.map(q => (q._1, q._2, q._3)))
+        .toDF("query_id", "qlat", "qlng")
+      // same map-side interval stab as the d2 loop (no nested-loop join)
+      val intervals = qRows.flatMap { case (qid, _, _, cov) =>
+        cov.map(c => (S2.rangeMin(c), S2.rangeMax(c), qid))
+      }.sortBy(_._1).toArray
+      val los = intervals.map(_._1)
+      val his = intervals.map(_._2)
+      val qids = intervals.map(_._3)
+      val stab = udf((cell: Long) => {
+        val lo = S2.rangeMin(cell); val hi = S2.rangeMax(cell)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < los.length) {
+          if (los(i) <= lo && hi <= his(i) && !out.contains(qids(i))) out += qids(i)
+          i += 1
+        }
+        out.toArray
+      })
+      val cands = imgs
+        .withColumn("query_id", explode(stab(col("cell16"))))
+        .join(broadcast(qDf), "query_id")
         .withColumn("dist_m", Udfs.haversineMeters(
           col("lat"), col("lng"), col("qlat"), col("qlng")))
         .withColumn("rank", row_number().over(
