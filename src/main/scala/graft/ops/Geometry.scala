@@ -85,6 +85,11 @@ object Geometry {
     * equirect-scaled in longitude — a generator for explode() or as a clip/
     * containment input. */
   def capPolygon(n: Int) = udf((lat: Double, lng: Double, radiusMeters: Double) => {
+    // pole guard (ADVICE r02): the equirect longitude scale 1/cos(lat) blows
+    // up at the poles and would emit a garbage ring — fail loudly instead,
+    // consistent with PruneWithinCap.capBounds' pole skip
+    require(math.abs(lat) < 89.9,
+      s"capPolygon: |lat|=$lat too close to the pole for the equirect buffer")
     val cosL = math.cos(math.toRadians(lat))
     (0 until n).map { i =>
       val th = 2 * math.Pi * i / n

@@ -47,8 +47,15 @@ object Overlay {
       .withColumn(tagCol, lit(null).cast(base.schema(tagCol).dataType))
 
   /** merge-changes (change.go:62-78): combine Change batches into one delta;
-    * later batches win on id collision (the reference applies in order). */
+    * later batches win on id collision (the reference applies in order).
+    *
+    * Precondition: each batch carries AT MOST ONE row per id (the shape
+    * `addTag`/`removeTag` produce — the reference's Change is a map keyed by
+    * FeatureID, ingest/change.go:14-16, so duplicates within one batch
+    * cannot exist there either). With duplicate ids inside a single batch
+    * the `_batch` tie would pick a nondeterministic winner (ADVICE r02). */
   def mergeChanges(idCol: String, changes: Seq[DataFrame]): DataFrame = {
+    require(changes.nonEmpty, "mergeChanges: empty change list (nothing to merge)")
     val tagged = changes.zipWithIndex
       .map { case (c, i) => c.withColumn("_batch", lit(i)) }
       .reduce(_ unionByName _)

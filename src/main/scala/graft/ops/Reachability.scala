@@ -87,6 +87,15 @@ object Reachability {
       i += 1
     }
     e.unpersist()
+    // LOUD truncation (ADVICE r02): exiting at maxIters with improvements
+    // still pending means `dist` is NOT the fixpoint — downstream consumers
+    // (pathsToReach pred derivation, closest argmin) would silently compute
+    // from non-settled distances. Same policy as the pathsToReach maxDepth
+    // guard; callers' catch blocks release the tracked RDDs.
+    if (!done)
+      throw new IllegalStateException(
+        s"flood: no fixpoint after maxIters=$maxIters iterations " +
+          "(improvements still pending); raise maxIters")
     (dist, distRdd)
   }
 

@@ -108,7 +108,11 @@ object GeoJson {
     *
     * @param pointFn (lat, lng) => (lat, lng)
     * @param pathFn  (path_lat, path_lng) => (path_lat, path_lng)
-    * @param areaFn  (rings_lat, rings_lng) => (rings_lat, rings_lng) */
+    * @param areaFn  (rings_lat, rings_lng) => (rings_lat, rings_lng);
+    *                applied to Polygon rows directly AND to each polygon of a
+    *                MultiPolygon (via zip_with over polys_lat/polys_lng) —
+    *                the reference's applyToArea visits every area feature
+    *                regardless of multiplicity (ADVICE r02). */
   def mapGeometries(parsed: DataFrame,
                     pointFn: Option[(Column, Column) => (Column, Column)] = None,
                     pathFn: Option[(Column, Column) => (Column, Column)] = None,
@@ -128,9 +132,22 @@ object GeoJson {
     }
     areaFn.fold(afterPath) { f =>
       val (la, lo) = f(col("rings_lat"), col("rings_lng"))
+      // per-polygon application for MultiPolygon: both rewritten arrays are
+      // derived from the ORIGINAL columns inside one struct-valued zip_with,
+      // so the second extraction cannot read an already-rewritten polys_lat
+      val mp = zip_with(col("polys_lat"), col("polys_lng"), (pla, plo) => {
+        val (a, b) = f(pla, plo)
+        struct(a.as("la"), b.as("lo"))
+      })
       afterPath
+        .withColumn("_mp", when(gt === "MultiPolygon", mp))
         .withColumn("rings_lat", when(gt === "Polygon", la).otherwise(col("rings_lat")))
         .withColumn("rings_lng", when(gt === "Polygon", lo).otherwise(col("rings_lng")))
+        .withColumn("polys_lat",
+          when(gt === "MultiPolygon", col("_mp").getField("la")).otherwise(col("polys_lat")))
+        .withColumn("polys_lng",
+          when(gt === "MultiPolygon", col("_mp").getField("lo")).otherwise(col("polys_lng")))
+        .drop("_mp")
     }
   }
 

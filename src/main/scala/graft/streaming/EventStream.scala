@@ -118,8 +118,14 @@ object EventStream {
         }
         if (st != null) {
           state.update(st)
-          // fires once the event-time watermark passes the gap expiry
-          state.setTimeoutTimestamp((st.last + gapSeconds) * 1000L + 1L)
+          // fires once the event-time watermark passes the gap expiry.
+          // Clamp to watermark+1 (ADVICE r02): a group whose events are all
+          // late can have expiry <= current watermark, and Spark throws
+          // (killing the query) on a timeout at-or-before the watermark —
+          // the clamp emits such a session at the next timeout sweep instead.
+          val expiry = (st.last + gapSeconds) * 1000L + 1L
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs() + 1L, expiry))
         }
         out.iterator
       }

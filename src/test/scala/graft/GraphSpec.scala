@@ -62,6 +62,18 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map((1L, 2L) -> 3L, (2L, 3L) -> 2L, (3L, 4L) -> 1L))
   }
 
+  test("flood throws loudly when maxIters is hit before the fixpoint") {
+    // 4-hop chain with maxIters=2: improvements still pending at exit
+    val e = intercept[IllegalStateException] {
+      Reachability.reachable(spark, edges, Seq(1L), cutoff = 10.0, maxIters = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxIters"))
+    // and the same call converges fine with the default budget
+    assert(Reachability.reachable(spark, edges, Seq(1L), cutoff = 10.0)
+      .count() == 4)
+  }
+
   test("connect adds an edge usable by the next reachability query") {
     // without the edge, node 9 is unreachable; connect(4, 9) bridges it
     val bridged = Reachability.connect(edges, 4L, 9L, 1.0)

@@ -239,4 +239,21 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val untouched = base.where(col("image_id") === 32L).collect().head.getString(1)
     assert(world(32L) == Some(untouched))
   }
+
+  test("merge-changes rejects an empty batch list; cap-polygon rejects poles") {
+    import graft.ops.{Geometry, Overlay}
+    import org.apache.spark.sql.functions._
+    val e = intercept[IllegalArgumentException] {
+      Overlay.mergeChanges("image_id", Seq.empty)
+    }
+    assert(e.getMessage.contains("empty"))
+    import spark.implicits._
+    val polar = intercept[org.apache.spark.SparkException] {
+      Seq((89.95, 0.0, 100.0)).toDF("lat", "lng", "r")
+        .select(Geometry.capPolygon(8)(col("lat"), col("lng"), col("r")))
+        .collect()
+    }
+    assert(polar.getMessage.contains("pole") ||
+      Option(polar.getCause).exists(_.getMessage.contains("pole")))
+  }
 }

@@ -182,4 +182,31 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId("poly-rev").getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rings_lat")(0).length
       == r0._1.length)
   }
+
+  test("map-geometries: areaFn rewrites Polygon AND each MultiPolygon part") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val parsed = GeoJson.parseFeatureCollection(
+      Seq(graft.model.Synth.geojsonFullFixture).toDF("json"), "json")
+    val shifted = GeoJson.mapGeometries(parsed,
+      areaFn = Some((la, lo) =>
+        (transform(la, r => transform(r, v => v + 10.0)), lo)))
+    val byId = shifted.collect().map(r => r.getAs[String]("feature_id") -> r).toMap
+    val r0 = graft.model.Synth.regions(0).rings(0)
+    // Polygon path: first vertex of the (reversed-in-fixture) shell shifted
+    assert(byId("poly-rev").getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("rings_lat")(0).head
+      == r0._1.last + 10.0)
+    // MultiPolygon path (ADVICE r02: was a silent no-op): both parts shifted
+    val mp = byId("mpoly-12")
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("polys_lat")
+    assert(mp(0)(0).head == graft.model.Synth.regions(1).rings(0)._1.head + 10.0)
+    assert(mp(1)(0).head == graft.model.Synth.regions(2).rings(0)._1.head + 10.0)
+    // longitudes untouched
+    val mpLng = byId("mpoly-12")
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("polys_lng")
+    assert(mpLng(0)(0).head == graft.model.Synth.regions(1).rings(0)._2.head)
+    // non-area rows pass through
+    assert(byId("line-path-0000").getAs[scala.collection.Seq[Double]]("path_lat").head
+      == graft.model.Synth.paths(0).lats.head)
+  }
 }
