@@ -165,6 +165,19 @@ object Synth {
     }
   }
 
+  /** Batch-kNN query-point generator (pure; shared by the engine's
+    * executor-side UDF over spark.range and the driver-side golden): the
+    * 10^4-query fixture behind q_knn_batch — the "nearest landmark for every
+    * city" workload shape where the query side is itself a table. 5-decimal
+    * rounding keeps literals exact on both engines. */
+  def batchQueryLat(i: Long): Double =
+    math.rint((-55.0 + 110.0 *
+      ((Hashes.splitmix64(i * 101L + 11) >>> 11).toDouble / (1L << 53).toDouble)) * 100000.0) / 100000.0
+
+  def batchQueryLng(i: Long): Double =
+    math.rint((-160.0 + 320.0 *
+      ((Hashes.splitmix64(i * 101L + 23) >>> 11).toDouble / (1L << 53).toDouble)) * 100000.0) / 100000.0
+
   // =====================================================================
   // Paths — deterministic polylines ("roads") for the polyline operators
   // =====================================================================

@@ -3,7 +3,7 @@ package graft.ops
 import graft.core.{Geo, S2}
 import graft.functions.Udfs
 import graft.model.Synth.KnnQuery
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,97 +13,131 @@ import org.apache.spark.sql.types._
   * `closest` walks the street graph, api/functions/graph.go:106-153 — the
   * target engine's semantics are geometric per BASELINE.json).
   *
-  * Round r: cover cap(q, radius_r) with S2 cells (driver-side pure math on
-  * the tiny query side), broadcast the per-query coverings, probe the image
-  * table map-side (no shuffle of the big side), rank candidates per query
-  * with a distance-bounded top-k window. A query resolves when it has >= k
-  * candidates whose k-th distance, inflated to a sound great-circle bound,
-  * fits inside the probed radius; unresolved queries expand the radius 8x
+  * Round r: cover cap(q, radius_r) with S2 cells, probe the image table
+  * map-side (no shuffle of the big side), rank candidates per query with a
+  * distance-bounded top-k window. A query resolves when it has >= k
+  * candidates whose k-th distance, converted to a sound great-circle bound,
+  * fits inside the probed radius; unresolved queries expand the radius
   * (terminates at the full sphere).
   *
-  * Metric: squared equirectangular degrees (exact arithmetic shared with the
-  * oracle, Synth.KnnQuery.d2Sql). Soundness of the stop rule: a point with
-  * d2 < T has |dlat| < sqrt(T) and |dlng| < sqrt(T)/cosLat, so its
-  * great-circle distance is < sqrt(T) * (1 + 1/cosLat) degrees.
+  * Two query-side contracts:
+  *   - `knn` / `knnHaversine` / `knnFromStore`: a small driver-resident
+  *     query Seq (the reference's per-origin `closest` shape). The probe is
+  *     an ANCESTOR-HASH stab: covering cells keyed by id in a broadcast-able
+  *     hash map; an image matches query q iff one of cell16's ancestors IS
+  *     one of q's covering cells. Coverings are normalized (the coverer
+  *     splits cells, so no covering cell contains another), hence at most
+  *     one ancestor level hits per query — O(#levels) map lookups per row,
+  *     not O(|queries|) (VERDICT r02 #2).
+  *   - `knnBatch`: BOTH sides are DataFrames (VERDICT r02 "missing #1") —
+  *     the 10^5-query "nearest landmark for every city" workload. The same
+  *     stab becomes a distributed equi-join: explode query coverings to
+  *     (cov_cell, query_id), explode image ancestors at the round's covering
+  *     levels only, join on the cell id. Resolution is a distributed
+  *     aggregate + anti-join; the driver sees only per-round counts.
+  *
+  * Metrics: squared equirectangular degrees (exact arithmetic shared with
+  * the oracle, Synth.KnnQuery.d2Sql) or great-circle meters. Soundness of
+  * the d2 stop rule: a point with d2 < T has |dlat| < sqrt(T) and
+  * |dlng| < sqrt(T)/cosLat, so its great-circle distance is
+  * < sqrt(T) * (1 + 1/cosLat) degrees.
   */
 object Knn {
+
+  /** The 6 face cells — the full-sphere "covering". */
+  private def faceCells: Seq[Long] =
+    (0 until 6).map(f => S2.parent(f.toLong << S2.PosBits | (1L << (S2.PosBits - 1)), 0))
 
   private val resultSchema = StructType(Seq(
     StructField("query_id", IntegerType, nullable = false),
     StructField("image_id", LongType, nullable = false),
     StructField("rank", IntegerType, nullable = false)))
 
-  /** Shared expansion loop for the squared-equirectangular metric: the two
-    * public forms differ ONLY in where each round's probe rows come from
-    * (cached projection vs CellStore range read) — one loop, no drift
-    * (review r02). */
+  private val resultSchemaM = StructType(Seq(
+    StructField("query_id", IntegerType, nullable = false),
+    StructField("image_id", LongType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("dist_m", DoubleType, nullable = false)))
+
+  /** Shared expansion loop for BOTH metrics (review r03: the haversine path
+    * now runs through the same loop as the d2 forms — one loop, no drift).
+    * `meters` selects metric, stop rule and growth; `imagesForRound` selects
+    * where each round's probe rows come from (cached projection vs CellStore
+    * range read). */
   private def knnRounds(spark: SparkSession, queries: Seq[KnnQuery], k: Int,
-                        initialRadiusDeg: Double,
+                        initialRadius: Double, meters: Boolean,
                         imagesForRound: (Boolean, Seq[(Long, Long)]) => DataFrame): DataFrame = {
     var remaining = queries
-    var radiusDeg = initialRadiusDeg
+    var radius = initialRadius
     val resolved = scala.collection.mutable.ArrayBuffer.empty[Row]
     while (remaining.nonEmpty) {
-      val full = radiusDeg >= 180.0
-      val qRows = remaining.map { q =>
+      val angleRad =
+        if (meters) radius / Geo.EarthRadiusMeters else math.toRadians(radius)
+      val full = angleRad >= math.Pi
+      val qRows: Seq[(KnnQuery, Seq[Long])] = remaining.map { q =>
         val covering: Seq[Long] =
-          if (full) (0 until 6).map(f => S2.parent(f.toLong << S2.PosBits | (1L << (S2.PosBits - 1)), 0))
-          else S2.covering(
-            S2.Cap(Geo.toXYZ(q.lat, q.lng), math.toRadians(radiusDeg)),
+          if (full) faceCells
+          else S2.covering(S2.Cap(Geo.toXYZ(q.lat, q.lng), angleRad),
             maxCells = 12, maxLevel = 16).toSeq
-        (q.queryId, q.lat, q.lng, q.cosLat, covering)
+        (q, covering)
       }
-      val qDf = spark.createDataFrame(qRows.map(q => (q._1, q._2, q._3, q._4)))
+      val qDf = spark.createDataFrame(
+          qRows.map { case (q, _) => (q.queryId, q.lat, q.lng, q.cosLat) })
         .toDF("query_id", "qlat", "qlng", "qcos")
-      val ranges = qRows.flatMap(_._5).map(c => (S2.rangeMin(c), S2.rangeMax(c)))
-      val imgs = imagesForRound(full, ranges)
-      // map-side interval stab instead of a nested-loop join condition: one
-      // pass over the (tiny, driver-built) covering-interval table per row,
-      // emitting matching query ids — no |imgs| x |queries| row-pair
-      // generation; the broadcast join after the explode is a plain equi-join
-      val intervals = qRows.flatMap { case (qid, _, _, _, cov) =>
-        cov.map(c => (S2.rangeMin(c), S2.rangeMax(c), qid))
-      }.sortBy(_._1).toArray
-      val los = intervals.map(_._1)
-      val his = intervals.map(_._2)
-      val qids = intervals.map(_._3)
+      // ancestor-hash stab: covering cell id -> query ids
+      val byCell = new java.util.HashMap[Long, Array[Int]]()
+      qRows.foreach { case (q, cov) =>
+        cov.foreach { c =>
+          val prev = byCell.get(c)
+          byCell.put(c, if (prev == null) Array(q.queryId) else prev :+ q.queryId)
+        }
+      }
+      val levels: Array[Int] =
+        qRows.flatMap(_._2).map(S2.level).distinct.sorted.toArray
       val stab = udf((cell: Long) => {
-        val lo = S2.rangeMin(cell); val hi = S2.rangeMax(cell)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = Array.newBuilder[Int]
         var i = 0
-        while (i < los.length) {
-          if (los(i) <= lo && hi <= his(i) && !out.contains(qids(i))) out += qids(i)
+        while (i < levels.length) {
+          val hit = byCell.get(S2.parent(cell, levels(i)))
+          if (hit != null) out ++= hit
           i += 1
         }
-        out.toArray
+        out.result()
       })
-      val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
-        ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
+      val ranges = qRows.flatMap(_._2).map(c => (S2.rangeMin(c), S2.rangeMax(c)))
+      val imgs = imagesForRound(full, ranges)
+      val dist: Column =
+        if (meters) Udfs.haversineMeters(col("lat"), col("lng"), col("qlat"), col("qlng"))
+        else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+          ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
       val cands = imgs
         .withColumn("query_id", explode(stab(col("cell16"))))
         .join(broadcast(qDf), "query_id")
-        .withColumn("d2", d2)
+        .withColumn("dist", dist)
         .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("d2"), col("image_id"))))
+          Window.partitionBy(col("query_id")).orderBy(col("dist"), col("image_id"))))
         .where(col("rank") <= k)
-        .select(col("query_id"), col("image_id"), col("rank"), col("d2"))
+        .select(col("query_id"), col("image_id"), col("rank"), col("dist"))
         .collect() // <= |queries| * k tiny rows; heavy filter+topk ran distributed
       val byQuery = cands.groupBy(_.getInt(0))
       val still = scala.collection.mutable.ArrayBuffer.empty[KnnQuery]
       remaining.foreach { q =>
         val rows = byQuery.getOrElse(q.queryId, Array.empty)
-        val kthBoundDeg =
-          if (rows.length < k) Double.MaxValue
-          else math.sqrt(rows.map(_.getDouble(3)).max) * (1.0 + 1.0 / q.cosLat)
-        if (full || (rows.length >= k && kthBoundDeg <= radiusDeg))
-          rows.foreach(r => resolved += Row(r.getInt(0), r.getLong(1), r.getInt(2)))
+        val complete = full || (rows.length >= k && {
+          val kth = rows.map(_.getDouble(3)).max
+          if (meters) kth <= radius
+          else math.sqrt(kth) * (1.0 + 1.0 / q.cosLat) <= radius
+        })
+        if (complete) rows.foreach(r =>
+          resolved += Row(r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
         else still += q
       }
       remaining = still.toSeq
-      radiusDeg *= 8
+      radius *= (if (meters) 4 else 8)
     }
+    val schema = StructType(resultSchema.fields :+ StructField("dist", DoubleType, nullable = false))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(resolved.toSeq, 1), resultSchema)
+      spark.sparkContext.parallelize(resolved.toSeq, 1), schema)
       .orderBy("query_id", "rank")
   }
 
@@ -112,7 +146,8 @@ object Knn {
     // cache the probe projection: every expansion round re-probes it, and
     // without the cache the upstream cell-assignment UDF re-runs per round
     val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
-    try knnRounds(spark, queries, k, initialRadiusDeg, (_, _) => imgs)
+    try knnRounds(spark, queries, k, initialRadiusDeg, meters = false, (_, _) => imgs)
+      .select("query_id", "image_id", "rank")
     finally imgs.unpersist()
   }
 
@@ -125,84 +160,128 @@ object Knn {
   def knnFromStore(spark: SparkSession, storeDir: String, queries: Seq[KnnQuery],
                    k: Int = 10, initialRadiusDeg: Double = 2.0): DataFrame = {
     import graft.lineage.CellStore
-    knnRounds(spark, queries, k, initialRadiusDeg, (full, ranges) =>
+    knnRounds(spark, queries, k, initialRadiusDeg, meters = false, (full, ranges) =>
       if (full) CellStore.readAll(spark, storeDir)
       else CellStore.readRanges(spark, storeDir, ranges)._1)
+      .select("query_id", "image_id", "rank")
   }
-
-  private val resultSchemaM = StructType(Seq(
-    StructField("query_id", IntegerType, nullable = false),
-    StructField("image_id", LongType, nullable = false),
-    StructField("rank", IntegerType, nullable = false),
-    StructField("dist_m", DoubleType, nullable = false)))
 
   /** Great-circle kNN — the production metric (b6 distance semantics,
     * units/units.go). The stop rule is direct: the probed cap has
     * great-circle radius r, so once the k-th candidate's haversine distance
-    * is <= r the result is complete. */
+    * is <= r the result is complete. Same loop as `knn` (meters=true). */
   def knnHaversine(spark: SparkSession, images: DataFrame, queries: Seq[KnnQuery],
                    k: Int = 10, initialRadiusMeters: Double = 200000.0): DataFrame = {
-    var remaining = queries
-    var radiusM = initialRadiusMeters
-    val resolved = scala.collection.mutable.ArrayBuffer.empty[Row]
     val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
+    try knnRounds(spark, queries, k, initialRadiusMeters, meters = true, (_, _) => imgs)
+      .withColumnRenamed("dist", "dist_m")
+    finally imgs.unpersist()
+  }
 
-    while (remaining.nonEmpty) {
-      val angle = radiusM / Geo.EarthRadiusMeters
-      val full = angle >= math.Pi
-      val qRows = remaining.map { q =>
-        val covering: Seq[Long] =
-          if (full) (0 until 6).map(f => S2.parent(f.toLong << S2.PosBits | (1L << (S2.PosBits - 1)), 0))
-          else S2.covering(S2.Cap(Geo.toXYZ(q.lat, q.lng), angle),
-            maxCells = 12, maxLevel = 16).toSeq
-        (q.queryId, q.lat, q.lng, covering)
-      }
-      val qDf = spark.createDataFrame(qRows.map(q => (q._1, q._2, q._3)))
-        .toDF("query_id", "qlat", "qlng")
-      // same map-side interval stab as the d2 loop (no nested-loop join)
-      val intervals = qRows.flatMap { case (qid, _, _, cov) =>
-        cov.map(c => (S2.rangeMin(c), S2.rangeMax(c), qid))
-      }.sortBy(_._1).toArray
-      val los = intervals.map(_._1)
-      val his = intervals.map(_._2)
-      val qids = intervals.map(_._3)
-      val stab = udf((cell: Long) => {
-        val lo = S2.rangeMin(cell); val hi = S2.rangeMax(cell)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var i = 0
-        while (i < los.length) {
-          if (los(i) <= lo && hi <= his(i) && !out.contains(qids(i))) out += qids(i)
-          i += 1
-        }
-        out.toArray
-      })
-      val cands = imgs
-        .withColumn("query_id", explode(stab(col("cell16"))))
-        .join(broadcast(qDf), "query_id")
-        .withColumn("dist_m", Udfs.haversineMeters(
-          col("lat"), col("lng"), col("qlat"), col("qlng")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("dist_m"), col("image_id"))))
-        .where(col("rank") <= k)
-        .select(col("query_id"), col("image_id"), col("rank"), col("dist_m"))
-        .collect()
-
-      val byQuery = cands.groupBy(_.getInt(0))
-      val still = scala.collection.mutable.ArrayBuffer.empty[KnnQuery]
-      remaining.foreach { q =>
-        val rows = byQuery.getOrElse(q.queryId, Array.empty)
-        val complete = full ||
-          (rows.length >= k && rows.map(_.getDouble(3)).max <= radiusM)
-        if (complete) rows.foreach(r =>
-          resolved += Row(r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-        else still += q
-      }
-      remaining = still.toSeq
-      radiusM *= 4
+  /** Fully distributed batch kNN (d2 metric): the query side is a DataFrame
+    * `(query_id INT, qlat DOUBLE, qlng DOUBLE)` of arbitrary cardinality —
+    * no driver-resident query state, no per-query collect. Per round:
+    *
+    *   1. explode each unresolved query's cap covering to (cov_cell, qid) —
+    *      executor-side S2 math;
+    *   2. collect the round's DISTINCT covering LEVELS (<= 17 scalars — the
+    *      only driver traffic besides counts) and explode each image's
+    *      cell16 ancestors at exactly those levels;
+    *   3. equi-join on the cell id (broadcast of the exploded query side
+    *      while it fits, shuffle-hash beyond), d2 + per-query top-k window;
+    *   4. resolution as a distributed aggregate: cnt >= k and the k-th d2's
+    *      sound great-circle bound within the probed radius; resolved rows
+    *      append to the result, unresolved queries continue via anti-join.
+    *
+    * Per-round tables are snapshotted to persisted RDDs (the
+    * Reachability.Tracker pattern) so planning cost stays constant across
+    * rounds. At 100 TB the image side never shuffles: only candidate rows
+    * (bounded per query per round) enter the window exchange. */
+  def knnBatch(spark: SparkSession, images: DataFrame, queries: DataFrame,
+               k: Int = 10, initialRadiusDeg: Double = 2.0,
+               broadcastQueryRowLimit: Long = 2000000L): DataFrame = {
+    import org.apache.spark.rdd.RDD
+    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
+    val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
+    val keep = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
+    def materialize(df: DataFrame): (DataFrame, Long, RDD[Row]) = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      rdds += rdd
+      (spark.createDataFrame(rdd, df.schema), n, rdd)
     }
-    imgs.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(resolved.toSeq, 1), resultSchemaM)
-      .orderBy("query_id", "rank")
+    try {
+      var (remaining, nRemaining, _) = materialize(
+        queries.select(col("query_id").cast("int"),
+          col("qlat").cast("double"), col("qlng").cast("double"))
+          .withColumn("qcos", cos(radians(col("qlat")))))
+      var radiusDeg = initialRadiusDeg
+      var results: DataFrame = null
+      while (nRemaining > 0) {
+        val full = radiusDeg >= 180.0
+        val r = radiusDeg
+        val coveringUdf = udf((lat: Double, lng: Double) =>
+          if (full) faceCells
+          else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), math.toRadians(r)),
+            maxCells = 12, maxLevel = 16).toSeq)
+        val qcov0 = remaining.withColumn("cov_cell",
+          explode(coveringUdf(col("qlat"), col("qlng"))))
+        val (qcov, nQcov, _) = materialize(qcov0)
+        val levels: Array[Int] = {
+          val levelOf = udf((c: Long) => S2.level(c))
+          qcov.select(levelOf(col("cov_cell")).as("l")).distinct()
+            .collect().map(_.getInt(0)).sorted
+        }
+        val anc = udf((cell: Long) => levels.map(l => S2.parent(cell, l)).toSeq)
+        val qside = if (nQcov <= broadcastQueryRowLimit) broadcast(qcov) else qcov
+        val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+          ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
+        val (ranked, _, _) = materialize(imgs
+          .withColumn("cov_cell", explode(anc(col("cell16"))))
+          .join(qside, Seq("cov_cell"))
+          .withColumn("d2", d2)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("d2"), col("image_id"))))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("image_id"), col("rank"), col("d2"), col("qcos")))
+        if (full) {
+          // terminal round: every remaining query resolves with whatever the
+          // whole sphere holds (covers tables smaller than k / empty input)
+          val (res, _, rr) = materialize(
+            ranked.select(col("query_id"), col("image_id"), col("rank")))
+          keep += rr
+          results = if (results == null) res else results.unionByName(res)
+          nRemaining = 0
+        } else {
+          val resolvedIds = ranked.groupBy("query_id")
+            .agg(count(lit(1)).as("cnt"), max("d2").as("kd2"), first("qcos").as("qc"))
+            .where(col("cnt") >= k &&
+              sqrt(col("kd2")) * (lit(1.0) + lit(1.0) / col("qc")) <= lit(r))
+            .select("query_id")
+          val (res, _, rr) = materialize(
+            ranked.join(resolvedIds, Seq("query_id"), "left_semi")
+              .select(col("query_id"), col("image_id"), col("rank")))
+          keep += rr
+          results = if (results == null) res else results.unionByName(res)
+          val (rem, nRem, _) = materialize(
+            remaining.join(res.select("query_id").distinct(), Seq("query_id"), "left_anti"))
+          remaining = rem
+          nRemaining = nRem
+          radiusDeg *= 8
+        }
+      }
+      val out =
+        if (results == null)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], resultSchema)
+        else results.orderBy("query_id", "rank")
+      // release everything except the RDDs backing the returned frame
+      rdds.foreach(rdd => if (!keep.exists(_ eq rdd)) rdd.unpersist(blocking = false))
+      out
+    } catch {
+      case e: Throwable =>
+        rdds.foreach(_.unpersist(blocking = false))
+        throw e
+    } finally imgs.unpersist()
   }
 }

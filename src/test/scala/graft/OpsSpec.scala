@@ -114,6 +114,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("distributed batch kNN equals brute force AND the driver-resident path") {
+    import org.apache.spark.sql.functions._
+    val images = Tables.images(spark, sfDir)
+    // (a) the 25 pinned query points as a DataFrame: knnBatch must equal knn
+    val qdf25 = {
+      import spark.implicits._
+      Synth.knnQueries.toSeq.map(q => (q.queryId, q.lat, q.lng))
+        .toDF("query_id", "qlat", "qlng")
+    }
+    val batch = Knn.knnBatch(spark, images, qdf25, k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val resident = Knn.knn(spark, images, Synth.knnQueries.toSeq, k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch == resident)
+    // (b) generated batch queries vs an in-test brute force (covers the
+    //     expansion + distributed-resolution loop at n >> driver shapes)
+    val n = 500
+    val qlat = udf((i: Long) => Synth.batchQueryLat(i))
+    val qlng = udf((i: Long) => Synth.batchQueryLng(i))
+    val qdf = spark.range(n).select(col("id").cast("int").as("query_id"),
+      qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
+    val got = Knn.knnBatch(spark, images, qdf, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val pts = imagePoints()
+    val want = (0 until n).flatMap { qi =>
+      val qla = Synth.batchQueryLat(qi.toLong); val qlo = Synth.batchQueryLng(qi.toLong)
+      val c = math.cos(math.toRadians(qla))
+      pts.map { case (id, lat, lng) =>
+        val dy = lat - qla; val dx = (lng - qlo) * c
+        (id, dy * dy + dx * dx)
+      }.sortBy { case (id, d2) => (d2, id) }.take(3).zipWithIndex.map {
+        case ((id, _), i) => (qi, id, i + 1)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("haversine kNN equals brute-force great-circle top-k") {
     val images = Tables.images(spark, sfDir)
     val qs = Synth.knnQueries.toSeq.take(8)
