@@ -135,6 +135,28 @@ object SparkEntry {
       Knn.knnBatch(s, images(s, dir), queries, k = 3)
     }),
 
+    // --- §1.4/§2.1 compact-index sink + pruned kNN read (VERDICT r02 #5):
+    //     write the cell-bucketed store, prove the range read touches
+    //     STRICTLY fewer buckets than the store holds, then answer the same
+    //     kNN queries THROUGH the store — same oracle as q_knn ---
+    "q_store_knn" -> ((s, dir) => {
+      import graft.core.{Geo, S2}
+      import graft.lineage.CellStore
+      val store = new java.io.File(
+        s"target/cellstore_gate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      CellStore.write(images(s, dir).select("image_id", "lat", "lng", "cell16"), store)
+      val nBuckets = CellStore.stats(s, store).size
+      val ranges = Synth.knnQueries.toSeq.flatMap { q =>
+        S2.covering(S2.Cap(Geo.toXYZ(q.lat, q.lng), math.toRadians(2.0)),
+            maxCells = 12, maxLevel = 16)
+          .map(c => (S2.rangeMin(c), S2.rangeMax(c))).toSeq
+      }
+      val read = CellStore.readRanges(s, store, ranges)._2
+      require(read < nBuckets,
+        s"cell-store prune ineffective: read $read of $nBuckets buckets")
+      Knn.knnFromStore(s, store, Synth.knnQueries.toSeq, k = 10)
+    }),
+
     // --- §2.4/§2.7 tile-assignment join (point manifest, zooms 8..12) ---
     "q_tiles_points" -> ((s, dir) =>
       Tiling.pointManifest(images(s, dir), 8, 12)
@@ -421,6 +443,14 @@ object SparkEntry {
           "map {x -> (pair (get x image_id) (divide (get x price) 2))} | take 20",
         idCol = "first")),
 
+    // --- §3.2 shell within-cap: the EXACT codegen WithinCapMeters predicate
+    //     behind the shell surface (VERDICT r02 #8), composed with a tag
+    //     query and id-ordered take ---
+    "q_shell_cap" -> ((s, dir) =>
+      graft.api.Shell.run(images(s, dir),
+        "find [#status=O] | within-cap 51.5074 -0.1278 5000 | take 20")
+        .select("image_id", "lat", "lng")),
+
     // --- §1.1 4-type Feature model: Typed queries + FeatureID-ordered take
     //     over the unified heterogeneous world (world.go:52-64,157-177) ---
     "q_typed_take" -> ((s, dir) => {
@@ -593,6 +623,8 @@ object SparkEntry {
       "q_containment_salted" ->
         s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
       "q_knn" -> s"$W SELECT * FROM ($knnSql) u ORDER BY query_id, rank",
+      // identical semantics through the bucket-pruned store read
+      "q_store_knn" -> s"$W SELECT * FROM ($knnSql) u ORDER BY query_id, rank",
       "q_tiles_points" ->
         (s"$W, base AS (SELECT image_id, " +
           "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
@@ -686,6 +718,7 @@ object SparkEntry {
       "q_hull_area" -> g("q_hull_area", "region_id"),
       "q_knn_meters" -> g("q_knn_meters", "query_id, rank"),
       "q_knn_batch" -> g("q_knn_batch", "query_id, rank"),
+      "q_shell_cap" -> g("q_shell_cap", "image_id"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
       "q_minhash_lsh" -> g("q_minhash_lsh", "id_a, id_b"),
       "q_mvt_tiles" -> g("q_mvt_tiles", "z, x, y"),

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   ... | top price 5                 top-n by column
   *   ... | count                       row count
   *   ... | count-values priority       histogram
-  *   ... | within-cap 51.5 -0.1 5000   equirect cap filter
+  *   ... | within-cap 51.5 -0.1 5000   exact great-circle cap filter
   *
   * The pipeline operator `a | f args` applies f with the left value as the
   * first argument (shell.y:37-46) — here simply sequential application to
@@ -39,9 +39,13 @@ object Shell {
       case "count" :: Nil          => df.agg(count(lit(1)).as("n"))
       case "count-values" :: c :: Nil => Search.countValues(df, c).orderBy(c)
       case "within-cap" :: la :: lo :: r :: Nil =>
+        // EXACT great-circle predicate (VERDICT r02 #8): the engine's codegen
+        // WithinCapMeters expression — with a session that registers
+        // GraftExtensions, the optimizer adds the bbox prune in front; the
+        // previous rm/111000 equirect shortcut under-reported east-west caps
         val lat = la.toDouble; val lng = lo.toDouble; val rm = r.toDouble
-        val d = rm / 111000.0
-        df.where(Search.withinCapD2(lat, lng, math.cos(math.toRadians(lat)), d * d))
+        df.where(graft.plans.GraftExtensions.withinCap(
+          col("lat"), col("lng"), lat, lng, rm))
       case "filter" :: rest =>
         // filter {x -> (gt (get x price) 100)}   (shell.y:95-100 lambdas;
         // api/functions/collections.go:210-246 filter)

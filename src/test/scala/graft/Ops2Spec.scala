@@ -240,6 +240,27 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(world(32L) == Some(untouched))
   }
 
+  test("percentiles release hook drops the determinism-anchor cache") {
+    import graft.ops.Search
+    val df = Tables.images(spark, sfDir).select("image_id", "price")
+    Search.releasePercentileCaches() // clean slate
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val res = Search.percentiles(df, "price").collect()
+    assert(res.nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "percentiles should pin its counts cache while the result is live")
+    Search.releasePercentileCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "release hook must drop the accumulated anchor caches")
+    // already-collected results stay valid and correct vs SQL PERCENT_RANK
+    val want = df.selectExpr("image_id",
+        "PERCENT_RANK() OVER (ORDER BY price) AS pct")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    res.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("pct")) == want(r.getLong(r.fieldIndex("image_id"))))
+    }
+  }
+
   test("merge-changes rejects an empty batch list; cap-polygon rejects poles") {
     import graft.ops.{Geometry, Overlay}
     import org.apache.spark.sql.functions._

@@ -66,6 +66,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("sh_a") && p.contains("sh_b"), "refine attach missing")
   }
 
+  test("no gate query picks up an all-pairs plan outside the named baselines") {
+    // VERDICT r02 #2: the ONLY gate queries allowed a CartesianProduct /
+    // BroadcastNestedLoopJoin are the two labeled exact baselines. Iterative
+    // operators (kNN, reachability) return small materialized results whose
+    // final plans are trivial — their inner joins are guarded by their own
+    // tests; this sweep catches any single-frame query regressing to
+    // all-pairs. Queries are CONSTRUCTED (and, for iterative ops, thereby
+    // executed at sf0.001) but not collected.
+    val allowlist = Set("q_embed_neardup", "q_ann_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      val allPairs = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      if (allPairs && !allowlist.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"all-pairs plan outside the allowlist: ${offenders.mkString(", ")}")
+  }
+
   test("tag predicates reach the parquet scan (pushdown)") {
     val p = plan("q_cap_count")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]") ||

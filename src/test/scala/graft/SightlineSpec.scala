@@ -86,4 +86,20 @@ class SightlineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out(id) == expected, s"origin $id: pruned join must equal brute force")
     }
   }
+
+  test("a scene denser than maxBarriers fails loudly instead of sweeping") {
+    val (cLat, cLng) = Synth.hotCenters(0)
+    val e = intercept[org.apache.spark.SparkException] {
+      Sightline.sightlines(spark, Seq((1L, cLat, cLng)), Tables.regions(spark),
+          5000.0, maxBarriers = 2)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("maxBarriers")))
+    // and the identical scene under the default bound is unchanged
+    val ok = Sightline.sightlines(spark, Seq((1L, cLat, cLng)), Tables.regions(spark), 5000.0)
+      .collect()
+    assert(ok.length == 1)
+  }
 }
