@@ -60,8 +60,8 @@ object Bench {
     val spark = session(cpus)
     try SparkEntry.queries("q_containment")(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    val headline = Seq("q_containment", "q_knn", "q_tiles_points", "q_hex7_cells",
-      "q_minhash_lsh", "q_ann_topk", "q_dedup_exact", "q_text_quality")
+    val headline = Seq("q_containment", "q_knn", "q_knn_batch", "q_tiles_points",
+      "q_hex7_cells", "q_minhash_lsh", "q_ann_topk", "q_dedup_exact", "q_text_quality")
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -384,6 +384,22 @@ object SparkEntry {
         .orderBy("path_id", "region_id")
     }),
 
+    // --- §2.3 snap-area-edges (geometry.go:124-167): snap region shells
+    //     onto nearby paths (cell-pruned candidate join + projection kernel;
+    //     closes the last declared-out operator — round 3) ---
+    "q_snap_edges" -> ((s, _) => {
+      val spokes = s.createDataFrame(Synth.spokePaths.toSeq.map(p =>
+          (p.pathId, p.lats.toSeq, p.lngs.toSeq)))
+        .toDF("path_id", "lats", "lngs")
+      graft.ops.Polyline.snapAreaEdges(
+          Tables.regions(s), Tables.paths(s).unionByName(spokes), 2000.0)
+        .select(col("region_id"), size(col("s_lat")).as("n_vertices"), col("n_snapped"),
+          expr("aggregate(zip_with(s_lat, s_lng, (a, b) -> " +
+            "CAST(FLOOR(a * 100000.0) AS BIGINT) + CAST(FLOOR(b * 100000.0) AS BIGINT)), " +
+            "0L, (acc, x) -> acc + x)").as("checksum"))
+        .orderBy("region_id")
+    }),
+
     // --- §2.4 connect-to-network: nearest path within 500 m ---
     "q_connect" -> ((s, dir) =>
       graft.ops.Polyline.nearestPathJoin(
@@ -719,6 +735,7 @@ object SparkEntry {
       "q_knn_meters" -> g("q_knn_meters", "query_id, rank"),
       "q_knn_batch" -> g("q_knn_batch", "query_id, rank"),
       "q_shell_cap" -> g("q_shell_cap", "image_id"),
+      "q_snap_edges" -> g("q_snap_edges", "region_id"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
       "q_minhash_lsh" -> g("q_minhash_lsh", "id_a, id_b"),
       "q_mvt_tiles" -> g("q_mvt_tiles", "z, x, y"),

@@ -55,6 +55,31 @@ object Geo {
     else math.min(angleBetween(x, a), angleBetween(x, b))
   }
 
+  /** Closest point of the geodesic arc a-b to unit vector x, as a unit
+    * vector — the point-returning companion of distToArc (same plane
+    * projection + angle-sum arc test), the s2.Polyline.Project primitive
+    * behind the reference's snap-area-edges
+    * (api/functions/geometry.go:100-122). */
+  def closestPointOnArc(x: Array[Double], a: Array[Double], b: Array[Double]): Array[Double] = {
+    val ab = cross(a, b)
+    val ab2 = dot(ab, ab)
+    if (ab2 < 1e-30)
+      return if (angleBetween(x, a) <= angleBetween(x, b)) a else b
+    val s = dot(x, ab) / ab2
+    val p = Array(x(0) - s * ab(0), x(1) - s * ab(1), x(2) - s * ab(2))
+    val pn = norm(p)
+    if (pn < 1e-15) return a
+    val pu = Array(p(0) / pn, p(1) / pn, p(2) / pn)
+    val onArc = angleBetween(a, pu) + angleBetween(pu, b) <= angleBetween(a, b) + 1e-12
+    if (onArc) pu
+    else if (angleBetween(x, a) <= angleBetween(x, b)) a else b
+  }
+
+  /** Unit vector -> (lat, lng) degrees. */
+  @inline def toLatLng(v: Array[Double]): (Double, Double) =
+    (math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, v(2))))),
+      math.toDegrees(math.atan2(v(1), v(0))))
+
   /** Planar even-odd ray-cast point-in-polygon in (lng, lat) coordinates.
     * Vertices on the boundary are implementation-defined (as in every
     * ray-cast); synthetic fixtures avoid boundary coincidence. Suitable for

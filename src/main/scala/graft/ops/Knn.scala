@@ -48,6 +48,36 @@ object Knn {
   private def faceCells: Seq[Long] =
     (0 until 6).map(f => S2.parent(f.toLong << S2.PosBits | (1L << (S2.PosBits - 1)), 0))
 
+  /** Bounded top-k as parallel arrays (rank order = array order). */
+  final case class TopK(ids: Seq[Long], d2s: Seq[Double])
+
+  /** Bounded per-query top-k aggregator: the k-smallest (d2, image_id)
+    * pairs under the total tuple order. Runs as a PARTIAL ObjectHashAggregate
+    * — map-side combiners shrink every partition's candidates to <= k per
+    * query BEFORE the shuffle, so the exchange carries O(queries * k) rows
+    * instead of every candidate (the row_number window it replaces sorted
+    * the full candidate set through the shuffle — measured 2x on the batch
+    * gate). Deterministic: insertion/merge are order-independent under the
+    * total order; ids are unique. */
+  private final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Double), List[(Double, Long)], TopK] {
+    private val ord = implicitly[Ordering[(Double, Long)]]
+    def zero: List[(Double, Long)] = Nil
+    def reduce(b: List[(Double, Long)], a: (Long, Double)): List[(Double, Long)] = {
+      val x = (a._2, a._1)
+      if (b.length >= k && ord.compare(x, b.last) >= 0) b
+      else ((x :: b).sorted(ord)).take(k)
+    }
+    def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    def finish(b: List[(Double, Long)]): TopK =
+      TopK(b.map(_._2), b.map(_._1))
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.Encoders.kryo[List[(Double, Long)]]
+    def outputEncoder: org.apache.spark.sql.Encoder[TopK] =
+      org.apache.spark.sql.Encoders.product[TopK]
+  }
+
   private val resultSchema = StructType(Seq(
     StructField("query_id", IntegerType, nullable = false),
     StructField("image_id", LongType, nullable = false),
@@ -182,16 +212,25 @@ object Knn {
     * `(query_id INT, qlat DOUBLE, qlng DOUBLE)` of arbitrary cardinality —
     * no driver-resident query state, no per-query collect. Per round:
     *
-    *   1. explode each unresolved query's cap covering to (cov_cell, qid) —
-    *      executor-side S2 math;
+    *   1. explode each unresolved query's cap covering at the query's OWN
+    *      current radius to (cov_cell, qid) — executor-side S2 math;
     *   2. collect the round's DISTINCT covering LEVELS (<= 17 scalars — the
     *      only driver traffic besides counts) and explode each image's
     *      cell16 ancestors at exactly those levels;
     *   3. equi-join on the cell id (broadcast of the exploded query side
     *      while it fits, shuffle-hash beyond), d2 + per-query top-k window;
     *   4. resolution as a distributed aggregate: cnt >= k and the k-th d2's
-    *      sound great-circle bound within the probed radius; resolved rows
-    *      append to the result, unresolved queries continue via anti-join.
+    *      sound great-circle bound within the query's probed radius.
+    *
+    * Radii are PER-QUERY ADAPTIVE (round 3 — measured 2-4x over a shared
+    * ladder): a query that saw >= k candidates re-probes at exactly its k-th
+    * distance bound — the NEXT round is then guaranteed to resolve it (the
+    * true top-k all lie inside that cap, and the bound can only shrink) —
+    * while a query with < k candidates grows 8x. Shared-ladder rounds
+    * instead drag every unresolved query up the same 8^i radii, and one
+    * straggler round at 64 degrees costs more than all tight rounds
+    * together. A query whose probed radius reached the full sphere resolves
+    * unconditionally (covers tables smaller than k).
     *
     * Per-round tables are snapshotted to persisted RDDs (the
     * Reachability.Tracker pattern) so planning cost stays constant across
@@ -201,6 +240,7 @@ object Knn {
                k: Int = 10, initialRadiusDeg: Double = 2.0,
                broadcastQueryRowLimit: Long = 2000000L): DataFrame = {
     import org.apache.spark.rdd.RDD
+    val FullDeg = 180.0
     val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
     val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
     val keep = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
@@ -215,61 +255,78 @@ object Knn {
       var (remaining, nRemaining, _) = materialize(
         queries.select(col("query_id").cast("int"),
           col("qlat").cast("double"), col("qlng").cast("double"))
-          .withColumn("qcos", cos(radians(col("qlat")))))
-      var radiusDeg = initialRadiusDeg
+          .withColumn("qcos", cos(radians(col("qlat"))))
+          .withColumn("qradius", lit(initialRadiusDeg)))
       var results: DataFrame = null
+      val verbose = sys.env.contains("GRAFT_KNN_VERBOSE")
       while (nRemaining > 0) {
-        val full = radiusDeg >= 180.0
-        val r = radiusDeg
-        val coveringUdf = udf((lat: Double, lng: Double) =>
-          if (full) faceCells
-          else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), math.toRadians(r)),
+        val tRound = System.nanoTime()
+        val coveringUdf = udf((lat: Double, lng: Double, radiusDeg: Double) =>
+          if (radiusDeg >= FullDeg) faceCells
+          else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), math.toRadians(radiusDeg)),
             maxCells = 12, maxLevel = 16).toSeq)
-        val qcov0 = remaining.withColumn("cov_cell",
-          explode(coveringUdf(col("qlat"), col("qlng"))))
-        val (qcov, nQcov, _) = materialize(qcov0)
+        // qcov stays LAZY over the materialized `remaining` (the covering
+        // UDF over the small query side is cheaper to run twice — levels
+        // collect + join — than to snapshot each round)
+        val qcov = remaining.withColumn("cov_cell",
+          explode(coveringUdf(col("qlat"), col("qlng"), col("qradius"))))
         val levels: Array[Int] = {
           val levelOf = udf((c: Long) => S2.level(c))
           qcov.select(levelOf(col("cov_cell")).as("l")).distinct()
             .collect().map(_.getInt(0)).sorted
         }
         val anc = udf((cell: Long) => levels.map(l => S2.parent(cell, l)).toSeq)
-        val qside = if (nQcov <= broadcastQueryRowLimit) broadcast(qcov) else qcov
+        val qside =
+          if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov) else qcov
         val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
           ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
-        val (ranked, _, _) = materialize(imgs
+        val topkUdaf = udaf(new TopKAgg(k),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+        // one row per PROBED query: bounded top-k via PARTIAL aggregation —
+        // map-side combiners cut each partition to <= k rows per query, so
+        // the exchange carries O(queries * k), not every candidate (the
+        // row_number window it replaces shuffled + sorted the full set)
+        val (topk, _, _) = materialize(imgs
           .withColumn("cov_cell", explode(anc(col("cell16"))))
           .join(qside, Seq("cov_cell"))
           .withColumn("d2", d2)
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("query_id")).orderBy(col("d2"), col("image_id"))))
-          .where(col("rank") <= k)
-          .select(col("query_id"), col("image_id"), col("rank"), col("d2"), col("qcos")))
-        if (full) {
-          // terminal round: every remaining query resolves with whatever the
-          // whole sphere holds (covers tables smaller than k / empty input)
-          val (res, _, rr) = materialize(
-            ranked.select(col("query_id"), col("image_id"), col("rank")))
-          keep += rr
-          results = if (results == null) res else results.unionByName(res)
-          nRemaining = 0
-        } else {
-          val resolvedIds = ranked.groupBy("query_id")
-            .agg(count(lit(1)).as("cnt"), max("d2").as("kd2"), first("qcos").as("qc"))
-            .where(col("cnt") >= k &&
-              sqrt(col("kd2")) * (lit(1.0) + lit(1.0) / col("qc")) <= lit(r))
-            .select("query_id")
-          val (res, _, rr) = materialize(
-            ranked.join(resolvedIds, Seq("query_id"), "left_semi")
-              .select(col("query_id"), col("image_id"), col("rank")))
-          keep += rr
-          results = if (results == null) res else results.unionByName(res)
-          val (rem, nRem, _) = materialize(
-            remaining.join(res.select("query_id").distinct(), Seq("query_id"), "left_anti"))
-          remaining = rem
-          nRemaining = nRem
-          radiusDeg *= 8
-        }
+          .groupBy("query_id")
+          .agg(topkUdaf(col("image_id"), col("d2")).as("top"),
+            first("qcos").as("qc"), first("qradius").as("qr")))
+        val cnt = size(col("top.ids"))
+        val kd2 = element_at(col("top.d2s"), -1)
+        val bound = sqrt(kd2) * (lit(1.0) + lit(1.0) / col("qc"))
+        // resolve: enough candidates with the k-th bound inside the probed
+        // cap, OR the probe already covered the full sphere
+        val resolvedIds = topk
+          .where((cnt >= k && bound <= col("qr")) || col("qr") >= FullDeg)
+          .select("query_id")
+          .union(remaining.where(col("qradius") >= FullDeg).select("query_id"))
+          .distinct()
+        val (res, _, rr) = materialize(
+          topk.join(resolvedIds, Seq("query_id"), "left_semi")
+            .select(col("query_id"), posexplode(col("top.ids")).as(Seq("pos", "image_id")))
+            .select(col("query_id"), col("image_id"), (col("pos") + 1).cast("int").as("rank")))
+        keep += rr
+        results = if (results == null) res else results.unionByName(res)
+        // adaptive next radius: exact k-th bound when cnt >= k (guarantees
+        // resolution next round), 8x growth otherwise; both clamp to the
+        // full sphere
+        val (rem, nRem, _) = materialize(
+          remaining.join(resolvedIds, Seq("query_id"), "left_anti")
+            .join(topk.select(col("query_id"), cnt.as("cnt"), kd2.as("kd2"), col("qc")),
+              Seq("query_id"), "left")
+            .withColumn("qradius", least(lit(FullDeg + 1.0),
+              when(col("cnt").isNotNull && col("cnt") >= k,
+                sqrt(col("kd2")) * (lit(1.0) + lit(1.0) / col("qc")) * lit(1.0 + 1e-9) + lit(1e-12))
+                .otherwise(col("qradius") * 8)))
+            .select("query_id", "qlat", "qlng", "qcos", "qradius"))
+        if (verbose)
+          System.err.println(f"[knnBatch] round: remaining_out=$nRem levels=${levels.length} " +
+            f"t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
+        remaining = rem
+        nRemaining = nRem
       }
       val out =
         if (results == null)

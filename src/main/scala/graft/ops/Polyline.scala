@@ -283,4 +283,179 @@ object Polyline {
       .where(col("rn") === 1)
       .select(col("id"), col("path_id"), col("dist_m"))
   }
+
+  /** Nearest point of the polyline to (lat,lng): (lat', lng', meters) —
+    * s2.Polyline.Project semantics (the reference's projection primitive,
+    * api/functions/geometry.go:100-122). */
+  def projectToPolylineMeters(lat: Double, lng: Double,
+                              pLats: Array[Double], pLngs: Array[Double])
+      : (Double, Double, Double) = {
+    if (pLats.length == 1)
+      return (pLats(0), pLngs(0), Geo.haversineMeters(lat, lng, pLats(0), pLngs(0)))
+    val x = Geo.toXYZ(lat, lng)
+    var best = Double.MaxValue
+    var bestP: Array[Double] = null
+    var i = 1
+    while (i < pLats.length) {
+      val a = Geo.toXYZ(pLats(i - 1), pLngs(i - 1))
+      val b = Geo.toXYZ(pLats(i), pLngs(i))
+      val p = Geo.closestPointOnArc(x, a, b)
+      val d = Geo.angleBetween(x, p) * Geo.EarthRadiusMeters
+      if (d < best) { best = d; bestP = p }
+      i += 1
+    }
+    val (la, lo) = Geo.toLatLng(bestP)
+    (la, lo, best)
+  }
+
+  /** snap-area-edges kernel (reference api/functions/geometry.go:89-167
+    * snapAreaEdges/projectEdgesOntoPolylines/filterShortEdges): per ring
+    * edge, project BOTH endpoints onto each candidate polyline and take the
+    * polyline minimizing the worse endpoint distance, when that distance is
+    * under `thresholdM`; drop edges shorter than `joinM`; stitch the edge
+    * chain back into a ring, keeping a snapped edge's far endpoint only when
+    * it is not within `joinM` of the next edge's start.
+    *
+    * Documented divergence from the reference: where two consecutive snapped
+    * edges leave a corner gap, the reference inserts the intersection of the
+    * threshold-extended edges when they cross (geometry.go:146-155); this
+    * kernel keeps both endpoints instead — the stitched ring is identical
+    * except at such corners, which gain one extra vertex. Falls back to the
+    * original ring when stitching degenerates below 3 vertices (the
+    * reference's Loop.Validate fallback, geometry.go:158-162).
+    *
+    * @return (snapped ring lats, lngs, number of edges that snapped). */
+  def snapRingKernel(ringLat: Array[Double], ringLng: Array[Double],
+                     cands: Array[(Array[Double], Array[Double])],
+                     thresholdM: Double, joinM: Double)
+      : (Array[Double], Array[Double], Int) = {
+    val n = ringLat.length
+    val e0La = new Array[Double](n); val e0Lo = new Array[Double](n)
+    val e1La = new Array[Double](n); val e1Lo = new Array[Double](n)
+    var snapped = 0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      var bestD = thresholdM
+      var hit = false
+      e0La(i) = ringLat(i); e0Lo(i) = ringLng(i)
+      e1La(i) = ringLat(j); e1Lo(i) = ringLng(j)
+      cands.foreach { case (pla, plo) =>
+        val (q0la, q0lo, d0) = projectToPolylineMeters(ringLat(i), ringLng(i), pla, plo)
+        val (q1la, q1lo, d1) = projectToPolylineMeters(ringLat(j), ringLng(j), pla, plo)
+        val dmax = math.max(d0, d1)
+        if (dmax < bestD) {
+          bestD = dmax; hit = true
+          e0La(i) = q0la; e0Lo(i) = q0lo
+          e1La(i) = q1la; e1Lo(i) = q1lo
+        }
+      }
+      if (hit) snapped += 1
+      i += 1
+    }
+    val kept = (0 until n).filter(k =>
+      Geo.haversineMeters(e0La(k), e0Lo(k), e1La(k), e1Lo(k)) > joinM).toArray
+    val outLa = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val outLo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var k = 0
+    while (k < kept.length) {
+      val e = kept(k)
+      val nx = kept((k + 1) % kept.length)
+      outLa += e0La(e); outLo += e0Lo(e)
+      if (Geo.haversineMeters(e1La(e), e1Lo(e), e0La(nx), e0Lo(nx)) > joinM) {
+        outLa += e1La(e); outLo += e1Lo(e)
+      }
+      k += 1
+    }
+    if (outLa.length >= 3) (outLa.toArray, outLo.toArray, snapped)
+    else (ringLat, ringLng, 0)
+  }
+
+  /** snap-area-edges as a Spark operator (SURVEY §2.3; reference
+    * api/functions/geometry.go:124-167): snap each region's shell ring onto
+    * nearby paths within `thresholdMeters`.
+    *
+    * Prune (sound, equi-join): the path side emits every level-`level` cell
+    * within reach = threshold + sample spacing + slack of its segment
+    * samples; the region side emits the plain level-`level` cells of its
+    * ring samples. A ring point within threshold of a path is within reach
+    * of some path sample, so its cell is emitted by both sides. The
+    * reference's buffered-cap MightIntersect probe (geometry.go:130-134) is
+    * the same inflation expressed against its token index. Refinement
+    * happens inside the kernel (projections beyond the threshold never
+    * replace an edge).
+    *
+    * @param regions (region_id, rings_lat, rings_lng) — shell ring snapped
+    * @param paths   (path_id, lats, lngs)
+    * @return (region_id, s_lat, s_lng, n_snapped). */
+  def snapAreaEdges(regions: DataFrame, paths: DataFrame, thresholdMeters: Double,
+                    joinThresholdMeters: Double = 0.1, level: Int = 13): DataFrame = {
+    val edgeM = (math.Pi / 2.0) * Geo.EarthRadiusMeters / (1L << level)
+    val stepM = edgeM / 2.0
+    val reachM = thresholdMeters + stepM + 0.02 * thresholdMeters + 1.0
+    val pathCover = udf((lats: Seq[Double], lngs: Seq[Double]) => {
+      val cells = scala.collection.mutable.LinkedHashSet.empty[Long]
+      def addCap(la: Double, lo: Double): Unit =
+        S2.coveringAtLevel(
+          S2.Cap(Geo.toXYZ(la, lo), reachM / Geo.EarthRadiusMeters), level)
+          .foreach(cells += _)
+      addCap(lats(0), lngs(0))
+      var i = 1
+      while (i < lats.length) {
+        val segLen = Geo.haversineMeters(lats(i - 1), lngs(i - 1), lats(i), lngs(i))
+        val m = math.max(1, math.ceil(segLen / stepM).toInt)
+        var j = 1
+        while (j <= m) {
+          val (la, lo) = Geo.interpolate(
+            Array(lats(i - 1), lats(i)), Array(lngs(i - 1), lngs(i)), j.toDouble / m)
+          addCap(la, lo)
+          j += 1
+        }
+        i += 1
+      }
+      cells.toArray
+    })
+    val ringCells = udf((lats: Seq[Double], lngs: Seq[Double]) => {
+      val cells = scala.collection.mutable.LinkedHashSet.empty[Long]
+      val n = lats.length
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        cells += S2.cellAt(lats(i), lngs(i), level)
+        val segLen = Geo.haversineMeters(lats(i), lngs(i), lats(j), lngs(j))
+        val m = math.max(1, math.ceil(segLen / stepM).toInt)
+        var s = 1
+        while (s < m) {
+          val (la, lo) = Geo.interpolate(
+            Array(lats(i), lats(j)), Array(lngs(i), lngs(j)), s.toDouble / m)
+          cells += S2.cellAt(la, lo, level)
+          s += 1
+        }
+        i += 1
+      }
+      cells.toArray
+    })
+    val pathSide = paths
+      .withColumn("cell", explode(pathCover(col("lats"), col("lngs"))))
+    val regionSide = regions
+      .select(col("region_id"), col("rings_lat")(0).as("r_lat"), col("rings_lng")(0).as("r_lng"))
+      .withColumn("cell", explode(ringCells(col("r_lat"), col("r_lng"))))
+    val cands = regionSide.join(broadcast(pathSide), "cell")
+      .dropDuplicates("region_id", "path_id")
+      .groupBy("region_id")
+      .agg(collect_list(struct(col("lats"), col("lngs"))).as("cand"))
+    val snapUdf = udf((rLat: Seq[Double], rLng: Seq[Double],
+                       cand: Seq[org.apache.spark.sql.Row]) => {
+      val cs = Option(cand).getOrElse(Seq.empty).map(r =>
+        (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)).toArray
+      snapRingKernel(rLat.toArray, rLng.toArray, cs,
+        thresholdMeters, joinThresholdMeters)
+    })
+    regions
+      .select(col("region_id"), col("rings_lat")(0).as("r_lat"), col("rings_lng")(0).as("r_lng"))
+      .join(cands, Seq("region_id"), "left")
+      .withColumn("s", snapUdf(col("r_lat"), col("r_lng"), col("cand")))
+      .select(col("region_id"), col("s._1").as("s_lat"), col("s._2").as("s_lng"),
+        col("s._3").as("n_snapped"))
+  }
 }

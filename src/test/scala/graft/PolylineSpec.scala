@@ -143,4 +143,48 @@ class PolylineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oj((Array(-1.0, 0.0), Array(0.0, 0.0))) == Some(Seq(1.0, 0.0, -1.0))) // TT
     assert(oj((Array(5.0, 6.0), Array(5.0, 5.0))).isEmpty)
   }
+
+  test("snap-area-edges kernel: near edge snaps onto the path, far edges stay") {
+    // straight path along the equator; square ring whose bottom edge is
+    // ~55 m north of it and whose top edge is ~222 m away
+    val pLat = Array(0.0, 0.0)
+    val pLng = Array(-0.01, 0.01)
+    val ringLat = Array(0.0005, 0.0005, 0.002, 0.002)
+    val ringLng = Array(-0.005, 0.005, 0.005, -0.005)
+    val (sla, slo, n) = Polyline.snapRingKernel(ringLat, ringLng,
+      Array((pLat, pLng)), thresholdM = 100.0, joinM = 0.1)
+    assert(n == 1, "exactly the bottom edge should snap")
+    // snapped bottom edge endpoints project onto the equator path
+    assert(math.abs(sla(0)) < 1e-9 && math.abs(slo(0) - (-0.005)) < 1e-9)
+    assert(math.abs(sla(1)) < 1e-9 && math.abs(slo(1) - 0.005) < 1e-9)
+    // stitch keeps the gap endpoints -> 6 vertices total
+    assert(sla.length == 6)
+    // unchanged corners survive verbatim
+    assert(sla.contains(0.002) && slo.contains(-0.005))
+    // no candidate in range -> ring unchanged, zero snaps
+    val (ula, ulo, u) = Polyline.snapRingKernel(ringLat, ringLng,
+      Array((Array(5.0, 5.0), Array(5.0, 5.1))), thresholdM = 100.0, joinM = 0.1)
+    assert(u == 0 && ula.toSeq == ringLat.toSeq && ulo.toSeq == ringLng.toSeq)
+  }
+
+  test("snap-area-edges operator: pruned candidate join equals brute force") {
+    val spokes = spark.createDataFrame(Synth.spokePaths.toSeq.map(p =>
+        (p.pathId, p.lats.toSeq, p.lngs.toSeq)))
+      .toDF("path_id", "lats", "lngs")
+    val got = Polyline.snapAreaEdges(
+        Tables.regions(spark), Tables.paths(spark).unionByName(spokes), 2000.0)
+      .collect().map(r => (r.getString(0),
+        (r.getSeq[Double](1).toSeq, r.getSeq[Double](2).toSeq, r.getInt(3)))).toMap
+    val cands = (Synth.paths ++ Synth.spokePaths).map(p => (p.lats, p.lngs))
+    var snappedRegions = 0
+    Synth.regions.foreach { r =>
+      val (la, lo) = r.rings(0)
+      val (wla, wlo, wn) = Polyline.snapRingKernel(la, lo, cands, 2000.0, 0.1)
+      val (gla, glo, gn) = got(r.regionId)
+      assert(gn == wn, s"${r.regionId}: snapped-edge count")
+      assert(gla == wla.toSeq && glo == wlo.toSeq, s"${r.regionId}: ring mismatch")
+      if (wn > 0) snappedRegions += 1
+    }
+    assert(snappedRegions > 0, "fixture must exercise actual snapping")
+  }
 }
