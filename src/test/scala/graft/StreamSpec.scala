@@ -53,6 +53,42 @@ class StreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("a group arriving entirely late does not kill the query (timeout clamp)") {
+    // Spark's FlatMapGroupsWithStateExec filters rows older than the
+    // watermark before they reach the state function, so a fully-late group
+    // is DROPPED (standard watermark semantics); the setTimeoutTimestamp
+    // clamp (ADVICE r02) is defense-in-depth for any path where a kept
+    // event's expiry lands at/below the watermark. The gate here: the query
+    // keeps running through the late batch and on-time groups are unharmed.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventStream.Event]
+    val sessions = EventStream.sessionizeStreaming(
+      ms.toDS().withWatermark("ts", "10 seconds"), gapSeconds = 60)
+    val q = sessions.writeStream.format("memory")
+      .queryName("late_out").outputMode("append").start()
+    try {
+      // batch 1 pushes the watermark to ~199990
+      ms.addData(ev(1, 1L, 200000))
+      q.processAllAvailable()
+      // batch 2: user 2's only event is far BEFORE the watermark
+      ms.addData(ev(2, 2L, 100))
+      q.processAllAvailable()
+      assert(q.isActive, "late-only batch must not kill the query")
+      // advance the watermark; on-time sessions flush normally
+      ms.addData(ev(3, 1L, 200200))
+      q.processAllAvailable()
+      ms.addData(ev(4, 1L, 200500))
+      q.processAllAvailable()
+      assert(q.isActive)
+      val got = spark.table("late_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.contains((1L, 200000L, 200000L, 1L)),
+        s"on-time session must flush; got ${got.toSeq}")
+      assert(!got.exists(_._1 == 2L), "fully-late group is dropped by the watermark filter")
+    } finally q.stop()
+  }
+
   test("batch sessionize and gap-and-island batch oracle agree (regression)") {
     import spark.implicits._
     val events = Seq(ev(1, 1L, 0), ev(2, 1L, 600), ev(3, 1L, 9000), ev(4, 2L, 50))
