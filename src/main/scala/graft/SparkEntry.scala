@@ -135,6 +135,15 @@ object SparkEntry {
       Knn.knnBatch(s, images(s, dir), queries, k = 3)
     }),
 
+    // --- same distributed batch under the production great-circle metric ---
+    "q_knn_batch_meters" -> ((s, dir) => {
+      val qlat = udf((i: Long) => Synth.batchQueryLat(i))
+      val qlng = udf((i: Long) => Synth.batchQueryLng(i))
+      val queries = s.range(10000).select(col("id").cast("int").as("query_id"),
+        qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
+      Knn.knnBatchHaversine(s, images(s, dir), queries, k = 3)
+    }),
+
     // --- §1.4/§2.1 compact-index sink + pruned kNN read (VERDICT r02 #5):
     //     write the cell-bucketed store, prove the range read touches
     //     STRICTLY fewer buckets than the store holds, then answer the same
@@ -734,6 +743,7 @@ object SparkEntry {
       "q_hull_area" -> g("q_hull_area", "region_id"),
       "q_knn_meters" -> g("q_knn_meters", "query_id, rank"),
       "q_knn_batch" -> g("q_knn_batch", "query_id, rank"),
+      "q_knn_batch_meters" -> g("q_knn_batch_meters", "query_id, rank"),
       "q_shell_cap" -> g("q_shell_cap", "image_id"),
       "q_snap_edges" -> g("q_snap_edges", "region_id"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),

@@ -238,9 +238,27 @@ object Knn {
     * (bounded per query per round) enter the window exchange. */
   def knnBatch(spark: SparkSession, images: DataFrame, queries: DataFrame,
                k: Int = 10, initialRadiusDeg: Double = 2.0,
-               broadcastQueryRowLimit: Long = 2000000L): DataFrame = {
+               broadcastQueryRowLimit: Long = 2000000L): DataFrame =
+    knnBatchCore(spark, images, queries, k, initialRadiusDeg,
+      broadcastQueryRowLimit, meters = false)
+
+  /** `knnBatch` under the production great-circle metric (b6 distance
+    * semantics): radii in meters, the stop rule direct (k-th haversine
+    * distance <= probed cap radius). Same adaptive loop, same plan shape. */
+  def knnBatchHaversine(spark: SparkSession, images: DataFrame, queries: DataFrame,
+                        k: Int = 10, initialRadiusMeters: Double = 300000.0,
+                        broadcastQueryRowLimit: Long = 2000000L): DataFrame =
+    knnBatchCore(spark, images, queries, k, initialRadiusMeters,
+      broadcastQueryRowLimit, meters = true)
+
+  private def knnBatchCore(spark: SparkSession, images: DataFrame, queries: DataFrame,
+                           k: Int, initialRadius: Double,
+                           broadcastQueryRowLimit: Long, meters: Boolean): DataFrame = {
     import org.apache.spark.rdd.RDD
-    val FullDeg = 180.0
+    // "full sphere" threshold in the metric's own radius unit
+    val FullDeg = if (meters) math.Pi * Geo.EarthRadiusMeters else 180.0
+    val growth = if (meters) 4.0 else 8.0
+    val absEps = if (meters) 1e-6 else 1e-12
     val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
     val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
     val keep = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
@@ -256,15 +274,18 @@ object Knn {
         queries.select(col("query_id").cast("int"),
           col("qlat").cast("double"), col("qlng").cast("double"))
           .withColumn("qcos", cos(radians(col("qlat"))))
-          .withColumn("qradius", lit(initialRadiusDeg)))
+          .withColumn("qradius", lit(initialRadius)))
       var results: DataFrame = null
       val verbose = sys.env.contains("GRAFT_KNN_VERBOSE")
       while (nRemaining > 0) {
         val tRound = System.nanoTime()
-        val coveringUdf = udf((lat: Double, lng: Double, radiusDeg: Double) =>
-          if (radiusDeg >= FullDeg) faceCells
-          else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), math.toRadians(radiusDeg)),
-            maxCells = 12, maxLevel = 16).toSeq)
+        val coveringUdf = udf((lat: Double, lng: Double, radius: Double) => {
+          val angle =
+            if (meters) radius / Geo.EarthRadiusMeters else math.toRadians(radius)
+          if (radius >= FullDeg) faceCells
+          else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), angle),
+            maxCells = 12, maxLevel = 16).toSeq
+        })
         // qcov stays LAZY over the materialized `remaining` (the covering
         // UDF over the small query side is cheaper to run twice — levels
         // collect + join — than to snapshot each round)
@@ -278,8 +299,10 @@ object Knn {
         val anc = udf((cell: Long) => levels.map(l => S2.parent(cell, l)).toSeq)
         val qside =
           if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov) else qcov
-        val d2 = (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
-          ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
+        val distCol =
+          if (meters) Udfs.haversineMeters(col("lat"), col("lng"), col("qlat"), col("qlng"))
+          else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+            ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
         val topkUdaf = udaf(new TopKAgg(k),
           org.apache.spark.sql.Encoders.tuple(
             org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
@@ -290,13 +313,18 @@ object Knn {
         val (topk, _, _) = materialize(imgs
           .withColumn("cov_cell", explode(anc(col("cell16"))))
           .join(qside, Seq("cov_cell"))
-          .withColumn("d2", d2)
+          .withColumn("d2", distCol)
           .groupBy("query_id")
           .agg(topkUdaf(col("image_id"), col("d2")).as("top"),
             first("qcos").as("qc"), first("qradius").as("qr")))
         val cnt = size(col("top.ids"))
         val kd2 = element_at(col("top.d2s"), -1)
-        val bound = sqrt(kd2) * (lit(1.0) + lit(1.0) / col("qc"))
+        // sound radius bound of the k-th candidate in the metric's unit:
+        // haversine IS the great-circle distance; d2 needs the equirect ->
+        // great-circle inflation
+        val bound =
+          if (meters) kd2
+          else sqrt(kd2) * (lit(1.0) + lit(1.0) / col("qc"))
         // resolve: enough candidates with the k-th bound inside the probed
         // cap, OR the probe already covered the full sphere
         val resolvedIds = topk
@@ -311,16 +339,19 @@ object Knn {
         keep += rr
         results = if (results == null) res else results.unionByName(res)
         // adaptive next radius: exact k-th bound when cnt >= k (guarantees
-        // resolution next round), 8x growth otherwise; both clamp to the
-        // full sphere
+        // resolution next round), geometric growth otherwise; both clamp to
+        // the full sphere
+        val nextBound =
+          if (meters) col("kd2")
+          else sqrt(col("kd2")) * (lit(1.0) + lit(1.0) / col("qc"))
         val (rem, nRem, _) = materialize(
           remaining.join(resolvedIds, Seq("query_id"), "left_anti")
             .join(topk.select(col("query_id"), cnt.as("cnt"), kd2.as("kd2"), col("qc")),
               Seq("query_id"), "left")
             .withColumn("qradius", least(lit(FullDeg + 1.0),
               when(col("cnt").isNotNull && col("cnt") >= k,
-                sqrt(col("kd2")) * (lit(1.0) + lit(1.0) / col("qc")) * lit(1.0 + 1e-9) + lit(1e-12))
-                .otherwise(col("qradius") * 8)))
+                nextBound * lit(1.0 + 1e-9) + lit(absEps))
+                .otherwise(col("qradius") * growth)))
             .select("query_id", "qlat", "qlng", "qcos", "qradius"))
         if (verbose)
           System.err.println(f"[knnBatch] round: remaining_out=$nRem levels=${levels.length} " +

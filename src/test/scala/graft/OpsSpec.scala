@@ -156,6 +156,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qs = Synth.knnQueries.toSeq.take(8)
     val got = Knn.knnHaversine(spark, images, qs, k = 5)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    // the distributed batch form under the same metric must agree
+    val qdf = {
+      import spark.implicits._
+      qs.map(q => (q.queryId, q.lat, q.lng)).toDF("query_id", "qlat", "qlng")
+    }
+    val batch = Knn.knnBatchHaversine(spark, images, qdf, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch == got)
     val pts = imagePoints()
     val want = qs.flatMap { q =>
       pts.map { case (id, lat, lng) =>
