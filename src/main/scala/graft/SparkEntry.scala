@@ -409,6 +409,13 @@ object SparkEntry {
         .orderBy("region_id")
     }),
 
+    // --- §2.8 general polygon booleans (Foster role; Greiner-Hormann
+    //     kernel): pairwise intersection/union/difference areas over the
+    //     covering-pruned overlapping region pairs — round 3 ---
+    "q_poly_bool" -> ((s, _) =>
+      graft.ops.Booleans.overlapBooleans(Tables.regions(s))
+        .orderBy("id_a", "id_b")),
+
     // --- §2.4 connect-to-network: nearest path within 500 m ---
     "q_connect" -> ((s, dir) =>
       graft.ops.Polyline.nearestPathJoin(
@@ -746,6 +753,7 @@ object SparkEntry {
       "q_knn_batch_meters" -> g("q_knn_batch_meters", "query_id, rank"),
       "q_shell_cap" -> g("q_shell_cap", "image_id"),
       "q_snap_edges" -> g("q_snap_edges", "region_id"),
+      "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
       "q_minhash_lsh" -> g("q_minhash_lsh", "id_a, id_b"),
       "q_mvt_tiles" -> g("q_mvt_tiles", "z, x, y"),

@@ -1,0 +1,112 @@
+package graft
+
+import graft.core.{Geo, PolyBool}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Greiner-Hormann polygon booleans: hand-computed vectors, the
+  * Sutherland-Hodgman convex cross-check (an INDEPENDENT clipping
+  * algorithm), and area-additivity sweeps over the region fixtures. */
+class PolyBoolSpec extends AnyFunSuite {
+
+  private def rect(latLo: Double, latHi: Double, lngLo: Double, lngHi: Double) =
+    (Array(latLo, latLo, latHi, latHi), Array(lngLo, lngHi, lngHi, lngLo))
+
+  private def areaOf(lat: Array[Double], lng: Array[Double]): Double =
+    math.abs(PolyBool.signedArea(lat, lng))
+
+  test("overlapping rectangles: intersection/union/difference areas exact") {
+    val (aLat, aLng) = rect(0, 2, 0, 3)   // area 6
+    val (bLat, bLng) = rect(1, 4, 1, 5)   // area 12, overlap = [1,2]x[1,3] = 2
+    val inter = PolyBool.intersection(aLat, aLng, bLat, bLng)
+    assert(inter.length == 1)
+    assert(math.abs(PolyBool.totalArea(inter) - 2.0) < 1e-12)
+    val uni = PolyBool.union(aLat, aLng, bLat, bLng)
+    assert(math.abs(PolyBool.totalArea(uni) - (6 + 12 - 2)) < 1e-12)
+    val diff = PolyBool.difference(aLat, aLng, bLat, bLng)
+    assert(math.abs(PolyBool.totalArea(diff) - (6 - 2)) < 1e-12)
+  }
+
+  test("disjoint / containment cases") {
+    val (aLat, aLng) = rect(0, 1, 0, 1)
+    val (bLat, bLng) = rect(5, 6, 5, 6)
+    assert(PolyBool.intersection(aLat, aLng, bLat, bLng).isEmpty)
+    assert(math.abs(PolyBool.totalArea(PolyBool.union(aLat, aLng, bLat, bLng)) - 2.0) < 1e-12)
+    assert(math.abs(PolyBool.totalArea(PolyBool.difference(aLat, aLng, bLat, bLng)) - 1.0) < 1e-12)
+    // b inside a
+    val (oLat, oLng) = rect(0, 10, 0, 10)   // 100
+    val (iLat, iLng) = rect(2, 4, 2, 4)     // 4
+    assert(math.abs(PolyBool.totalArea(PolyBool.intersection(oLat, oLng, iLat, iLng)) - 4.0) < 1e-12)
+    assert(math.abs(PolyBool.totalArea(PolyBool.union(oLat, oLng, iLat, iLng)) - 100.0) < 1e-12)
+    // difference keeps the outer ring + a CW hole: signed areas add to 96
+    val d = PolyBool.difference(oLat, oLng, iLat, iLng)
+    assert(d.length == 2)
+    assert(math.abs(PolyBool.totalArea(d) - 96.0) < 1e-12)
+    // a inside b -> difference empty
+    assert(PolyBool.difference(iLat, iLng, oLat, oLng).isEmpty)
+  }
+
+  test("plus-shape: crossing bars produce multi-ring difference") {
+    val (hLat, hLng) = rect(4, 6, 0, 10)   // horizontal bar, area 20
+    val (vLat, vLng) = rect(0, 10, 4, 6)   // vertical bar, area 20
+    val inter = PolyBool.intersection(hLat, hLng, vLat, vLng)
+    assert(inter.length == 1)
+    assert(math.abs(PolyBool.totalArea(inter) - 4.0) < 1e-12) // center 2x2
+    val uni = PolyBool.union(hLat, hLng, vLat, vLng)
+    assert(math.abs(PolyBool.totalArea(uni) - 36.0) < 1e-12)
+    val diff = PolyBool.difference(hLat, hLng, vLat, vLng)
+    assert(diff.length == 2, s"left+right pieces, got ${diff.length}")
+    assert(math.abs(PolyBool.totalArea(diff) - 16.0) < 1e-12)
+  }
+
+  test("non-convex subject: L-shape against a square") {
+    // L = [0,3]x[0,3] minus the quadrant (lat>1 AND lng<2) => area 9-4=5
+    val lLat = Array(0.0, 0.0, 3.0, 3.0, 1.0, 1.0)
+    val lLng = Array(0.0, 3.0, 3.0, 2.0, 2.0, 0.0)
+    assert(math.abs(areaOf(lLat, lLng) - 5.0) < 1e-12)
+    // clip square overlapping the notch corner
+    val (cLat, cLng) = rect(0.5, 2.5, 0.5, 2.5)   // area 4
+    // L ∩ C = C minus lat(1,2.5)xlng(0.5,2) = 4 - 1.5*1.5 = 1.75
+    val inter = PolyBool.intersection(lLat, lLng, cLat, cLng)
+    assert(math.abs(PolyBool.totalArea(inter) - 1.75) < 1e-12)
+    val uni = PolyBool.union(lLat, lLng, cLat, cLng)
+    assert(math.abs(PolyBool.totalArea(uni) - (5.0 + 4.0 - 1.75)) < 1e-12)
+    val diff = PolyBool.difference(lLat, lLng, cLat, cLng)
+    assert(math.abs(PolyBool.totalArea(diff) - (5.0 - 1.75)) < 1e-12)
+  }
+
+  test("convex cross-check: GH intersection equals Sutherland-Hodgman clip") {
+    // irregular convex clip hexagon vs an irregular convex subject pentagon
+    val subLat = Array(0.0, -1.0, 0.5, 2.5, 2.0)
+    val subLng = Array(0.0, 2.0, 4.0, 3.0, 0.5)
+    val clpLat = Array(-0.5, 0.0, 1.5, 2.8, 2.0, 0.2)
+    val clpLng = Array(1.5, 3.5, 4.2, 2.0, 0.2, 0.0)
+    val gh = PolyBool.totalArea(PolyBool.intersection(subLat, subLng, clpLat, clpLng))
+    val (shLat, shLng) = Geo.clipRing(subLat, subLng, clpLat, clpLng)
+    val sh = areaOf(shLat, shLng)
+    assert(math.abs(gh - sh) < 1e-10, s"GH $gh vs SH $sh")
+    assert(gh > 0.1)
+  }
+
+  test("fixture sweep: additivity holds for every overlapping region pair") {
+    val rs = graft.model.Synth.regions
+    var overlapping = 0
+    for (i <- rs.indices; j <- rs.indices if i < j) {
+      val (aLat, aLng) = rs(i).rings(0)
+      val (bLat, bLng) = rs(j).rings(0)
+      val inter = PolyBool.totalArea(PolyBool.intersection(aLat, aLng, bLat, bLng))
+      if (inter > 0) {
+        overlapping += 1
+        val aA = areaOf(aLat, aLng); val aB = areaOf(bLat, bLng)
+        val uni = PolyBool.totalArea(PolyBool.union(aLat, aLng, bLat, bLng))
+        val dif = PolyBool.totalArea(PolyBool.difference(aLat, aLng, bLat, bLng))
+        val tol = 1e-9 * math.max(1.0, aA + aB)
+        assert(math.abs(inter + dif - aA) < tol,
+          s"pair ($i,$j): inter+diff=${inter + dif} != areaA=$aA")
+        assert(math.abs(uni - (aA + aB - inter)) < tol,
+          s"pair ($i,$j): union=$uni != ${aA + aB - inter}")
+        assert(inter <= math.min(aA, aB) + tol && uni >= math.max(aA, aB) - tol)
+      }
+    }
+    assert(overlapping > 0, "fixture must contain overlapping region pairs")
+  }
+}
