@@ -87,6 +87,41 @@ class PolyBoolSpec extends AnyFunSuite {
     assert(gh > 0.1)
   }
 
+  test("random convex pairs: GH equals Sutherland-Hodgman across 60 seeds") {
+    import graft.core.Hashes
+    // deterministic convex ring: convex hull of 12 seeded random points
+    def convexRing(seed: Long): (Array[Double], Array[Double]) = {
+      def u(i: Long) = (Hashes.splitmix64(seed * 1000 + i) >>> 11).toDouble / (1L << 53).toDouble
+      val lat = Array.tabulate(12)(i => u(i * 2) * 4.0)
+      val lng = Array.tabulate(12)(i => u(i * 2 + 1) * 4.0)
+      val idx = Geo.convexHull(lat, lng)
+      (idx.map(lat(_)), idx.map(lng(_)))
+    }
+    var checked = 0
+    (0 until 60).foreach { s =>
+      val (aLat, aLng) = convexRing(s * 2 + 1)
+      // shift the second ring so overlap is frequent but not guaranteed
+      val (bLat0, bLng0) = convexRing(s * 2 + 2)
+      val bLat = bLat0.map(_ + 1.0); val bLng = bLng0.map(_ + 1.0)
+      if (aLat.length >= 3 && bLat.length >= 3) {
+        val gh = PolyBool.totalArea(PolyBool.intersection(aLat, aLng, bLat, bLng))
+        val (sLat, sLng) = Geo.clipRing(aLat, aLng, bLat, bLng)
+        val sh = if (sLat.length >= 3) areaOf(sLat, sLng) else 0.0
+        assert(math.abs(gh - sh) < 1e-9 * math.max(1.0, sh),
+          s"seed $s: GH $gh vs SH $sh")
+        if (gh > 0) checked += 1
+        // additivity on the same pair
+        val aA = areaOf(aLat, aLng); val aB = areaOf(bLat, bLng)
+        val uni = PolyBool.totalArea(PolyBool.union(aLat, aLng, bLat, bLng))
+        val dif = PolyBool.totalArea(PolyBool.difference(aLat, aLng, bLat, bLng))
+        val tol = 1e-9 * math.max(1.0, aA + aB)
+        assert(math.abs(gh + dif - aA) < tol, s"seed $s: inter+diff != areaA")
+        assert(math.abs(uni - (aA + aB - gh)) < tol, s"seed $s: union identity")
+      }
+    }
+    assert(checked >= 20, s"sweep must exercise real overlaps, got $checked")
+  }
+
   test("fixture sweep: additivity holds for every overlapping region pair") {
     val rs = graft.model.Synth.regions
     var overlapping = 0
