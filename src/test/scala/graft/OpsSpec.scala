@@ -151,6 +151,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("batch kNN full-sphere termination: k larger than the table") {
+    import org.apache.spark.sql.functions._
+    // 5-row image table, k=8: no query can ever reach k candidates, so every
+    // query must terminate via the full-sphere round with all 5 rows ranked
+    val tiny = Tables.images(spark, sfDir).limit(5)
+      .select("image_id", "lat", "lng", "cell16").cache()
+    val pts = tiny.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val qdf = {
+      import spark.implicits._
+      Seq((0, 10.0, 10.0), (1, -40.0, 120.0)).toDF("query_id", "qlat", "qlng")
+    }
+    val got = Knn.knnBatch(spark, tiny, qdf, k = 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Seq((10.0, 10.0, 0), (-40.0, 120.0, 1)).flatMap { case (qla, qlo, qid) =>
+      val c = math.cos(math.toRadians(qla))
+      pts.map { case (id, lat, lng) =>
+        val dy = lat - qla; val dx = (lng - qlo) * c
+        (id, dy * dy + dx * dx)
+      }.sortBy { case (id, d2) => (d2, id) }.zipWithIndex.map {
+        case ((id, _), i) => (qid, id, i + 1)
+      }
+    }.toSet
+    tiny.unpersist()
+    assert(got == want && got.size == 10)
+  }
+
   test("haversine kNN equals brute-force great-circle top-k") {
     val images = Tables.images(spark, sfDir)
     val qs = Synth.knnQueries.toSeq.take(8)
