@@ -97,15 +97,17 @@ object PolyBool {
 
     // phase 1: find + insert all intersections
     var found = false
-    val sOrig = verticesOf(sHead) // original vertices only at this point
-    val cOrig = verticesOf(cHead)
-    sOrig.foreach { sv =>
+    val sOrig = verticesOf(sHead).toIndexedSeq // original vertices only here
+    val cOrig = verticesOf(cHead).toIndexedSeq
+    sOrig.indices.foreach { si =>
+      val sv = sOrig(si)
       val (x1, y1) = (sv.x, sv.y)
-      val sEnd = sOrig((sOrig.indexOf(sv) + 1) % sOrig.length)
+      val sEnd = sOrig((si + 1) % sOrig.length)
       val (x2, y2) = (sEnd.x, sEnd.y)
-      cOrig.foreach { cv =>
+      cOrig.indices.foreach { ci =>
+        val cv = cOrig(ci)
         val (x3, y3) = (cv.x, cv.y)
-        val cEnd = cOrig((cOrig.indexOf(cv) + 1) % cOrig.length)
+        val cEnd = cOrig((ci + 1) % cOrig.length)
         val (x4, y4) = (cEnd.x, cEnd.y)
         val den = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
         if (math.abs(den) > 1e-18) {

@@ -359,11 +359,19 @@ object Knn {
         remaining = rem
         nRemaining = nRem
       }
+      // snapshot the FINAL ordered result into ONE persisted RDD and release
+      // every intermediate (incl. the per-round result pieces): exactly one
+      // persisted RDD outlives the call, the Reachability.releaseExcept
+      // contract
       val out =
         if (results == null)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], resultSchema)
-        else results.orderBy("query_id", "rank")
-      // release everything except the RDDs backing the returned frame
+        else {
+          val (frame, _, finalRdd) = materialize(results.orderBy("query_id", "rank"))
+          keep.clear()
+          keep += finalRdd
+          frame
+        }
       rdds.foreach(rdd => if (!keep.exists(_ eq rdd)) rdd.unpersist(blocking = false))
       out
     } catch {

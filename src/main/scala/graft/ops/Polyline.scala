@@ -389,7 +389,8 @@ object Polyline {
     * @param paths   (path_id, lats, lngs)
     * @return (region_id, s_lat, s_lng, n_snapped). */
   def snapAreaEdges(regions: DataFrame, paths: DataFrame, thresholdMeters: Double,
-                    joinThresholdMeters: Double = 0.1, level: Int = 13): DataFrame = {
+                    joinThresholdMeters: Double = 0.1, level: Int = 13,
+                    maxCandidates: Int = 10000): DataFrame = {
     val edgeM = (math.Pi / 2.0) * Geo.EarthRadiusMeters / (1L << level)
     val stepM = edgeM / 2.0
     val reachM = thresholdMeters + stepM + 0.02 * thresholdMeters + 1.0
@@ -448,6 +449,13 @@ object Polyline {
                        cand: Seq[org.apache.spark.sql.Row]) => {
       val cs = Option(cand).getOrElse(Seq.empty).map(r =>
         (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)).toArray
+      // loud density bound (the sightline maxBarriers pattern): the per-ring
+      // kernel is O(edges * candidates); a pathological path density fails
+      // instead of grinding inside one task
+      if (cs.length > maxCandidates)
+        throw new IllegalStateException(
+          s"snapAreaEdges: ${cs.length} candidate paths for one region exceed " +
+            s"maxCandidates=$maxCandidates; shrink the threshold or raise the bound")
       snapRingKernel(rLat.toArray, rLng.toArray, cs,
         thresholdMeters, joinThresholdMeters)
     })
