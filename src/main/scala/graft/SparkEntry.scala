@@ -132,7 +132,7 @@ object SparkEntry {
       val qlng = udf((i: Long) => Synth.batchQueryLng(i))
       val queries = s.range(10000).select(col("id").cast("int").as("query_id"),
         qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
-      Knn.knnBatch(s, images(s, dir), queries, k = 3)
+      Knn.knnBatch(s, images(s, dir), queries, k = 3, initialRadiusDeg = 0) // auto
     }),
 
     // --- same distributed batch under the production great-circle metric ---
@@ -141,7 +141,7 @@ object SparkEntry {
       val qlng = udf((i: Long) => Synth.batchQueryLng(i))
       val queries = s.range(10000).select(col("id").cast("int").as("query_id"),
         qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
-      Knn.knnBatchHaversine(s, images(s, dir), queries, k = 3)
+      Knn.knnBatchHaversine(s, images(s, dir), queries, k = 3, initialRadiusMeters = 0) // auto
     }),
 
     // --- §1.4/§2.1 compact-index sink + pruned kNN read (VERDICT r02 #5):

@@ -236,6 +236,9 @@ object Knn {
     * Reachability.Tracker pattern) so planning cost stays constant across
     * rounds. At 100 TB the image side never shuffles: only candidate rows
     * (bounded per query per round) enter the window exchange. */
+  /** `initialRadiusDeg <= 0` auto-derives the round-1 radius from the table
+    * density (see knnBatchCore) — the right default for density-varying
+    * inputs; correctness is radius-invariant either way. */
   def knnBatch(spark: SparkSession, images: DataFrame, queries: DataFrame,
                k: Int = 10, initialRadiusDeg: Double = 2.0,
                broadcastQueryRowLimit: Long = 2000000L): DataFrame =
@@ -252,7 +255,7 @@ object Knn {
       broadcastQueryRowLimit, meters = true)
 
   private def knnBatchCore(spark: SparkSession, images: DataFrame, queries: DataFrame,
-                           k: Int, initialRadius: Double,
+                           k: Int, initialRadius0: Double,
                            broadcastQueryRowLimit: Long, meters: Boolean): DataFrame = {
     import org.apache.spark.rdd.RDD
     // "full sphere" threshold in the metric's own radius unit
@@ -260,6 +263,21 @@ object Knn {
     val growth = if (meters) 4.0 else 8.0
     val absEps = if (meters) 1e-6 else 1e-12
     val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
+    // initialRadius <= 0 -> auto from density: aim for ~16*k candidates per
+    // round-1 cap so virtually every query resolves immediately — the d2
+    // stop rule needs kth * (1 + 1/cos) <= r, i.e. ~(1+1/cos)^2 * k ~ 6-8k
+    // candidates even at high latitudes; 16k leaves margin for local
+    // density dips. The count is one cheap job over the cached projection;
+    // correctness is radius-invariant (OpsSpec), this only tunes round
+    // counts across densities (a fixed 2 deg was right at sf0.1 but cost an
+    // extra full round at sf0.01).
+    val initialRadius =
+      if (initialRadius0 > 0) initialRadius0
+      else {
+        val n = math.max(1L, imgs.count())
+        val deg = math.min(60.0, math.sqrt(16.0 * k * 41253.0 / (math.Pi * n)))
+        if (meters) deg * 111320.0 else deg
+      }
     val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
     val keep = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
     def materialize(df: DataFrame): (DataFrame, Long, RDD[Row]) = {
