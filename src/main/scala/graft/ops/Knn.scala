@@ -83,12 +83,6 @@ object Knn {
     StructField("image_id", LongType, nullable = false),
     StructField("rank", IntegerType, nullable = false)))
 
-  private val resultSchemaM = StructType(Seq(
-    StructField("query_id", IntegerType, nullable = false),
-    StructField("image_id", LongType, nullable = false),
-    StructField("rank", IntegerType, nullable = false),
-    StructField("dist_m", DoubleType, nullable = false)))
-
   /** Shared expansion loop for BOTH metrics (review r03: the haversine path
     * now runs through the same loop as the d2 forms — one loop, no drift).
     * `meters` selects metric, stop rule and growth; `imagesForRound` selects
