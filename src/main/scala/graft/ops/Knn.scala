@@ -229,8 +229,9 @@ object Knn {
     * Per-round tables are snapshotted to persisted RDDs (the
     * Reachability.Tracker pattern) so planning cost stays constant across
     * rounds. At 100 TB the image side never shuffles: only candidate rows
-    * (bounded per query per round) enter the window exchange. */
-  /** `initialRadiusDeg <= 0` auto-derives the round-1 radius from the table
+    * (bounded per query per round) enter the window exchange.
+    *
+    * `initialRadiusDeg <= 0` auto-derives the round-1 radius from the table
     * density (see knnBatchCore) — the right default for density-varying
     * inputs; correctness is radius-invariant either way. */
   def knnBatch(spark: SparkSession, images: DataFrame, queries: DataFrame,
