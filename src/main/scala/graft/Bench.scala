@@ -65,10 +65,7 @@ object Bench {
       // measured 10^4-query number reflects the query, not cold start —
       // the same warm-session protocol the other queries get via the
       // containment warmup
-      val qlat = udf((i: Long) => Synth.batchQueryLat(i))
-      val qlng = udf((i: Long) => Synth.batchQueryLng(i))
-      val warmQ = spark.range(200).select(col("id").cast("int").as("query_id"),
-        qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
+      val warmQ = Synth.batchQueryDf(spark, 200)
       Knn.knnBatch(spark, graft.model.Tables.images(spark, sfDir), warmQ, k = 3).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val headline = Seq("q_containment", "q_knn", "q_knn_batch", "q_tiles_points",

@@ -127,22 +127,14 @@ object SparkEntry {
 
     // --- §2.4 kNN with a DISTRIBUTED query side: 10^4 query points as a
     //     DataFrame (no driver-resident query state; VERDICT r02 #1) ---
-    "q_knn_batch" -> ((s, dir) => {
-      val qlat = udf((i: Long) => Synth.batchQueryLat(i))
-      val qlng = udf((i: Long) => Synth.batchQueryLng(i))
-      val queries = s.range(10000).select(col("id").cast("int").as("query_id"),
-        qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
-      Knn.knnBatch(s, images(s, dir), queries, k = 3, initialRadiusDeg = 0) // auto
-    }),
+    "q_knn_batch" -> ((s, dir) =>
+      Knn.knnBatch(s, images(s, dir), Synth.batchQueryDf(s, 10000),
+        k = 3, initialRadiusDeg = 0)), // auto radius
 
     // --- same distributed batch under the production great-circle metric ---
-    "q_knn_batch_meters" -> ((s, dir) => {
-      val qlat = udf((i: Long) => Synth.batchQueryLat(i))
-      val qlng = udf((i: Long) => Synth.batchQueryLng(i))
-      val queries = s.range(10000).select(col("id").cast("int").as("query_id"),
-        qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
-      Knn.knnBatchHaversine(s, images(s, dir), queries, k = 3, initialRadiusMeters = 0) // auto
-    }),
+    "q_knn_batch_meters" -> ((s, dir) =>
+      Knn.knnBatchHaversine(s, images(s, dir), Synth.batchQueryDf(s, 10000),
+        k = 3, initialRadiusMeters = 0)), // auto radius
 
     // --- §1.4/§2.1 compact-index sink + pruned kNN read (VERDICT r02 #5):
     //     write the cell-bucketed store, prove the range read touches

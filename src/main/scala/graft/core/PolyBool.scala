@@ -171,9 +171,17 @@ object PolyBool {
       } while (cur ne sHead)
       null
     }
+    // Runaway-loop guard: a valid GH traversal appends each node O(1) times
+    // across ALL output rings, so total steps are bounded by a small multiple
+    // of the node count (originals + inserted intersections). Sizing the
+    // bound from the input — not a fixed constant — keeps legitimately large
+    // polygons (e.g. 5000-vertex coastlines) in scope while still failing
+    // loudly on a genuinely non-terminating traversal (review r03).
+    val maxSteps =
+      4 * (verticesOf(sHead).length + verticesOf(cHead).length) + 16
     var start = nextUnvisited()
     var guard = 0
-    while (start != null && guard < 10000) {
+    while (start != null && guard < maxSteps) {
       val xs = Array.newBuilder[Double]
       val ys = Array.newBuilder[Double]
       var cur = start
@@ -182,20 +190,20 @@ object PolyBool {
         if (cur.neighbor != null) cur.neighbor.visited = true
         if (cur.entry) {
           do { cur = cur.next; xs += cur.x; ys += cur.y; guard += 1 }
-          while (!cur.isIntersection && guard < 10000)
+          while (!cur.isIntersection && guard < maxSteps)
         } else {
           do { cur = cur.prev; xs += cur.x; ys += cur.y; guard += 1 }
-          while (!cur.isIntersection && guard < 10000)
+          while (!cur.isIntersection && guard < maxSteps)
         }
         cur.visited = true
         cur = cur.neighbor
         guard += 1
-      } while ((cur ne start) && guard < 10000)
+      } while ((cur ne start) && guard < maxSteps)
       val lat = ys.result(); val lng = xs.result()
       if (lat.length >= 3) out += Ring(lat, lng)
       start = nextUnvisited()
     }
-    if (guard >= 10000)
+    if (guard >= maxSteps)
       throw new IllegalStateException(
         "PolyBool: traversal did not close (degenerate input outside the documented general-position scope)")
     // Orientation normalization: traversal direction depends on the parity

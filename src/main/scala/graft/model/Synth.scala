@@ -178,6 +178,18 @@ object Synth {
     math.rint((-160.0 + 320.0 *
       ((Hashes.splitmix64(i * 101L + 23) >>> 11).toDouble / (1L << 53).toDouble)) * 100000.0) / 100000.0
 
+  /** The batch-kNN query side as a DataFrame — (query_id int, qlat, qlng)
+    * over `spark.range(n)` with the generators above evaluated executor-side.
+    * One definition for SparkEntry's gates, Bench's warmup and OpsSpec
+    * (review r03 deduplicated three copies). */
+  def batchQueryDf(spark: org.apache.spark.sql.SparkSession, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val qlat = udf((i: Long) => batchQueryLat(i))
+    val qlng = udf((i: Long) => batchQueryLng(i))
+    spark.range(n).select(col("id").cast("int").as("query_id"),
+      qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
+  }
+
   // =====================================================================
   // Paths — deterministic polylines ("roads") for the polyline operators
   // =====================================================================

@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * Greiner-Hormann kernel in core/PolyBool over the planar chart).
   *
   * Candidate pairs come from a SOUND covering equi-join: two regions that
-  * overlap share a point, so one side's covering holds a cell that is an
-  * ancestor-or-equal of a cell in the other side's covering; exploding
-  * covering cells PLUS their ancestors on both sides and equi-joining on the
-  * cell id catches both directions. Refine = the boolean kernel itself (a
-  * disjoint candidate pair yields an empty intersection and is filtered).
+  * overlap share a point p, so the covering cell of one side containing p is
+  * an ancestor-or-equal of the other side's cell containing p. Joining
+  * ancestors-of-covering on ONE side against plain covering cells on the
+  * other, unioned with the swapped orientation, catches both directions —
+  * the same shape as the kNN ancestor stab. (Exploding full ancestor chains
+  * on BOTH sides would be sound too, but every region then emits its level-0
+  * face cell on both sides and the join degenerates to all same-face pairs;
+  * review r03.) Refine = the boolean kernel itself (a disjoint candidate
+  * pair yields an empty intersection and is filtered).
   */
 object Booleans {
 
@@ -24,13 +28,19 @@ object Booleans {
     * @param regions (region_id, rings_lat, rings_lng) — shell rings. */
   def overlapBooleans(regions: DataFrame): DataFrame = {
     val ancUdf = udf((c: Long) => (0 to S2.level(c)).map(l => S2.parent(c, l)))
-    def side(idAs: String, latAs: String, lngAs: String) = regions
+    def plainSide(idAs: String, latAs: String, lngAs: String) = regions
+      .select(col("region_id").as(idAs),
+        col("rings_lat")(0).as(latAs), col("rings_lng")(0).as(lngAs),
+        explode(col("cells")).as("cell"))
+    def ancSide(idAs: String, latAs: String, lngAs: String) = regions
       .select(col("region_id").as(idAs),
         col("rings_lat")(0).as(latAs), col("rings_lng")(0).as(lngAs),
         explode(col("cells")).as("c0"))
       .select(col(idAs), col(latAs), col(lngAs), explode(ancUdf(col("c0"))).as("cell"))
-    val pairs = side("id_a", "a_lat", "a_lng")
-      .join(broadcast(side("id_b", "b_lat", "b_lng")), "cell")
+    val pairs = ancSide("id_a", "a_lat", "a_lng")
+      .join(broadcast(plainSide("id_b", "b_lat", "b_lng")), "cell")
+      .unionByName(plainSide("id_a", "a_lat", "a_lng")
+        .join(broadcast(ancSide("id_b", "b_lat", "b_lng")), "cell"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val boolUdf = udf((aLat: Seq[Double], aLng: Seq[Double],

@@ -226,8 +226,8 @@ object Knn {
     * together. A query whose probed radius reached the full sphere resolves
     * unconditionally (covers tables smaller than k).
     *
-    * Per-round tables are snapshotted to persisted RDDs (the
-    * Reachability.Tracker pattern) so planning cost stays constant across
+    * Per-round tables are snapshotted to persisted RDDs (the shared
+    * ops.Tracker) so planning cost stays constant across
     * rounds. At 100 TB the image side never shuffles: only candidate rows
     * (bounded per query per round) enter the window exchange.
     *
@@ -252,7 +252,6 @@ object Knn {
   private def knnBatchCore(spark: SparkSession, images: DataFrame, queries: DataFrame,
                            k: Int, initialRadius0: Double,
                            broadcastQueryRowLimit: Long, meters: Boolean): DataFrame = {
-    import org.apache.spark.rdd.RDD
     // "full sphere" threshold in the metric's own radius unit
     val FullDeg = if (meters) math.Pi * Geo.EarthRadiusMeters else 180.0
     val growth = if (meters) 4.0 else 8.0
@@ -273,15 +272,8 @@ object Knn {
         val deg = math.min(60.0, math.sqrt(16.0 * k * 41253.0 / (math.Pi * n)))
         if (meters) deg * 111320.0 else deg
       }
-    val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
-    val keep = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
-    def materialize(df: DataFrame): (DataFrame, Long, RDD[Row]) = {
-      val rdd = df.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = rdd.count()
-      rdds += rdd
-      (spark.createDataFrame(rdd, df.schema), n, rdd)
-    }
+    val tracker = new Tracker
+    import tracker.materialize
     try {
       var (remaining, nRemaining, _) = materialize(
         queries.select(col("query_id").cast("int"),
@@ -345,11 +337,10 @@ object Knn {
           .select("query_id")
           .union(remaining.where(col("qradius") >= FullDeg).select("query_id"))
           .distinct()
-        val (res, _, rr) = materialize(
+        val (res, _, _) = materialize(
           topk.join(resolvedIds, Seq("query_id"), "left_semi")
             .select(col("query_id"), posexplode(col("top.ids")).as(Seq("pos", "image_id")))
             .select(col("query_id"), col("image_id"), (col("pos") + 1).cast("int").as("rank")))
-        keep += rr
         results = if (results == null) res else results.unionByName(res)
         // adaptive next radius: exact k-th bound when cnt >= k (guarantees
         // resolution next round), geometric growth otherwise; both clamp to
@@ -374,22 +365,18 @@ object Knn {
       }
       // snapshot the FINAL ordered result into ONE persisted RDD and release
       // every intermediate (incl. the per-round result pieces): exactly one
-      // persisted RDD outlives the call, the Reachability.releaseExcept
-      // contract
-      val out =
-        if (results == null)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], resultSchema)
-        else {
-          val (frame, _, finalRdd) = materialize(results.orderBy("query_id", "rank"))
-          keep.clear()
-          keep += finalRdd
-          frame
-        }
-      rdds.foreach(rdd => if (!keep.exists(_ eq rdd)) rdd.unpersist(blocking = false))
-      out
+      // persisted RDD outlives the call, the Tracker.releaseExcept contract
+      if (results == null) {
+        tracker.releaseAll()
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], resultSchema)
+      } else {
+        val (frame, _, finalRdd) = materialize(results.orderBy("query_id", "rank"))
+        tracker.releaseExcept(finalRdd)
+        frame
+      }
     } catch {
       case e: Throwable =>
-        rdds.foreach(_.unpersist(blocking = false))
+        tracker.releaseAll()
         throw e
     } finally imgs.unpersist()
   }

@@ -290,6 +290,10 @@ object Polyline {
   def projectToPolylineMeters(lat: Double, lng: Double,
                               pLats: Array[Double], pLngs: Array[Double])
       : (Double, Double, Double) = {
+    // loud precondition instead of an opaque executor NPE on bestP below
+    // (review r03): an empty polyline has no nearest point
+    require(pLats.nonEmpty && pLngs.length == pLats.length,
+      s"projectToPolylineMeters: empty/ragged polyline (${pLats.length}/${pLngs.length} vertices)")
     if (pLats.length == 1)
       return (pLats(0), pLngs(0), Geo.haversineMeters(lat, lng, pLats(0), pLngs(0)))
     val x = Geo.toXYZ(lat, lng)
@@ -436,7 +440,10 @@ object Polyline {
       }
       cells.toArray
     })
+    // a path with no vertices has no geometry to snap to — drop it here
+    // rather than crash in pathCover/projectToPolylineMeters (review r03)
     val pathSide = paths
+      .where(size(col("lats")) > 0 && size(col("lngs")) === size(col("lats")))
       .withColumn("cell", explode(pathCover(col("lats"), col("lngs"))))
     val regionSide = regions
       .select(col("region_id"), col("rings_lat")(0).as("r_lat"), col("rings_lng")(0).as("r_lng"))

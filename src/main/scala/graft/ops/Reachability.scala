@@ -24,33 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object Reachability {
 
-  /** Materialize a (small) iteration table and REBUILD it from the persisted
-    * RDD: the returned frame's logical plan is a flat LogicalRDD scan, so
-    * the per-round analysis/optimization cost stays CONSTANT across
-    * iterations. Plain cache() is not enough — the Dataset's LOGICAL plan
-    * still grows each round and Catalyst re-walks (and re-canonicalizes) the
-    * whole accumulated tree, which turned quadratic-plus in practice
-    * (round 4 of a 5-round flood spent 15 s planning 3 rows).
-    * (`localCheckpoint` would do the same but trips a constraint-rewrite
-    * bug under unionByName in Spark 4.1.) */
-  private final class Tracker {
-    import org.apache.spark.rdd.RDD
-    import org.apache.spark.sql.Row
-    private val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
-    def materialize(df: DataFrame): (DataFrame, Long, RDD[Row]) = {
-      val rdd = df.rdd
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = rdd.count()
-      rdds += rdd
-      (df.sparkSession.createDataFrame(rdd, df.schema), n, rdd)
-    }
-    /** Unpersist every tracked intermediate except the result the caller
-      * hands out — without this, each flood round leaked one persisted RDD
-      * for the session's lifetime. */
-    def releaseExcept(keep: RDD[Row]): Unit =
-      rdds.foreach(r => if (r ne keep) r.unpersist(blocking = false))
-    def releaseAll(): Unit = rdds.foreach(_.unpersist(blocking = false))
-  }
+  // iteration-table materialization lives in the shared ops.Tracker
+  // (lineage truncation; see its scaladoc)
 
   /** The shared min-plus fixpoint: `init` carries `keyCols :+ "dist"` where
     * the last key column is the frontier node. Returns the settled table. */
@@ -86,16 +61,35 @@ object Reachability {
       }
       i += 1
     }
-    e.unpersist()
-    // LOUD truncation (ADVICE r02): exiting at maxIters with improvements
-    // still pending means `dist` is NOT the fixpoint — downstream consumers
+    // LOUD truncation (ADVICE r02): exiting at maxIters without a proven
+    // fixpoint means `dist` MAY not be settled — downstream consumers
     // (pathsToReach pred derivation, closest argmin) would silently compute
-    // from non-settled distances. Same policy as the pathsToReach maxDepth
-    // guard; callers' catch blocks release the tracked RDDs.
-    if (!done)
-      throw new IllegalStateException(
-        s"flood: no fixpoint after maxIters=$maxIters iterations " +
-          "(improvements still pending); raise maxIters")
+    // from non-settled distances. A run that converges in EXACTLY maxIters
+    // improving rounds is still correct, so run one read-only confirmation
+    // expansion before deciding (review r03): only a genuinely pending
+    // improvement throws. Same policy as the pathsToReach maxDepth guard;
+    // callers' catch blocks release the tracked RDDs.
+    if (!done) {
+      val pending = frontier
+        .withColumnRenamed("node", "fnode").withColumnRenamed("dist", "fdist")
+        .join(e, col("fnode") === col("src"))
+        .select(carry.map(col) ++ Seq(col("dst").as("node"),
+          (col("fdist") + col("cost")).as("dist")): _*)
+        .where(col("dist") <= cutoff)
+        .groupBy(keyCols.map(col): _*).agg(min("dist").as("dist"))
+        .as("x")
+        .join(dist.as("s"),
+          keyCols.map(c => col(s"x.$c") === col(s"s.$c")).reduce(_ && _), "left")
+        .where(col("s.dist").isNull || col("x.dist") < col("s.dist"))
+        .limit(1).count()
+      if (pending > 0) {
+        e.unpersist()
+        throw new IllegalStateException(
+          s"flood: no fixpoint after maxIters=$maxIters iterations " +
+            "(improvements still pending); raise maxIters")
+      }
+    }
+    e.unpersist()
     (dist, distRdd)
   }
 

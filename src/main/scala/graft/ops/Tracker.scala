@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Iteration-loop lineage truncation, shared by every iterative operator
+  * (Reachability's flood/climb, Knn.knnBatch — review r03 deduplicated the
+  * two copies).
+  *
+  * Materialize a (small) iteration table and REBUILD it from the persisted
+  * RDD: the returned frame's logical plan is a flat LogicalRDD scan, so the
+  * per-round analysis/optimization cost stays CONSTANT across iterations.
+  * Plain cache() is not enough — the Dataset's LOGICAL plan still grows each
+  * round and Catalyst re-walks (and re-canonicalizes) the whole accumulated
+  * tree, which turned quadratic-plus in practice (round 4 of a 5-round flood
+  * spent 15 s planning 3 rows). (`localCheckpoint` would do the same but
+  * trips a constraint-rewrite bug under unionByName in Spark 4.1.) */
+private[ops] final class Tracker {
+  private val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
+
+  def materialize(df: DataFrame): (DataFrame, Long, RDD[Row]) = {
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // register BEFORE the materializing count: if the count's job fails, the
+    // caller's releaseAll() must still see (and unpersist) this RDD —
+    // registering after would leak whatever partitions were already cached
+    // (review r03)
+    rdds += rdd
+    val n = rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), n, rdd)
+  }
+
+  /** Unpersist every tracked intermediate except the result the caller
+    * hands out — without this, each round leaks one persisted RDD for the
+    * session's lifetime. */
+  def releaseExcept(keep: RDD[Row]): Unit =
+    rdds.foreach(r => if (r ne keep) r.unpersist(blocking = false))
+
+  def releaseAll(): Unit = rdds.foreach(_.unpersist(blocking = false))
+}

@@ -131,10 +131,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (b) generated batch queries vs an in-test brute force (covers the
     //     expansion + distributed-resolution loop at n >> driver shapes)
     val n = 500
-    val qlat = udf((i: Long) => Synth.batchQueryLat(i))
-    val qlng = udf((i: Long) => Synth.batchQueryLng(i))
-    val qdf = spark.range(n).select(col("id").cast("int").as("query_id"),
-      qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
+    val qdf = Synth.batchQueryDf(spark, n)
     val got = Knn.knnBatch(spark, images, qdf, k = 3).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
     val pts = imagePoints()
