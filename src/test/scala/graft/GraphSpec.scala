@@ -74,6 +74,16 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 4)
   }
 
+  test("flood accepts a run converging in EXACTLY maxIters improving rounds") {
+    // from origin 1 the fixture settles after 3 improving rounds
+    // ({2:1,3:3} -> {3:2,4:4} -> {4:3}); with maxIters=3 the loop exits
+    // without a zero-improvement round, but the fixpoint IS reached — the
+    // confirmation expansion must accept it instead of throwing (review r03)
+    val got = Reachability.reachable(spark, edges, Seq(1L), cutoff = 10.0, maxIters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0))
+  }
+
   test("connect adds an edge usable by the next reachability query") {
     // without the edge, node 9 is unreachable; connect(4, 9) bridges it
     val bridged = Reachability.connect(edges, 4L, 9L, 1.0)

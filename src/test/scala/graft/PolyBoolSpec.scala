@@ -144,4 +144,34 @@ class PolyBoolSpec extends AnyFunSuite {
     }
     assert(overlapping > 0, "fixture must contain overlapping region pairs")
   }
+
+  test("large polygons stay in scope: 16000-vertex circle pair (guard is input-sized)") {
+    // Regression for the review-r03 traversal guard: the old fixed 10000-step
+    // cap rejected legitimately large inputs. Two 16000-vertex circles offset
+    // by d=0.8 emit a ~11.8k-vertex lens in ONE traversal run — over the old
+    // cap; the input-sized bound must accept it and the lens area must match
+    // the analytic circle-overlap formula.
+    val n = 16000; val r = 1.0; val d = 0.8
+    def circle(cx: Double): (Array[Double], Array[Double]) = {
+      val lat = new Array[Double](n); val lng = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val t = 2.0 * math.Pi * i / n
+        lat(i) = r * math.sin(t); lng(i) = cx + r * math.cos(t); i += 1
+      }
+      (lat, lng)
+    }
+    val (aLat, aLng) = circle(0.0)
+    val (bLat, bLng) = circle(d)
+    val inter = PolyBool.intersection(aLat, aLng, bLat, bLng)
+    val got = PolyBool.totalArea(inter)
+    val lens = 2.0 * r * r * math.acos(d / (2 * r)) -
+      (d / 2.0) * math.sqrt(4 * r * r - d * d)
+    assert(inter.map(_.lat.length).sum > 10000,
+      "fixture must exceed the old fixed step cap to exercise the new bound")
+    assert(math.abs(got - lens) < 1e-4 * lens, s"lens area $got vs analytic $lens")
+    val uni = PolyBool.totalArea(PolyBool.union(aLat, aLng, bLat, bLng))
+    val circleArea = math.abs(PolyBool.signedArea(aLat, aLng))
+    assert(math.abs(uni - (2 * circleArea - got)) < 1e-9 * uni)
+  }
 }
