@@ -9,14 +9,24 @@ import org.apache.spark.sql.functions._
   * §1.4); locally they are parquet reads with the same schema contract. */
 object Tables {
 
-  def registerBase(spark: SparkSession, sfDir: String): Unit = {
-    Seq("orders", "documents", "embeddings", "lineitem", "nation", "region",
-      "customer", "part", "supplier", "events").foreach { t =>
-      val p = s"$sfDir/$t.parquet"
-      if (new java.io.File(p).exists())
-        spark.read.parquet(p).createOrReplaceTempView(t)
+  // Registration is idempotent per (session, sfDir): every query entry
+  // calls registerBase, and re-reading 10 parquet footers per call cost a
+  // visible slice of the small-SF bench (~250 ms/query of schema-inference
+  // jobs). WeakHashMap so a stopped session doesn't pin the entry.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  def registerBase(spark: SparkSession, sfDir: String): Unit =
+    if (registered.get(spark) != sfDir) {
+      Seq("orders", "documents", "embeddings", "lineitem", "nation", "region",
+        "customer", "part", "supplier", "events").foreach { t =>
+        val p = s"$sfDir/$t.parquet"
+        if (new java.io.File(p).exists())
+          spark.read.parquet(p).createOrReplaceTempView(t)
+      }
+      registered.put(spark, sfDir)
     }
-  }
 
   /** The geotagged image table (BASELINE.json input_hint shape): derived
     * deterministically from `orders` via the shared SQL (Synth.imagesSelect),
@@ -41,6 +51,9 @@ object Tables {
         (col("id") % 5).cast("string").as("o_orderpriority"),
         (col("id") % 100000).cast("double").as("o_totalprice"))
       .createOrReplaceTempView("orders")
+    // the synth view just shadowed the parquet `orders`: drop the
+    // registerBase memo so a later registerBase re-registers the real table
+    registered.remove(spark)
     spark.sql(Synth.imagesSelectFromRange)
       .withColumn("cell16",
         graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))

@@ -282,35 +282,41 @@ object Knn {
           .withColumn("qradius", lit(initialRadius)))
       var results: DataFrame = null
       val verbose = sys.env.contains("GRAFT_KNN_VERBOSE")
+      // round-invariant expressions hoisted OUT of the loop: re-creating a
+      // udf/udaf per round gives each round distinct closure identities, so
+      // Catalyst's codegen cache misses and every round pays full
+      // compile+JIT again (measured as driver time between jobs, not
+      // executor time)
+      val coveringUdf = udf((lat: Double, lng: Double, radius: Double) => {
+        val angle =
+          if (meters) radius / Geo.EarthRadiusMeters else math.toRadians(radius)
+        if (radius >= FullDeg) faceCells
+        else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), angle),
+          maxCells = 12, maxLevel = 16).toSeq
+      })
+      val levelOf = udf((c: Long) => S2.level(c))
+      val distCol =
+        if (meters) Udfs.haversineMeters(col("lat"), col("lng"), col("qlat"), col("qlng"))
+        else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+          ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
+      val topkUdaf = udaf(new TopKAgg(k),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
       while (nRemaining > 0) {
         val tRound = System.nanoTime()
-        val coveringUdf = udf((lat: Double, lng: Double, radius: Double) => {
-          val angle =
-            if (meters) radius / Geo.EarthRadiusMeters else math.toRadians(radius)
-          if (radius >= FullDeg) faceCells
-          else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), angle),
-            maxCells = 12, maxLevel = 16).toSeq
-        })
         // qcov stays LAZY over the materialized `remaining` (the covering
         // UDF over the small query side is cheaper to run twice — levels
         // collect + join — than to snapshot each round)
         val qcov = remaining.withColumn("cov_cell",
           explode(coveringUdf(col("qlat"), col("qlng"), col("qradius"))))
-        val levels: Array[Int] = {
-          val levelOf = udf((c: Long) => S2.level(c))
+        val levels: Array[Int] =
           qcov.select(levelOf(col("cov_cell")).as("l")).distinct()
             .collect().map(_.getInt(0)).sorted
-        }
+        if (verbose)
+          System.err.println(f"[knnBatch]   levels done t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
         val anc = udf((cell: Long) => levels.map(l => S2.parent(cell, l)).toSeq)
         val qside =
           if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov) else qcov
-        val distCol =
-          if (meters) Udfs.haversineMeters(col("lat"), col("lng"), col("qlat"), col("qlng"))
-          else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
-            ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
-        val topkUdaf = udaf(new TopKAgg(k),
-          org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
         // one row per PROBED query: bounded top-k via PARTIAL aggregation —
         // map-side combiners cut each partition to <= k rows per query, so
         // the exchange carries O(queries * k), not every candidate (the
@@ -320,43 +326,54 @@ object Knn {
           .join(qside, Seq("cov_cell"))
           .withColumn("d2", distCol)
           .groupBy("query_id")
-          .agg(topkUdaf(col("image_id"), col("d2")).as("top"),
-            first("qcos").as("qc"), first("qradius").as("qr")))
-        val cnt = size(col("top.ids"))
+          .agg(topkUdaf(col("image_id"), col("d2")).as("top")))
+        if (verbose)
+          System.err.println(f"[knnBatch]   topk done t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
+        // ONE materialized STATUS row per unresolved query: the left join
+        // brings each query's bounded top-k (null if its cap matched
+        // nothing); the resolution predicate and adaptive next radius are
+        // plain columns over it. One analyze/optimize cycle + one snapshot
+        // per round instead of three (resolvedIds/res/rem) — at small SF the
+        // round cost is DRIVER PLANNING, not executor time (measured ~1 s
+        // planning per round saved at sf0.01; at scale the fewer barriers
+        // and dropped duplicate semi-join broadcasts still help).
         val kd2 = element_at(col("top.d2s"), -1)
         // sound radius bound of the k-th candidate in the metric's unit:
         // haversine IS the great-circle distance; d2 needs the equirect ->
         // great-circle inflation
         val bound =
           if (meters) kd2
-          else sqrt(kd2) * (lit(1.0) + lit(1.0) / col("qc"))
+          else sqrt(kd2) * (lit(1.0) + lit(1.0) / col("qcos"))
         // resolve: enough candidates with the k-th bound inside the probed
-        // cap, OR the probe already covered the full sphere
-        val resolvedIds = topk
-          .where((cnt >= k && bound <= col("qr")) || col("qr") >= FullDeg)
-          .select("query_id")
-          .union(remaining.where(col("qradius") >= FullDeg).select("query_id"))
-          .distinct()
-        val (res, _, _) = materialize(
-          topk.join(resolvedIds, Seq("query_id"), "left_semi")
-            .select(col("query_id"), posexplode(col("top.ids")).as(Seq("pos", "image_id")))
-            .select(col("query_id"), col("image_id"), (col("pos") + 1).cast("int").as("rank")))
+        // cap, OR the probe already covered the full sphere; coalesce keeps
+        // zero-candidate queries (null cnt/bound) unresolved rather than
+        // dropping them from BOTH filters below
+        val (status, _, _) = materialize(
+          remaining.join(topk, Seq("query_id"), "left")
+            .withColumn("cnt", size(col("top.ids")))
+            .withColumn("kd2", kd2)
+            .withColumn("resolved",
+              coalesce(col("cnt") >= k && bound <= col("qradius"), lit(false)) ||
+                col("qradius") >= FullDeg))
+        if (verbose)
+          System.err.println(f"[knnBatch]   status done t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
+        val res = status.where(col("resolved") && col("top").isNotNull)
+          .select(col("query_id"), posexplode(col("top.ids")).as(Seq("pos", "image_id")))
+          .select(col("query_id"), col("image_id"), (col("pos") + 1).cast("int").as("rank"))
         results = if (results == null) res else results.unionByName(res)
         // adaptive next radius: exact k-th bound when cnt >= k (guarantees
         // resolution next round), geometric growth otherwise; both clamp to
-        // the full sphere
+        // the full sphere. Lazy over the persisted status snapshot — plan
+        // depth stays constant (scan -> filter -> project).
         val nextBound =
           if (meters) col("kd2")
-          else sqrt(col("kd2")) * (lit(1.0) + lit(1.0) / col("qc"))
-        val (rem, nRem, _) = materialize(
-          remaining.join(resolvedIds, Seq("query_id"), "left_anti")
-            .join(topk.select(col("query_id"), cnt.as("cnt"), kd2.as("kd2"), col("qc")),
-              Seq("query_id"), "left")
-            .withColumn("qradius", least(lit(FullDeg + 1.0),
-              when(col("cnt").isNotNull && col("cnt") >= k,
-                nextBound * lit(1.0 + 1e-9) + lit(absEps))
-                .otherwise(col("qradius") * growth)))
-            .select("query_id", "qlat", "qlng", "qcos", "qradius"))
+          else sqrt(col("kd2")) * (lit(1.0) + lit(1.0) / col("qcos"))
+        val rem = status.where(!col("resolved"))
+          .withColumn("qradius", least(lit(FullDeg + 1.0),
+            when(col("cnt") >= k, nextBound * lit(1.0 + 1e-9) + lit(absEps))
+              .otherwise(col("qradius") * growth)))
+          .select("query_id", "qlat", "qlng", "qcos", "qradius")
+        val nRem = rem.count() // tiny job over the persisted status snapshot
         if (verbose)
           System.err.println(f"[knnBatch] round: remaining_out=$nRem levels=${levels.length} " +
             f"t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
