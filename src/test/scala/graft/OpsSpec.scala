@@ -128,6 +128,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val resident = Knn.knn(spark, images, Synth.knnQueries.toSeq, k = 10).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
     assert(batch == resident)
+    // the at-scale join path: broadcastQueryRowLimit=0 forces the exploded
+    // query side through the shuffle join instead of the broadcast — results
+    // must be identical
+    val shuffled = Knn.knnBatch(spark, images, qdf25, k = 10,
+        broadcastQueryRowLimit = 0L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(shuffled == resident)
     // (b) generated batch queries vs an in-test brute force (covers the
     //     expansion + distributed-resolution loop at n >> driver shapes)
     val n = 500
