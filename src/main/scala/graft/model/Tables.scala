@@ -12,21 +12,33 @@ object Tables {
   // Registration is idempotent per (session, sfDir): every query entry
   // calls registerBase, and re-reading 10 parquet footers per call cost a
   // visible slice of the small-SF bench (~250 ms/query of schema-inference
-  // jobs). WeakHashMap so a stopped session doesn't pin the entry.
-  private val registered =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String]())
+  // jobs). The memo value is a fingerprint of which table dirs exist and
+  // when they last changed (10 stat calls — microseconds), so a table
+  // appearing later or data regenerated in place re-registers instead of
+  // serving the stale catalog. WeakHashMap so a stopped session doesn't
+  // pin the entry; the whole check-register-put is synchronized so
+  // concurrent sessions/dirs can't interleave a mixed catalog.
+  private val baseTables = Seq("orders", "documents", "embeddings",
+    "lineitem", "nation", "region", "customer", "part", "supplier", "events")
+  private val registered = new java.util.WeakHashMap[SparkSession, String]()
 
-  def registerBase(spark: SparkSession, sfDir: String): Unit =
-    if (registered.get(spark) != sfDir) {
-      Seq("orders", "documents", "embeddings", "lineitem", "nation", "region",
-        "customer", "part", "supplier", "events").foreach { t =>
+  private def fingerprint(sfDir: String): String =
+    baseTables.map { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      s"$t=${f.exists()}:${f.lastModified()}"
+    }.mkString(sfDir + "|", ",", "")
+
+  def registerBase(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val fp = fingerprint(sfDir)
+    if (registered.get(spark) != fp) {
+      baseTables.foreach { t =>
         val p = s"$sfDir/$t.parquet"
         if (new java.io.File(p).exists())
           spark.read.parquet(p).createOrReplaceTempView(t)
       }
-      registered.put(spark, sfDir)
+      registered.put(spark, fp)
     }
+  }
 
   /** The geotagged image table (BASELINE.json input_hint shape): derived
     * deterministically from `orders` via the shared SQL (Synth.imagesSelect),

@@ -275,9 +275,14 @@ object Knn {
     val tracker = new Tracker
     import tracker.materialize
     try {
+      // query_id must identify ONE query point: the status join emits each
+      // resolved top-k once per matching input row, so duplicated ids would
+      // duplicate (and, with conflicting coords, corrupt) results. Dedup up
+      // front; the materialized snapshot freezes the surviving row.
       var (remaining, nRemaining, _) = materialize(
         queries.select(col("query_id").cast("int"),
           col("qlat").cast("double"), col("qlng").cast("double"))
+          .dropDuplicates("query_id")
           .withColumn("qcos", cos(radians(col("qlat"))))
           .withColumn("qradius", lit(initialRadius)))
       var results: DataFrame = null
@@ -340,7 +345,10 @@ object Knn {
         val kd2 = element_at(col("top.d2s"), -1)
         // sound radius bound of the k-th candidate in the metric's unit:
         // haversine IS the great-circle distance; d2 needs the equirect ->
-        // great-circle inflation
+        // great-circle inflation. ONE definition, materialized as a status
+        // column: the resolution predicate and the adaptive next radius
+        // must stay bit-identical for the "guaranteed resolution next
+        // round" invariant, so neither is allowed its own copy.
         val bound =
           if (meters) kd2
           else sqrt(kd2) * (lit(1.0) + lit(1.0) / col("qcos"))
@@ -351,9 +359,9 @@ object Knn {
         val (status, _, _) = materialize(
           remaining.join(topk, Seq("query_id"), "left")
             .withColumn("cnt", size(col("top.ids")))
-            .withColumn("kd2", kd2)
+            .withColumn("bound", bound)
             .withColumn("resolved",
-              coalesce(col("cnt") >= k && bound <= col("qradius"), lit(false)) ||
+              coalesce(col("cnt") >= k && col("bound") <= col("qradius"), lit(false)) ||
                 col("qradius") >= FullDeg))
         if (verbose)
           System.err.println(f"[knnBatch]   status done t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
@@ -361,16 +369,14 @@ object Knn {
           .select(col("query_id"), posexplode(col("top.ids")).as(Seq("pos", "image_id")))
           .select(col("query_id"), col("image_id"), (col("pos") + 1).cast("int").as("rank"))
         results = if (results == null) res else results.unionByName(res)
-        // adaptive next radius: exact k-th bound when cnt >= k (guarantees
-        // resolution next round), geometric growth otherwise; both clamp to
-        // the full sphere. Lazy over the persisted status snapshot — plan
-        // depth stays constant (scan -> filter -> project).
-        val nextBound =
-          if (meters) col("kd2")
-          else sqrt(col("kd2")) * (lit(1.0) + lit(1.0) / col("qcos"))
+        // adaptive next radius: the SAME materialized k-th bound when
+        // cnt >= k (guarantees resolution next round), geometric growth
+        // otherwise; both clamp to the full sphere. Lazy over the persisted
+        // status snapshot — plan depth stays constant (scan -> filter ->
+        // project).
         val rem = status.where(!col("resolved"))
           .withColumn("qradius", least(lit(FullDeg + 1.0),
-            when(col("cnt") >= k, nextBound * lit(1.0 + 1e-9) + lit(absEps))
+            when(col("cnt") >= k, col("bound") * lit(1.0 + 1e-9) + lit(absEps))
               .otherwise(col("qradius") * growth)))
           .select("query_id", "qlat", "qlng", "qcos", "qradius")
         val nRem = rem.count() // tiny job over the persisted status snapshot
