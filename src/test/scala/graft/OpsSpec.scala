@@ -135,6 +135,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         broadcastQueryRowLimit = 0L).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
     assert(shuffled == resident)
+    // dirty input: duplicated query_id rows must NOT duplicate results
+    // (the status join emits per input row; knnBatch dedups up front)
+    val dup = Knn.knnBatch(spark, images, qdf25.union(qdf25), k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(dup == resident)
+    assert(Knn.knnBatch(spark, images, qdf25.union(qdf25), k = 10).count()
+      == resident.size)
     // (b) generated batch queries vs an in-test brute force (covers the
     //     expansion + distributed-resolution loop at n >> driver shapes)
     val n = 500
@@ -384,5 +391,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("image_id", "resized").collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
     assert(a == b && a.nonEmpty)
+  }
+
+  test("registerBase memo: regenerated-in-place tables re-register") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_reg").toFile
+    try {
+      Seq((1L, "a")).toDF("o_orderkey", "o_x")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Tables.registerBase(spark, dir.toString)
+      assert(spark.table("orders").count() == 1)
+      // same dir, same fingerprint: the memo must short-circuit (no way to
+      // observe directly, but the rewrite below proves it does NOT stick)
+      Thread.sleep(1100) // cross mtime granularity on coarse filesystems
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("o_orderkey", "o_x")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Tables.registerBase(spark, dir.toString)
+      assert(spark.table("orders").count() == 3,
+        "in-place regeneration must invalidate the registration memo")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
   }
 }
