@@ -169,6 +169,15 @@ object S2 {
     (id & -newLsb) | newLsb
   }
 
+  /** Ancestors of `id` at each of `levels` — the codegen kernel behind
+    * `S2Expressions.s2Ancestors` (primitive in/out, no boxing). */
+  def parents(id: Long, levels: Array[Int]): Array[Long] = {
+    val out = new Array[Long](levels.length)
+    var i = 0
+    while (i < levels.length) { out(i) = parent(id, levels(i)); i += 1 }
+    out
+  }
+
   def isLeaf(id: Long): Boolean = (id & 1L) != 0
 
   def rangeMin(id: Long): Long = id - (lsb(id) - 1)

@@ -77,6 +77,31 @@ case class TileChainExpr(left: Expression, right: Expression, zMin: Int, zMax: I
     copy(left = l, right = r)
 }
 
+/** Native ancestors-at-levels: level-16 cell -> its parents at the given
+  * levels, as a primitive long array. Replaces the ScalaUDF in the hot
+  * probe paths (containment join, batch kNN): the explode input stays
+  * inside whole-stage codegen — no encoder round-trip per image row. The
+  * levels array rides along as a constant reference object. */
+case class S2AncestorsExpr(child: Expression, levels: Array[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "s2_ancestors"
+
+  override protected def nullSafeEval(cell: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      S2.parents(cell.asInstanceOf[Long], levels))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lvlRef = ctx.addReferenceObj("levels", levels, "int[]")
+    nullSafeCodeGen(ctx, ev, cell =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.core.S2.parents($cell, $lvlRef));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): S2AncestorsExpr =
+    copy(child = newChild)
+}
+
 /** Native H3 cell assignment (north-rule dual index) — same codegen shape as
   * S2CellAt16. */
 case class Hex7CellAt(left: Expression, right: Expression, res: Int)
@@ -102,6 +127,9 @@ object S2Expressions {
 
   def hex7Cell(lat: Column, lng: Column, res: Int): Column =
     Bridge.column(Hex7CellAt(Bridge.expression(lat), Bridge.expression(lng), res))
+
+  def s2Ancestors(cell: Column, levels: Array[Int]): Column =
+    Bridge.column(S2AncestorsExpr(Bridge.expression(cell), levels))
 
   def containmentProbe(cell16: Column, lat: Column, lng: Column,
                        index: graft.ops.ProbeIndex): Column =

@@ -47,8 +47,9 @@ object Containment {
     val levels: Seq[Int] = regionCells.select(col("rcell"))
       .distinct().collect().map(r => S2.level(r.getLong(0))).distinct.sorted.toSeq
 
-    val anc = Udfs.ancestorsAt(levels)
-    val probes = images.withColumn("anc", explode(anc(col("cell16"))))
+    // native codegen ancestors (no ScalaUDF round-trip on the big side)
+    val probes = images.withColumn("anc", explode(
+      graft.functions.S2Expressions.s2Ancestors(col("cell16"), levels.toArray)))
 
     val joined =
       if (broadcastRegions)

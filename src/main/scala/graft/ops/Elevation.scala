@@ -41,7 +41,7 @@ object Elevation {
     val sampleCells = samples
       .withColumn("scell", explode(cellsUdf(col("s_lat"), col("s_lng"))))
     val probes = points.withColumn("scell",
-      graft.functions.Udfs.ancestorsAt(Seq(level))(col("cell16"))(0))
+      graft.functions.S2Expressions.s2Ancestors(col("cell16"), Array(level))(0))
     // Fixed-point accumulation: quantize each weight / contribution to a
     // long BEFORE the sum, so the distributed aggregation is exact integer
     // arithmetic — bit-deterministic under any partitioning / merge order

@@ -319,7 +319,11 @@ object Knn {
             .collect().map(_.getInt(0)).sorted
         if (verbose)
           System.err.println(f"[knnBatch]   levels done t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
-        val anc = udf((cell: Long) => levels.map(l => S2.parent(cell, l)).toSeq)
+        // native codegen ancestors: the explode input over the (huge) image
+        // side stays inside whole-stage codegen — no ScalaUDF encoder
+        // round-trip per image row
+        val anc = (c: Column) =>
+          graft.functions.S2Expressions.s2Ancestors(c, levels)
         val qside =
           if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov) else qcov
         // one row per PROBED query: bounded top-k via PARTIAL aggregation —

@@ -274,7 +274,7 @@ object Polyline {
     val pathCells = paths
       .withColumn("pcell", explode(coverUdf(col("lats"), col("lngs"))))
     val probes = points.withColumn("pcell",
-      graft.functions.Udfs.ancestorsAt(Seq(level))(col("cell16"))(0))
+      graft.functions.S2Expressions.s2Ancestors(col("cell16"), Array(level))(0))
     probes.join(broadcast(pathCells), "pcell")
       .withColumn("dist_m", distToPolyline(col("lat"), col("lng"), col("lats"), col("lngs")))
       .where(col("dist_m") <= maxDistMeters)
