@@ -120,6 +120,65 @@ case class Hex7CellAt(left: Expression, right: Expression, res: Int)
     copy(left = l, right = r)
 }
 
+/** ArrayData-walking even-odd ray cast: the SAME arithmetic as
+  * `Geo.containsPlanar` (expression-for-expression — OpsSpec's brute-force
+  * parity tests gate both), but reading Tungsten array storage directly so
+  * the containment refine never materializes nested Seq[Seq[Double]] per
+  * candidate row. */
+object RingKernels {
+  def containsRings(lat: Double, lng: Double,
+                    ringsLat: org.apache.spark.sql.catalyst.util.ArrayData,
+                    ringsLng: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    var odd = false
+    var r = 0
+    val nr = ringsLat.numElements()
+    while (r < nr) {
+      val ra = ringsLat.getArray(r)
+      val rb = ringsLng.getArray(r)
+      var inside = false
+      val n = ra.numElements()
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        val yi = ra.getDouble(i); val xi = rb.getDouble(i)
+        val yj = ra.getDouble(j); val xj = rb.getDouble(j)
+        if (((yi > lat) != (yj > lat)) &&
+            (lng < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+        j = i
+        i += 1
+      }
+      if (inside) odd = !odd
+      r += 1
+    }
+    odd
+  }
+}
+
+/** Native even-odd containment refine over the candidate join output:
+  * (lat, lng, rings_lat, rings_lng) -> contained. Same truth table as
+  * `Udfs.containsRings`, minus the per-row ScalaUDF encoder round-trip
+  * (nested double arrays were boxed to Seq[Seq[Double]] per candidate). */
+case class ContainsRingsExpr(first: Expression, second: Expression,
+                             third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "contains_rings"
+
+  override protected def nullSafeEval(lat: Any, lng: Any, rlat: Any, rlng: Any): Any =
+    RingKernels.containsRings(lat.asInstanceOf[Double], lng.asInstanceOf[Double],
+      rlat.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      rlng.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lat, lng, rlat, rlng) =>
+      s"${ev.value} = graft.functions.RingKernels.containsRings($lat, $lng, $rlat, $rlng);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression, q: Expression): ContainsRingsExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object S2Expressions {
   /** Column-level entry point: `s2Cell16($"lat", $"lng")`. */
   def s2Cell16(lat: Column, lng: Column): Column =
@@ -130,6 +189,11 @@ object S2Expressions {
 
   def s2Ancestors(cell: Column, levels: Array[Int]): Column =
     Bridge.column(S2AncestorsExpr(Bridge.expression(cell), levels))
+
+  def containsRings(lat: Column, lng: Column,
+                    ringsLat: Column, ringsLng: Column): Column =
+    Bridge.column(ContainsRingsExpr(Bridge.expression(lat), Bridge.expression(lng),
+      Bridge.expression(ringsLat), Bridge.expression(ringsLng)))
 
   def containmentProbe(cell16: Column, lat: Column, lng: Column,
                        index: graft.ops.ProbeIndex): Column =

@@ -65,7 +65,8 @@ object Containment {
         probes.join(regionCells.hint("shuffle_hash"), col("anc") === col("rcell"))
 
     joined
-      .where(Udfs.containsRings(col("lat"), col("lng"), col("rings_lat"), col("rings_lng")))
+      .where(graft.functions.S2Expressions.containsRings(
+        col("lat"), col("lng"), col("rings_lat"), col("rings_lng")))
       .select(images.columns.map(col) :+ col("region_id"): _*)
   }
 

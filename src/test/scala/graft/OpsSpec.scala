@@ -393,6 +393,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("native contains_rings expression equals the UDF reference implementation") {
+    // exhaustive pairs at sf0.001 (~40k rows): the ArrayData-walking codegen
+    // kernel and the boxed Seq UDF must agree on every (point, region) pair,
+    // boundary vertices included
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng")
+    val regions = Tables.regions(spark)
+      .select(col("region_id"), col("rings_lat"), col("rings_lng"))
+    val pairs = images.crossJoin(broadcast(regions))
+    def hits(pred: org.apache.spark.sql.Column) =
+      pairs.where(pred).select("image_id", "region_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val native = hits(graft.functions.S2Expressions.containsRings(
+      col("lat"), col("lng"), col("rings_lat"), col("rings_lng")))
+    val viaUdf = hits(graft.functions.Udfs.containsRings(
+      col("lat"), col("lng"), col("rings_lat"), col("rings_lng")))
+    assert(native == viaUdf && native.nonEmpty)
+  }
+
   test("registerBase memo: regenerated-in-place tables re-register") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_reg").toFile
