@@ -37,7 +37,7 @@ case class S2CellAt16(left: Expression, right: Expression)
   * — the standard pattern for constant side data in generated code). Unboxed
   * inputs, shared-empty result on the no-match path. */
 case class ContainmentProbeExpr(first: Expression, second: Expression, third: Expression,
-                                index: graft.ops.ProbeIndex)
+                                index: graft.ops.PointProbe)
     extends TernaryExpression with Serializable {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "containment_probe"
@@ -47,7 +47,7 @@ case class ContainmentProbeExpr(first: Expression, second: Expression, third: Ex
       index.probe(cell.asInstanceOf[Long], lat.asInstanceOf[Double], lng.asInstanceOf[Double]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idxRef = ctx.addReferenceObj("probeIndex", index, classOf[graft.ops.ProbeIndex].getName)
+    val idxRef = ctx.addReferenceObj("probeIndex", index, classOf[graft.ops.PointProbe].getName)
     nullSafeCodeGen(ctx, ev, (cell, lat, lng) =>
       s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
          |  $idxRef.probe($cell, $lat, $lng));""".stripMargin)
@@ -196,7 +196,7 @@ object S2Expressions {
       Bridge.expression(ringsLat), Bridge.expression(ringsLng)))
 
   def containmentProbe(cell16: Column, lat: Column, lng: Column,
-                       index: graft.ops.ProbeIndex): Column =
+                       index: graft.ops.PointProbe): Column =
     Bridge.column(ContainmentProbeExpr(Bridge.expression(cell16),
       Bridge.expression(lat), Bridge.expression(lng), index))
 

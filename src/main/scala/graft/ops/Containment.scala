@@ -101,60 +101,15 @@ object Containment {
   def containmentProbeHex7(images: DataFrame,
                          regions: Array[graft.model.Synth.Region],
                          imageRes: Int = 9): DataFrame = {
-    import graft.core.Hex7
-    // per-region resolution: coarsest res whose estimated covering <= ~400
-    def resFor(r: graft.model.Synth.Region): Int = {
-      val lats = r.rings(0)._1; val lngs = r.rings(0)._2
-      val extDeg = math.max(lats.max - lats.min,
-        (lngs.max - lngs.min) * math.cos(math.toRadians(lats.head)))
-      var res = imageRes
-      while (res > 1 &&
-        math.pow(extDeg / math.toDegrees(Hex7.edgeLen(res)), 2) > 400) res -= 1
-      res
-    }
-    val index = new java.util.HashMap[java.lang.Long, Array[Int]]()
-    val resSet = scala.collection.mutable.SortedSet.empty[Int]
-    regions.zipWithIndex.foreach { case (r, i) =>
-      val res = resFor(r)
-      resSet += res
-      Hex7.polygonCovering(r.rings(0)._1, r.rings(0)._2, res).foreach { c =>
-        val prev = index.get(c)
-        index.put(c, if (prev == null) Array(i) else prev :+ i)
-      }
-    }
-    val resArr = resSet.toArray
-    val ringsLat = regions.map(_.rings.map(_._1))
-    val ringsLng = regions.map(_.rings.map(_._2))
-    val regionIds = regions.map(_.regionId)
-    val empty = Array.empty[Int]
-    val probe = udf((h3: Long, lat: Double, lng: Double) => {
-      var out: List[Int] = Nil
-      var ri = 0
-      while (ri < resArr.length) {
-        val cand = index.get(Hex7.parent(h3, resArr(ri)))
-        if (cand != null) {
-          var c = 0
-          while (c < cand.length) {
-            val reg = cand(c)
-            var odd = false
-            val rl = ringsLat(reg); val rg = ringsLng(reg)
-            var k = 0
-            while (k < rl.length) {
-              if (Geo.containsPlanar(lat, lng, rl(k), rg(k))) odd = !odd
-              k += 1
-            }
-            if (odd && !out.contains(reg)) out = reg :: out
-            c += 1
-          }
-        }
-        ri += 1
-      }
-      if (out.isEmpty) empty else out.toArray
-    })
+    // size-adaptive hex covering index as flat sorted arrays (Hex7ProbeIndex)
+    // probed by the SAME native codegen expression as the S2 fast path —
+    // since late round 3 neither probe path pays a ScalaUDF round-trip
+    val index = new Hex7ProbeIndex(regions, imageRes)
     images
       .withColumn("hex7_img", graft.functions.S2Expressions.hex7Cell(col("lat"), col("lng"), imageRes))
-      .withColumn("ridx", explode(probe(col("hex7_img"), col("lat"), col("lng"))))
-      .withColumn("region_id", element_at(lit(regionIds), col("ridx") + 1))
+      .withColumn("ridx", explode(graft.functions.S2Expressions.containmentProbe(
+        col("hex7_img"), col("lat"), col("lng"), index)))
+      .withColumn("region_id", element_at(lit(index.regionIds), col("ridx") + 1))
       .drop("ridx", "hex7_img")
   }
 

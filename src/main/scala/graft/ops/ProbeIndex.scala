@@ -2,6 +2,14 @@ package graft.ops
 
 import graft.core.{Geo, S2}
 
+/** A point-containment probe usable from the native codegen expression
+  * (`ContainmentProbeExpr`): cell + exact coordinates -> region ordinals.
+  * Implementations ship to executors via the expression's reference array. */
+trait PointProbe extends Serializable {
+  def probe(cell: Long, lat: Double, lng: Double): Array[Int]
+  def regionIds: Array[String]
+}
+
 /** Serializable, allocation-free containment probe index: the b6 per-point
   * index probe (api/functions/features.go:96-113) as flat primitive arrays.
   *
@@ -10,7 +18,8 @@ import graft.core.{Geo, S2}
   * Probing does |levels| binary searches and exact ray-casts — zero boxing,
   * zero allocation on the (overwhelmingly common) no-match path. Ships to
   * executors inside the expression's reference array. */
-final class ProbeIndex(regions: Array[graft.model.Synth.Region]) extends Serializable {
+final class ProbeIndex(regions: Array[graft.model.Synth.Region])
+    extends PointProbe {
 
   val levels: Array[Int] = regions.flatMap(_.cells.map(S2.level)).distinct.sorted
   val regionIds: Array[String] = regions.map(_.regionId)
@@ -88,6 +97,86 @@ final class ProbeIndex(regions: Array[graft.model.Synth.Region]) extends Seriali
       }
       out
     }
+  }
+}
+
+/** The Hex7 twin of `ProbeIndex`: per-region size-adaptive hex coverings
+  * (coarsest resolution whose estimated covering stays under ~400 cells,
+  * same rule as the UDF path it replaces), flat sorted-array layout, probe =
+  * |resolutions| binary searches + exact ray-casts. Hex7 ids encode their
+  * resolution, so a region is only ever discovered at its own covering
+  * resolution — no cross-resolution dedup needed. */
+final class Hex7ProbeIndex(regions: Array[graft.model.Synth.Region], imageRes: Int)
+    extends PointProbe {
+  import graft.core.Hex7
+
+  private def resFor(r: graft.model.Synth.Region): Int = {
+    val lats = r.rings(0)._1; val lngs = r.rings(0)._2
+    val extDeg = math.max(lats.max - lats.min,
+      (lngs.max - lngs.min) * math.cos(math.toRadians(lats.head)))
+    var res = imageRes
+    while (res > 1 &&
+      math.pow(extDeg / math.toDegrees(Hex7.edgeLen(res)), 2) > 400) res -= 1
+    res
+  }
+
+  val regionIds: Array[String] = regions.map(_.regionId)
+  val resolutions: Array[Int] = {
+    val s = scala.collection.mutable.SortedSet.empty[Int]
+    regions.foreach(r => s += resFor(r))
+    s.toArray
+  }
+
+  private val (cells, offsets, cands): (Array[Long], Array[Int], Array[Int]) = {
+    val byCell = scala.collection.mutable.TreeMap.empty[Long, List[Int]]
+    regions.zipWithIndex.foreach { case (r, i) =>
+      Hex7.polygonCovering(r.rings(0)._1, r.rings(0)._2, resFor(r))
+        .foreach(c => byCell(c) = i :: byCell.getOrElse(c, Nil))
+    }
+    val cs = byCell.keys.toArray
+    val off = new Array[Int](cs.length + 1)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < cs.length) {
+      off(i) = buf.length
+      byCell(cs(i)).reverse.foreach(buf += _)
+      i += 1
+    }
+    off(cs.length) = buf.length
+    (cs, off, buf.toArray)
+  }
+
+  private val ringsLat: Array[Array[Array[Double]]] = regions.map(_.rings.map(_._1))
+  private val ringsLng: Array[Array[Array[Double]]] = regions.map(_.rings.map(_._2))
+  private val EmptyInts = Array.empty[Int]
+
+  private def contains(ri: Int, lat: Double, lng: Double): Boolean = {
+    var odd = false
+    val rl = ringsLat(ri); val rg = ringsLng(ri)
+    var k = 0
+    while (k < rl.length) {
+      if (Geo.containsPlanar(lat, lng, rl(k), rg(k))) odd = !odd
+      k += 1
+    }
+    odd
+  }
+
+  def probe(hex: Long, lat: Double, lng: Double): Array[Int] = {
+    var out: List[Int] = Nil
+    var ri = 0
+    while (ri < resolutions.length) {
+      val idx = java.util.Arrays.binarySearch(cells, Hex7.parent(hex, resolutions(ri)))
+      if (idx >= 0) {
+        var c = offsets(idx)
+        while (c < offsets(idx + 1)) {
+          val reg = cands(c)
+          if (contains(reg, lat, lng) && !out.contains(reg)) out = reg :: out
+          c += 1
+        }
+      }
+      ri += 1
+    }
+    if (out.isEmpty) EmptyInts else out.toArray
   }
 }
 
