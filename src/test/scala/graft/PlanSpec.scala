@@ -55,6 +55,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), s"probe path must not shuffle:\n${p.take(1500)}")
   }
 
+  test("containment family plans carry NO ScalaUDF on the image side") {
+    // since late round 3 every image-side kernel in the containment family
+    // is a native codegen expression (s2_cell16 / s2_ancestors /
+    // containment_probe / contains_rings / hex7 cell) — a refactor that
+    // reintroduces a ScalaUDF reopens the per-row encoder round-trip
+    import org.apache.spark.sql.functions.col
+    val images = graft.model.Tables.images(spark, sfDir)
+      .select("image_id", "lat", "lng", "cell16")
+    val plans = Seq(
+      plan("q_containment"),
+      graft.ops.Containment.containmentProbe(images, graft.model.Synth.regions)
+        .queryExecution.executedPlan.toString,
+      graft.ops.Containment.containmentProbeHex7(images, graft.model.Synth.regions)
+        .queryExecution.executedPlan.toString)
+    plans.foreach(p =>
+      assert(!p.contains("UDF"), s"ScalaUDF crept back in:\n${p.take(1500)}"))
+  }
+
   test("minhash band join carries only (id, band_key) — shingles join later") {
     val p = plan("q_minhash_lsh")
     // the band-key join inputs project sig->band_key and id only; shingle
