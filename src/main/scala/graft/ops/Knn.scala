@@ -165,11 +165,23 @@ object Knn {
       .orderBy("query_id", "rank")
   }
 
+  /** The cached probe projection, widened to the session's parallelism when
+    * the source partitioning is BELOW it. Small single-row-group parquet
+    * (the local test tables) scans as ONE task, and every probe round would
+    * otherwise run on one core; at design scale source partitions >> cores
+    * so the branch is a no-op and the projection keeps the scan layout —
+    * nothing extra shuffles. */
+  private def probeProjection(images: DataFrame): DataFrame = {
+    val proj = images.select(col("image_id"), col("lat"), col("lng"), col("cell16"))
+    val par = proj.sparkSession.sparkContext.defaultParallelism
+    (if (proj.rdd.getNumPartitions < par) proj.repartition(par) else proj).cache()
+  }
+
   def knn(spark: SparkSession, images: DataFrame, queries: Seq[KnnQuery],
           k: Int = 10, initialRadiusDeg: Double = 2.0): DataFrame = {
     // cache the probe projection: every expansion round re-probes it, and
     // without the cache the upstream cell-assignment UDF re-runs per round
-    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
+    val imgs = probeProjection(images)
     try knnRounds(spark, queries, k, initialRadiusDeg, meters = false, (_, _) => imgs)
       .select("query_id", "image_id", "rank")
     finally imgs.unpersist()
@@ -196,7 +208,7 @@ object Knn {
     * is <= r the result is complete. Same loop as `knn` (meters=true). */
   def knnHaversine(spark: SparkSession, images: DataFrame, queries: Seq[KnnQuery],
                    k: Int = 10, initialRadiusMeters: Double = 200000.0): DataFrame = {
-    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
+    val imgs = probeProjection(images)
     try knnRounds(spark, queries, k, initialRadiusMeters, meters = true, (_, _) => imgs)
       .withColumnRenamed("dist", "dist_m")
     finally imgs.unpersist()
@@ -256,7 +268,7 @@ object Knn {
     val FullDeg = if (meters) math.Pi * Geo.EarthRadiusMeters else 180.0
     val growth = if (meters) 4.0 else 8.0
     val absEps = if (meters) 1e-6 else 1e-12
-    val imgs = images.select(col("image_id"), col("lat"), col("lng"), col("cell16")).cache()
+    val imgs = probeProjection(images)
     // initialRadius <= 0 -> auto from density: aim for ~16*k candidates per
     // round-1 cap so virtually every query resolves immediately — the d2
     // stop rule needs kth * (1 + 1/cos) <= r, i.e. ~(1+1/cos)^2 * k ~ 6-8k
