@@ -78,6 +78,27 @@ object Knn {
       org.apache.spark.sql.Encoders.product[TopK]
   }
 
+  /** Bitmask-of-S2-levels accumulator: the covering UDF records the level of
+    * every cell it emits, so the driver learns the exact level set of a
+    * round's coverings from the SAME job that computes them — no separate
+    * levels job, and (unlike a CollectionAccumulator) the payload is one
+    * Long regardless of query count. Task retries can only re-OR bits, and a
+    * completed job has reported every partition's bits, so the read-after-
+    * materialize value is a sound (exact-or-superset across rounds) level
+    * set for the ancestors explode. */
+  private final class LevelMaskAcc extends org.apache.spark.util.AccumulatorV2[Int, Long] {
+    private var mask = 0L
+    def isZero: Boolean = mask == 0L
+    def copy(): LevelMaskAcc = { val a = new LevelMaskAcc; a.mask = mask; a }
+    def reset(): Unit = mask = 0L
+    def add(v: Int): Unit = mask |= (1L << v)
+    def merge(o: org.apache.spark.util.AccumulatorV2[Int, Long]): Unit = mask |= o.value
+    def value: Long = mask
+  }
+
+  private def maskLevels(mask: Long): Array[Int] =
+    (0 to 30).filter(l => (mask & (1L << l)) != 0L).toArray
+
   private val resultSchema = StructType(Seq(
     StructField("query_id", IntegerType, nullable = false),
     StructField("image_id", LongType, nullable = false),
@@ -287,16 +308,6 @@ object Knn {
     val tracker = new Tracker
     import tracker.materialize
     try {
-      // query_id must identify ONE query point: the status join emits each
-      // resolved top-k once per matching input row, so duplicated ids would
-      // duplicate (and, with conflicting coords, corrupt) results. Dedup up
-      // front; the materialized snapshot freezes the surviving row.
-      var (remaining, nRemaining, _) = materialize(
-        queries.select(col("query_id").cast("int"),
-          col("qlat").cast("double"), col("qlng").cast("double"))
-          .dropDuplicates("query_id")
-          .withColumn("qcos", cos(radians(col("qlat"))))
-          .withColumn("qradius", lit(initialRadius)))
       var results: DataFrame = null
       val verbose = sys.env.contains("GRAFT_KNN_VERBOSE")
       // round-invariant expressions hoisted OUT of the loop: re-creating a
@@ -304,14 +315,32 @@ object Knn {
       // Catalyst's codegen cache misses and every round pays full
       // compile+JIT again (measured as driver time between jobs, not
       // executor time)
+      val levelsAcc = new LevelMaskAcc
+      spark.sparkContext.register(levelsAcc, "knnBatchLevels")
       val coveringUdf = udf((lat: Double, lng: Double, radius: Double) => {
         val angle =
           if (meters) radius / Geo.EarthRadiusMeters else math.toRadians(radius)
-        if (radius >= FullDeg) faceCells
-        else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), angle),
-          maxCells = 12, maxLevel = 16).toSeq
+        val cells =
+          if (radius >= FullDeg) faceCells
+          else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), angle),
+            maxCells = 12, maxLevel = 16).toSeq
+        cells.foreach(c => levelsAcc.add(S2.level(c)))
+        cells
       })
-      val levelOf = udf((c: Long) => S2.level(c))
+      // query_id must identify ONE query point: the status join emits each
+      // resolved top-k once per matching input row, so duplicated ids would
+      // duplicate (and, with conflicting coords, corrupt) results. Dedup up
+      // front; the materialized snapshot freezes the surviving row — and the
+      // snapshot job ALSO computes each query's covering (array column) and
+      // reports its levels through the accumulator, so the round loop never
+      // re-runs the covering kernel or pays a separate levels job.
+      var (remaining, nRemaining, _) = materialize(
+        queries.select(col("query_id").cast("int"),
+          col("qlat").cast("double"), col("qlng").cast("double"))
+          .dropDuplicates("query_id")
+          .withColumn("qcos", cos(radians(col("qlat"))))
+          .withColumn("qradius", lit(initialRadius))
+          .withColumn("cov", coveringUdf(col("qlat"), col("qlng"), col("qradius"))))
       val distCol =
         if (meters) Udfs.haversineMeters(col("lat"), col("lng"), col("qlat"), col("qlng"))
         else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
@@ -321,43 +350,41 @@ object Knn {
           org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
       while (nRemaining > 0) {
         val tRound = System.nanoTime()
-        // qcov stays LAZY over the materialized `remaining` (the covering
-        // UDF over the small query side is cheaper to run twice — levels
-        // collect + join — than to snapshot each round)
-        val qcov = remaining.withColumn("cov_cell",
-          explode(coveringUdf(col("qlat"), col("qlng"), col("qradius"))))
-        val levels: Array[Int] =
-          qcov.select(levelOf(col("cov_cell")).as("l")).distinct()
-            .collect().map(_.getInt(0)).sorted
-        if (verbose)
-          System.err.println(f"[knnBatch]   levels done t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
+        // levels come from the accumulator the SNAPSHOT job already filled —
+        // across rounds the mask only accumulates (radii grow -> coarser
+        // levels join the set), so it is exact for round 1 and a sound
+        // superset after: an extra ancestors level explodes image rows that
+        // match no covering cell, it can never drop a candidate
+        val levels: Array[Int] = maskLevels(levelsAcc.value)
         // native codegen ancestors: the explode input over the (huge) image
         // side stays inside whole-stage codegen — no ScalaUDF encoder
         // round-trip per image row
         val anc = (c: Column) =>
           graft.functions.S2Expressions.s2Ancestors(c, levels)
+        // the covering rows come straight off the snapshot's array column —
+        // the covering kernel ran exactly once per query, in the snapshot job
+        val qcov = remaining.select(col("query_id"), col("qlat"), col("qlng"),
+          col("qcos"), col("qradius"), explode(col("cov")).as("cov_cell"))
         val qside =
           if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov) else qcov
         // one row per PROBED query: bounded top-k via PARTIAL aggregation —
         // map-side combiners cut each partition to <= k rows per query, so
         // the exchange carries O(queries * k), not every candidate (the
         // row_number window it replaces shuffled + sorted the full set)
-        val (topk, _, _) = materialize(imgs
+        val topk = imgs
           .withColumn("cov_cell", explode(anc(col("cell16"))))
           .join(qside, Seq("cov_cell"))
           .withColumn("d2", distCol)
           .groupBy("query_id")
-          .agg(topkUdaf(col("image_id"), col("d2")).as("top")))
-        if (verbose)
-          System.err.println(f"[knnBatch]   topk done t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
-        // ONE materialized STATUS row per unresolved query: the left join
-        // brings each query's bounded top-k (null if its cap matched
-        // nothing); the resolution predicate and adaptive next radius are
-        // plain columns over it. One analyze/optimize cycle + one snapshot
-        // per round instead of three (resolvedIds/res/rem) — at small SF the
-        // round cost is DRIVER PLANNING, not executor time (measured ~1 s
-        // planning per round saved at sf0.01; at scale the fewer barriers
-        // and dropped duplicate semi-join broadcasts still help).
+          .agg(topkUdaf(col("image_id"), col("d2")).as("top"))
+        // ONE materialized STATUS row per unresolved query — and ONE Spark
+        // job per round: the top-k aggregation above stays a LAZY subtree of
+        // the status plan (review r03 folded the separate topk snapshot in),
+        // the left join brings each query's bounded top-k (null if its cap
+        // matched nothing), and the resolution predicate, the adaptive next
+        // radius AND the next round's covering are plain columns over it.
+        // The materializing pass doubles as the unresolved count
+        // (materializeCounting), so each round's barrier is a single job.
         val kd2 = element_at(col("top.d2s"), -1)
         // sound radius bound of the k-th candidate in the metric's unit:
         // haversine IS the great-circle distance; d2 needs the equirect ->
@@ -371,31 +398,33 @@ object Knn {
         // resolve: enough candidates with the k-th bound inside the probed
         // cap, OR the probe already covered the full sphere; coalesce keeps
         // zero-candidate queries (null cnt/bound) unresolved rather than
-        // dropping them from BOTH filters below
-        val (status, _, _) = materialize(
-          remaining.join(topk, Seq("query_id"), "left")
-            .withColumn("cnt", size(col("top.ids")))
-            .withColumn("bound", bound)
-            .withColumn("resolved",
-              coalesce(col("cnt") >= k && col("bound") <= col("qradius"), lit(false)) ||
-                col("qradius") >= FullDeg))
-        if (verbose)
-          System.err.println(f"[knnBatch]   status done t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
+        // dropping them from BOTH filters below. Next radius (unresolved
+        // rows only): the SAME materialized k-th bound when cnt >= k
+        // (guarantees resolution next round), geometric growth otherwise;
+        // both clamp to the full sphere.
+        val statusDf = remaining.drop("cov").join(topk, Seq("query_id"), "left")
+          .withColumn("cnt", size(col("top.ids")))
+          .withColumn("bound", bound)
+          .withColumn("resolved",
+            coalesce(col("cnt") >= k && col("bound") <= col("qradius"), lit(false)) ||
+              col("qradius") >= FullDeg)
+          .withColumn("qradius", when(col("resolved"), col("qradius"))
+            .otherwise(least(lit(FullDeg + 1.0),
+              when(col("cnt") >= k, col("bound") * lit(1.0 + 1e-9) + lit(absEps))
+                .otherwise(col("qradius") * growth))))
+          .withColumn("cov", when(!col("resolved"),
+            coveringUdf(col("qlat"), col("qlng"), col("qradius"))))
+        val resolvedIdx = statusDf.schema.fieldIndex("resolved")
+        val (status, nRem, _) =
+          tracker.materializeCounting(statusDf)(r => !r.getBoolean(resolvedIdx))
         val res = status.where(col("resolved") && col("top").isNotNull)
           .select(col("query_id"), posexplode(col("top.ids")).as(Seq("pos", "image_id")))
           .select(col("query_id"), col("image_id"), (col("pos") + 1).cast("int").as("rank"))
         results = if (results == null) res else results.unionByName(res)
-        // adaptive next radius: the SAME materialized k-th bound when
-        // cnt >= k (guarantees resolution next round), geometric growth
-        // otherwise; both clamp to the full sphere. Lazy over the persisted
-        // status snapshot — plan depth stays constant (scan -> filter ->
-        // project).
+        // next round's input: a lazy projection of the persisted status
+        // snapshot — plan depth stays constant (scan -> filter -> project)
         val rem = status.where(!col("resolved"))
-          .withColumn("qradius", least(lit(FullDeg + 1.0),
-            when(col("cnt") >= k, col("bound") * lit(1.0 + 1e-9) + lit(absEps))
-              .otherwise(col("qradius") * growth)))
-          .select("query_id", "qlat", "qlng", "qcos", "qradius")
-        val nRem = rem.count() // tiny job over the persisted status snapshot
+          .select("query_id", "qlat", "qlng", "qcos", "qradius", "cov")
         if (verbose)
           System.err.println(f"[knnBatch] round: remaining_out=$nRem levels=${levels.length} " +
             f"t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
@@ -409,9 +438,14 @@ object Knn {
         tracker.releaseAll()
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], resultSchema)
       } else {
-        val (frame, _, finalRdd) = materialize(results.orderBy("query_id", "rank"))
+        // snapshot UNSORTED and return the sort lazily over the persisted
+        // RDD: count-style consumers get the sort eliminated outright
+        // (EliminateSorts), write-style consumers pay it exactly once — and
+        // the snapshot job skips the range-sampling pass a sorted .rdd
+        // would have added
+        val (frame, _, finalRdd) = materialize(results)
         tracker.releaseExcept(finalRdd)
-        frame
+        frame.orderBy("query_id", "rank")
       }
     } catch {
       case e: Throwable =>

@@ -30,6 +30,24 @@ private[ops] final class Tracker {
     (df.sparkSession.createDataFrame(rdd, df.schema), n, rdd)
   }
 
+  /** Like `materialize`, but the materializing pass ALSO counts the rows
+    * satisfying `pred` (and returns THAT count instead of the total): the
+    * caller's "how many rows need another round" question rides the same
+    * job as the snapshot instead of paying a separate count job per
+    * iteration. Exact — the fold runs over the freshly-persisted partitions,
+    * no accumulator retry ambiguity. */
+  def materializeCounting(df: DataFrame)(pred: Row => Boolean): (DataFrame, Long, RDD[Row]) = {
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdds += rdd
+    val n = rdd.mapPartitions { it =>
+      var m = 0L
+      while (it.hasNext) { if (pred(it.next())) m += 1 }
+      Iterator.single(m)
+    }.fold(0L)(_ + _)
+    (df.sparkSession.createDataFrame(rdd, df.schema), n, rdd)
+  }
+
   /** Unpersist every tracked intermediate except the result the caller
     * hands out — without this, each round leaks one persisted RDD for the
     * session's lifetime. */
