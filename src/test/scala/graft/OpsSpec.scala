@@ -162,6 +162,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("batch kNN rounds stay one materializing job each (plan-shape guard)") {
+    // Regression guard for the round-3 restructure: each expansion round is
+    // ONE materializing job (status snapshot; its covering computed in the
+    // prior snapshot, its levels read from the bitmask accumulator, its
+    // unresolved count folded into the materializing pass) plus the round's
+    // broadcast build. The pre-restructure shape paid ~5 driver jobs per
+    // round (levels collect, topk broadcast + materialize, status, count) —
+    // for this deterministic 5-round fixture that was ~29 jobs vs 13 now.
+    val images = Tables.images(spark, sfDir).limit(300)
+      .select("image_id", "lat", "lng", "cell16").cache()
+    images.count() // settle the cache outside the counted window
+    val qdf = {
+      import spark.implicits._
+      Seq((0, 10.0, 10.0), (1, -40.0, 120.0), (2, 51.5, -0.1))
+        .toDF("query_id", "qlat", "qlng")
+    }
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // AQE off for a deterministic job count (query-stage materialization
+    // shows up as extra jobs under AQE); restored below
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      // tiny initial radius forces a 5-round expansion on this fixture
+      Knn.knnBatch(spark, images, qdf, k = 3, initialRadiusDeg = 0.01).count()
+      // listener bus is async; give in-flight job-start events time to land
+      Thread.sleep(2000)
+    } finally {
+      spark.sparkContext.removeSparkListener(counter)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      images.unpersist()
+    }
+    val jobs = counter.jobs.get()
+    assert(jobs <= 16,
+      s"knnBatch ran $jobs jobs for the 5-round fixture; the one-job-per-" +
+        "round shape needs 13 (snapshot + 2/round + final + caller count) — " +
+        "a regression re-introduced per-round driver jobs")
+  }
+
   test("batch kNN full-sphere termination: k larger than the table") {
     import org.apache.spark.sql.functions._
     // 5-row image table, k=8: no query can ever reach k candidates, so every
