@@ -85,7 +85,9 @@ object PolyBool {
   }
 
   /** Core GH run. invS/invC flip the entry/exit marks: (false,false) =
-    * intersection, (true,true) = union, (false,true) = S minus C. */
+    * intersection, (true,true) = union, (true,false) = S minus C —
+    * inverting the SUBJECT's marks yields subject-minus-clip (the polarity
+    * `difference` below verifies against the hand vectors). */
   private def run(sLat0: Array[Double], sLng0: Array[Double],
                   cLat0: Array[Double], cLng0: Array[Double],
                   invS: Boolean, invC: Boolean,

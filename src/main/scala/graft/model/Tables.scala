@@ -65,7 +65,9 @@ object Tables {
       .createOrReplaceTempView("orders")
     // the synth view just shadowed the parquet `orders`: drop the
     // registerBase memo so a later registerBase re-registers the real table
-    registered.remove(spark)
+    // (under the same lock registerBase mutates the WeakHashMap with —
+    // unsynchronized concurrent mutation of WeakHashMap can corrupt it)
+    Tables.synchronized { registered.remove(spark) }
     spark.sql(Synth.imagesSelectFromRange)
       .withColumn("cell16",
         graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))

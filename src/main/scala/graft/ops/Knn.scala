@@ -365,8 +365,16 @@ object Knn {
         // the covering kernel ran exactly once per query, in the snapshot job
         val qcov = remaining.select(col("query_id"), col("qlat"), col("qlng"),
           col("qcos"), col("qradius"), explode(col("cov")).as("cov_cell"))
+        // beyond the broadcast limit the query side must be a SHUFFLE-HASH
+        // build, not a SortMergeJoin: without the hint the LogicalRDD's
+        // default (huge) size stats make Catalyst sort-merge, which shuffles
+        // AND SORTS the |images| x |levels| exploded probe side every round —
+        // the one thing this plan exists to avoid (review r03b). With the
+        // hint only the hash build (query side) and the probe exchange
+        // remain, no sort.
         val qside =
-          if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov) else qcov
+          if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov)
+          else qcov.hint("shuffle_hash")
         // one row per PROBED query: bounded top-k via PARTIAL aggregation —
         // map-side combiners cut each partition to <= k rows per query, so
         // the exchange carries O(queries * k), not every candidate (the
@@ -402,7 +410,11 @@ object Knn {
         // rows only): the SAME materialized k-th bound when cnt >= k
         // (guarantees resolution next round), geometric growth otherwise;
         // both clamp to the full sphere.
-        val statusDf = remaining.drop("cov").join(topk, Seq("query_id"), "left")
+        // the status join gets the same shuffle-hash treatment: both sides
+        // are O(queries) rows with unknown (default-huge) stats, and a
+        // sort-merge would sort them both for no benefit
+        val statusDf = remaining.drop("cov")
+          .join(topk.hint("shuffle_hash"), Seq("query_id"), "left")
           .withColumn("cnt", size(col("top.ids")))
           .withColumn("bound", bound)
           .withColumn("resolved",

@@ -445,17 +445,28 @@ object Polyline {
     val pathSide = paths
       .where(size(col("lats")) > 0 && size(col("lngs")) === size(col("lats")))
       .withColumn("cell", explode(pathCover(col("lats"), col("lngs"))))
-    val regionSide = regions
+    // symmetric guard for the region side (same crash class as the path-side
+    // guard above): a row with no rings — or a ragged first ring — has no
+    // shell to snap, drop it instead of NPE-ing in the UDFs below
+    val shells = regions
+      .where(size(col("rings_lat")) > 0 && size(col("rings_lng")) > 0 &&
+        size(col("rings_lat")(0)) === size(col("rings_lng")(0)))
       .select(col("region_id"), col("rings_lat")(0).as("r_lat"), col("rings_lng")(0).as("r_lng"))
+    val regionSide = shells
       .withColumn("cell", explode(ringCells(col("r_lat"), col("r_lng"))))
+    // candidates carry path_id and are SORTED by it before the kernel loop:
+    // collect_list order is partitioning-dependent, and snapRingKernel keeps
+    // the FIRST of dmax-tied candidates, so an unsorted list would make the
+    // snapped coordinates run-dependent (review r03b)
     val cands = regionSide.join(broadcast(pathSide), "cell")
       .dropDuplicates("region_id", "path_id")
       .groupBy("region_id")
-      .agg(collect_list(struct(col("lats"), col("lngs"))).as("cand"))
+      .agg(sort_array(collect_list(
+        struct(col("path_id"), col("lats"), col("lngs")))).as("cand"))
     val snapUdf = udf((rLat: Seq[Double], rLng: Seq[Double],
                        cand: Seq[org.apache.spark.sql.Row]) => {
       val cs = Option(cand).getOrElse(Seq.empty).map(r =>
-        (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)).toArray
+        (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)).toArray
       // loud density bound (the sightline maxBarriers pattern): the per-ring
       // kernel is O(edges * candidates); a pathological path density fails
       // instead of grinding inside one task
@@ -466,8 +477,7 @@ object Polyline {
       snapRingKernel(rLat.toArray, rLng.toArray, cs,
         thresholdMeters, joinThresholdMeters)
     })
-    regions
-      .select(col("region_id"), col("rings_lat")(0).as("r_lat"), col("rings_lng")(0).as("r_lng"))
+    shells
       .join(cands, Seq("region_id"), "left")
       .withColumn("s", snapUdf(col("r_lat"), col("r_lng"), col("cand")))
       .select(col("region_id"), col("s._1").as("s_lat"), col("s._2").as("s_lng"),

@@ -15,10 +15,25 @@ import org.apache.spark.sql.{DataFrame, Row}
   * tree, which turned quadratic-plus in practice (round 4 of a 5-round flood
   * spent 15 s planning 3 rows). (`localCheckpoint` would do the same but
   * trips a constraint-rewrite bug under unionByName in Spark 4.1.) */
+private[graft] object Tracker {
+  /** Test-only plan capture: materialized frames execute through raw RDD
+    * actions, invisible to QueryExecutionListener — a plan-shape spec sets a
+    * buffer here and every materialize on the SAME THREAD appends its
+    * executed-plan string. Null (the default) costs nothing. */
+  private[graft] val capturePlans =
+    new ThreadLocal[scala.collection.mutable.Buffer[String]]
+
+  private def capture(df: DataFrame): Unit = {
+    val buf = capturePlans.get()
+    if (buf != null) buf += df.queryExecution.executedPlan.toString
+  }
+}
+
 private[ops] final class Tracker {
   private val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
 
   def materialize(df: DataFrame): (DataFrame, Long, RDD[Row]) = {
+    Tracker.capture(df)
     val rdd = df.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // register BEFORE the materializing count: if the count's job fails, the
@@ -37,6 +52,7 @@ private[ops] final class Tracker {
     * iteration. Exact — the fold runs over the freshly-persisted partitions,
     * no accumulator retry ambiguity. */
   def materializeCounting(df: DataFrame)(pred: Row => Boolean): (DataFrame, Long, RDD[Row]) = {
+    Tracker.capture(df)
     val rdd = df.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rdds += rdd

@@ -102,6 +102,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"all-pairs plan outside the allowlist: ${offenders.mkString(", ")}")
   }
 
+  test("batch kNN beyond the broadcast limit probes via shuffle-hash, never sort-merge") {
+    // review r03b: without the shuffle_hash hint the LogicalRDD query side's
+    // default (huge) size stats make Catalyst SORT-MERGE the probe join —
+    // shuffling AND sorting the |images| x |levels| exploded image side
+    // every round. Capture the round plans through the Tracker hook (the
+    // rounds execute as raw RDD actions, invisible to executedPlan on the
+    // returned frame).
+    import graft.model.{Synth, Tables}
+    val buf = scala.collection.mutable.Buffer.empty[String]
+    graft.ops.Tracker.capturePlans.set(buf)
+    try {
+      graft.ops.Knn.knnBatch(spark, Tables.images(spark, sfDir),
+        Synth.batchQueryDf(spark, 50), k = 3, broadcastQueryRowLimit = 0L).count()
+    } finally graft.ops.Tracker.capturePlans.remove()
+    val rounds = buf.filter(_.contains("topkagg"))
+    assert(rounds.nonEmpty, "no round plan captured")
+    rounds.foreach { p =>
+      assert(!p.contains("SortMergeJoin"),
+        s"probe join regressed to sort-merge:\n${p.take(1500)}")
+      assert(p.contains("ShuffledHashJoin"),
+        s"expected a shuffled-hash probe join:\n${p.take(1500)}")
+    }
+  }
+
   test("tag predicates reach the parquet scan (pushdown)") {
     val p = plan("q_cap_count")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]") ||

@@ -175,7 +175,9 @@ class PolylineSpec extends AnyFunSuite with BeforeAndAfterAll {
         Tables.regions(spark), Tables.paths(spark).unionByName(spokes), 2000.0)
       .collect().map(r => (r.getString(0),
         (r.getSeq[Double](1).toSeq, r.getSeq[Double](2).toSeq, r.getInt(3)))).toMap
-    val cands = (Synth.paths ++ Synth.spokePaths).map(p => (p.lats, p.lngs))
+    // path_id order, matching the engine's deterministic candidate sort
+    val cands = (Synth.paths ++ Synth.spokePaths).sortBy(_.pathId)
+      .map(p => (p.lats, p.lngs))
     var snappedRegions = 0
     Synth.regions.foreach { r =>
       val (la, lo) = r.rings(0)
