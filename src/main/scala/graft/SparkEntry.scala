@@ -158,6 +158,28 @@ object SparkEntry {
       Knn.knnFromStore(s, store, Synth.knnQueries.toSeq, k = 10)
     }),
 
+    // --- §1.4 store-backed DISTRIBUTED batch kNN: a REGIONAL 2000-query
+    //     batch answered THROUGH the cell store — every round's probe must
+    //     read strictly fewer buckets than the store holds (telemetry
+    //     asserted below), and the result matches the brute-force golden ---
+    "q_store_knn_batch" -> ((s, dir) => {
+      import graft.lineage.CellStore
+      val store = new java.io.File(
+        s"target/cellstore_gate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      CellStore.write(images(s, dir).select("image_id", "lat", "lng", "cell16"), store)
+      val nBuckets = CellStore.stats(s, store).size
+      val reads = scala.collection.mutable.Buffer.empty[Int]
+      Knn.storeReadTelemetry.set(reads)
+      val out =
+        try Knn.knnBatchFromStore(s, store, Synth.regionalBatchQueryDf(s, 2000),
+          k = 5, initialRadiusDeg = 2.0)
+        finally Knn.storeReadTelemetry.remove()
+      require(reads.nonEmpty && reads.max < nBuckets,
+        s"store-batch prune ineffective: rounds read ${reads.mkString(",")} " +
+          s"of $nBuckets buckets")
+      out
+    }),
+
     // --- §2.4/§2.7 tile-assignment join (point manifest, zooms 8..12) ---
     "q_tiles_points" -> ((s, dir) =>
       Tiling.pointManifest(images(s, dir), 8, 12)
@@ -743,6 +765,7 @@ object SparkEntry {
       "q_knn_meters" -> g("q_knn_meters", "query_id, rank"),
       "q_knn_batch" -> g("q_knn_batch", "query_id, rank"),
       "q_knn_batch_meters" -> g("q_knn_batch_meters", "query_id, rank"),
+      "q_store_knn_batch" -> g("q_store_knn_batch", "query_id, rank"),
       "q_shell_cap" -> g("q_shell_cap", "image_id"),
       "q_snap_edges" -> g("q_snap_edges", "region_id"),
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),

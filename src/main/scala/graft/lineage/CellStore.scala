@@ -59,6 +59,24 @@ object CellStore {
     (df.drop("_bucket"), keep.size)
   }
 
+  /** Read exactly the listed buckets (intersected with those that exist).
+    * The batch-kNN store probe derives its bucket set distributively from
+    * the round's covering cells and collects only the DISTINCT bucket ids —
+    * bounded by the store's bucket count (2^PrefixBits), never by the query
+    * count. */
+  def readBuckets(spark: SparkSession, dir: String,
+                  buckets: Set[Long]): (DataFrame, Int) = {
+    val st = stats(spark, dir)
+    val keep = st.filter(b => buckets.contains(b.bucket))
+    val paths = keep.map(b => s"$dir/data/_bucket=${b.bucket}")
+    val df =
+      if (paths.isEmpty)
+        spark.read.parquet(s"$dir/data").where(lit(false))
+      else
+        spark.read.option("basePath", s"$dir/data").parquet(paths: _*)
+    (df.drop("_bucket"), keep.size)
+  }
+
   def readAll(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/data").drop("_bucket")
 }

@@ -182,10 +182,29 @@ object Synth {
     * over `spark.range(n)` with the generators above evaluated executor-side.
     * One definition for SparkEntry's gates, Bench's warmup and OpsSpec
     * (review r03 deduplicated three copies). */
-  def batchQueryDf(spark: org.apache.spark.sql.SparkSession, n: Int): org.apache.spark.sql.DataFrame = {
+  def batchQueryDf(spark: org.apache.spark.sql.SparkSession, n: Int): org.apache.spark.sql.DataFrame =
+    queryDfOf(spark, n, batchQueryLat, batchQueryLng)
+
+  /** REGIONAL batch-kNN query points — a 5°x5° box around the London hot
+    * cap: the workload where the store-backed batch probe
+    * (Knn.knnBatchFromStore) reads a strict subset of the buckets. Same
+    * 5-decimal rounding contract as the global generators. */
+  def regionalQueryLat(i: Long): Double =
+    math.rint((49.0 + 5.0 *
+      ((Hashes.splitmix64(i * 197L + 31) >>> 11).toDouble / (1L << 53).toDouble)) * 100000.0) / 100000.0
+
+  def regionalQueryLng(i: Long): Double =
+    math.rint((-3.0 + 5.0 *
+      ((Hashes.splitmix64(i * 197L + 43) >>> 11).toDouble / (1L << 53).toDouble)) * 100000.0) / 100000.0
+
+  def regionalBatchQueryDf(spark: org.apache.spark.sql.SparkSession, n: Int): org.apache.spark.sql.DataFrame =
+    queryDfOf(spark, n, regionalQueryLat, regionalQueryLng)
+
+  private def queryDfOf(spark: org.apache.spark.sql.SparkSession, n: Int,
+                        latOf: Long => Double, lngOf: Long => Double): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val qlat = udf((i: Long) => batchQueryLat(i))
-    val qlng = udf((i: Long) => batchQueryLng(i))
+    val qlat = udf((i: Long) => latOf(i))
+    val qlng = udf((i: Long) => lngOf(i))
     spark.range(n).select(col("id").cast("int").as("query_id"),
       qlat(col("id")).as("qlat"), qlng(col("id")).as("qlng"))
   }

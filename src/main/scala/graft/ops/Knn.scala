@@ -104,6 +104,14 @@ object Knn {
     StructField("image_id", LongType, nullable = false),
     StructField("rank", IntegerType, nullable = false)))
 
+  /** Store-probe telemetry: when a caller (the q_store_knn_batch gate, a
+    * spec) sets a buffer here, `knnBatchFromStore` appends the number of
+    * buckets each round actually read — the pruning evidence, observable
+    * without widening the operator's return type. Null by default, zero
+    * cost. */
+  private[graft] val storeReadTelemetry =
+    new ThreadLocal[scala.collection.mutable.Buffer[Int]]
+
   /** Shared expansion loop for BOTH metrics (review r03: the haversine path
     * now runs through the same loop as the d2 forms — one loop, no drift).
     * `meters` selects metric, stop rule and growth; `imagesForRound` selects
@@ -282,26 +290,47 @@ object Knn {
     knnBatchCore(spark, images, queries, k, initialRadiusMeters,
       broadcastQueryRowLimit, meters = true)
 
+  /** `knnBatch` THROUGH the cell-bucketed store: each round reads ONLY the
+    * buckets under the remaining queries' coverings (CellStore.readBuckets),
+    * so a regional query batch touches a fraction of the table's files — the
+    * IO half of the store story for the DISTRIBUTED query side (the Seq form
+    * is `knnFromStore`). The auto radius derives from the store's bucket
+    * stats, a pure metadata read. Same adaptive loop, same results as
+    * `knnBatch` over the store's content (OpsSpec-asserted). */
+  def knnBatchFromStore(spark: SparkSession, storeDir: String, queries: DataFrame,
+                        k: Int = 10, initialRadiusDeg: Double = 2.0,
+                        broadcastQueryRowLimit: Long = 2000000L): DataFrame =
+    knnBatchCore(spark, null, queries, k, initialRadiusDeg,
+      broadcastQueryRowLimit, meters = false, storeDir = Some(storeDir))
+
   private def knnBatchCore(spark: SparkSession, images: DataFrame, queries: DataFrame,
                            k: Int, initialRadius0: Double,
-                           broadcastQueryRowLimit: Long, meters: Boolean): DataFrame = {
+                           broadcastQueryRowLimit: Long, meters: Boolean,
+                           storeDir: Option[String] = None): DataFrame = {
     // "full sphere" threshold in the metric's own radius unit
     val FullDeg = if (meters) math.Pi * Geo.EarthRadiusMeters else 180.0
     val growth = if (meters) 4.0 else 8.0
     val absEps = if (meters) 1e-6 else 1e-12
-    val imgs = probeProjection(images)
+    // store-backed probes read only the buckets under the round's coverings
+    // (no global projection to cache); the direct form caches the projected
+    // image side once for all rounds
+    val imgs = if (storeDir.isEmpty) probeProjection(images) else null
     // initialRadius <= 0 -> auto from density: aim for ~16*k candidates per
     // round-1 cap so virtually every query resolves immediately — the d2
     // stop rule needs kth * (1 + 1/cos) <= r, i.e. ~(1+1/cos)^2 * k ~ 6-8k
     // candidates even at high latitudes; 16k leaves margin for local
-    // density dips. The count is one cheap job over the cached projection;
+    // density dips. The count is one cheap job over the cached projection
+    // (for the store, a pure metadata read of the bucket stats);
     // correctness is radius-invariant (OpsSpec), this only tunes round
     // counts across densities (a fixed 2 deg was right at sf0.1 but cost an
     // extra full round at sf0.01).
     val initialRadius =
       if (initialRadius0 > 0) initialRadius0
       else {
-        val n = math.max(1L, imgs.count())
+        val n = math.max(1L, storeDir match {
+          case Some(d) => graft.lineage.CellStore.stats(spark, d).map(_.rows).sum
+          case None => imgs.count()
+        })
         val deg = math.min(60.0, math.sqrt(16.0 * k * 41253.0 / (math.Pi * n)))
         if (meters) deg * 111320.0 else deg
       }
@@ -375,11 +404,38 @@ object Knn {
         val qside =
           if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov)
           else qcov.hint("shuffle_hash")
+        // probe frame: the cached projection, or — store-backed — ONLY the
+        // buckets under the round's coverings. The bucket set derives
+        // distributively: each covering cell's [rangeMin, rangeMax] span
+        // maps to a bucket span by its top PrefixBits (descendant ids at
+        // any level stay inside the ancestor's id range, so every matching
+        // image row lives in those buckets — sound), and the driver
+        // collects only the DISTINCT spans, bounded by the store's bucket
+        // count, never the query count.
+        val probe = storeDir match {
+          case None => imgs
+          case Some(d) =>
+            import graft.lineage.CellStore
+            val c = col("c")
+            val lsb = c.bitwiseAND(-c)
+            val shift = 64 - CellStore.PrefixBits
+            val spans = remaining.select(explode(col("cov")).as("c"))
+              .select(shiftrightunsigned(c - lsb + lit(1L), shift).as("lo"),
+                shiftrightunsigned(c + lsb - lit(1L), shift).as("hi"))
+              .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+            val buckets = spans.flatMap { case (lo, hi) => lo to hi }.toSet
+            val (df, nRead) = CellStore.readBuckets(spark, d, buckets)
+            val t = storeReadTelemetry.get()
+            if (t != null) t += nRead
+            if (verbose)
+              System.err.println(s"[knnBatch]   store read $nRead buckets")
+            df.select(col("image_id"), col("lat"), col("lng"), col("cell16"))
+        }
         // one row per PROBED query: bounded top-k via PARTIAL aggregation —
         // map-side combiners cut each partition to <= k rows per query, so
         // the exchange carries O(queries * k), not every candidate (the
         // row_number window it replaces shuffled + sorted the full set)
-        val topk = imgs
+        val topk = probe
           .withColumn("cov_cell", explode(anc(col("cell16"))))
           .join(qside, Seq("cov_cell"))
           .withColumn("d2", distCol)
@@ -463,6 +519,6 @@ object Knn {
       case e: Throwable =>
         tracker.releaseAll()
         throw e
-    } finally imgs.unpersist()
+    } finally if (imgs != null) imgs.unpersist()
   }
 }

@@ -207,6 +207,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a regression re-introduced per-round driver jobs")
   }
 
+  test("store-backed batch kNN equals the direct batch AND prunes buckets") {
+    import graft.lineage.CellStore
+    val images = Tables.images(spark, sfDir)
+    val store = new java.io.File("target/opsspec_store_batch").getAbsolutePath
+    CellStore.write(images.select("image_id", "lat", "lng", "cell16"), store)
+    val nBuckets = CellStore.stats(spark, store).size
+    val qdf = Synth.regionalBatchQueryDf(spark, 100)
+    val direct = Knn.knnBatch(spark, images, qdf, k = 5, initialRadiusDeg = 2.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val reads = scala.collection.mutable.Buffer.empty[Int]
+    Knn.storeReadTelemetry.set(reads)
+    val stored =
+      try Knn.knnBatchFromStore(spark, store, qdf, k = 5, initialRadiusDeg = 2.0)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      finally Knn.storeReadTelemetry.remove()
+    assert(stored == direct)
+    assert(reads.nonEmpty && reads.max < nBuckets,
+      s"rounds read ${reads.mkString(",")} of $nBuckets buckets — no pruning")
+  }
+
   test("batch kNN full-sphere termination: k larger than the table") {
     import org.apache.spark.sql.functions._
     // 5-row image table, k=8: no query can ever reach k candidates, so every
