@@ -234,4 +234,23 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CellStore bucket spans are sound: every descendant's bucket is inside the ancestor's span") {
+    // the store-backed batch-kNN probe reads only the buckets in
+    // [bucketOf(rangeMin), bucketOf(rangeMax)] of each covering cell — a
+    // missing bucket would silently drop candidates, so the span must
+    // contain the bucket of EVERY descendant id (here: the level-16 cell the
+    // store indexes by, for random points inside the ancestor)
+    import graft.lineage.CellStore
+    val shift = 64 - CellStore.PrefixBits
+    forAll(genLat, genLng, Gen.choose(1, 15)) { (lat, lng, lvl) =>
+      val cell16 = S2.cellAt(lat, lng, 16)
+      val anc = S2.parent(cell16, lvl)
+      val lo = S2.rangeMin(anc) >>> shift
+      val hi = S2.rangeMax(anc) >>> shift
+      val b = cell16 >>> shift
+      assert(lo <= b && b <= hi,
+        s"bucket $b of level-16 descendant outside span [$lo,$hi] of level-$lvl ancestor")
+    }
+  }
 }
