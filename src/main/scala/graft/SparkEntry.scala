@@ -29,6 +29,22 @@ object SparkEntry {
   private def images(s: SparkSession, dir: String): DataFrame =
     Tables.images(s, dir)
 
+  /** The gate cell store for `dir`, written at most once per JVM: both
+    * store gates (q_store_knn, q_store_knn_batch) share the identical
+    * content, and a shared memo also removes the write-write race a
+    * parallel gate execution would otherwise have on the directory. */
+  private val storesWritten = scala.collection.mutable.Set.empty[String]
+  private def cellStoreFor(s: SparkSession, dir: String): String = synchronized {
+    val store = new java.io.File(
+      s"target/cellstore_gate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+    if (!storesWritten.contains(store)) {
+      graft.lineage.CellStore.write(
+        images(s, dir).select("image_id", "lat", "lng", "cell16"), store)
+      storesWritten += store
+    }
+    store
+  }
+
   /** The images CTE prefix shared by every oracle query. */
   private val W = s"WITH images AS (${Synth.imagesSelect})"
 
@@ -143,9 +159,7 @@ object SparkEntry {
     "q_store_knn" -> ((s, dir) => {
       import graft.core.{Geo, S2}
       import graft.lineage.CellStore
-      val store = new java.io.File(
-        s"target/cellstore_gate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
-      CellStore.write(images(s, dir).select("image_id", "lat", "lng", "cell16"), store)
+      val store = cellStoreFor(s, dir)
       val nBuckets = CellStore.stats(s, store).size
       val ranges = Synth.knnQueries.toSeq.flatMap { q =>
         S2.covering(S2.Cap(Geo.toXYZ(q.lat, q.lng), math.toRadians(2.0)),
@@ -164,9 +178,7 @@ object SparkEntry {
     //     asserted below), and the result matches the brute-force golden ---
     "q_store_knn_batch" -> ((s, dir) => {
       import graft.lineage.CellStore
-      val store = new java.io.File(
-        s"target/cellstore_gate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
-      CellStore.write(images(s, dir).select("image_id", "lat", "lng", "cell16"), store)
+      val store = cellStoreFor(s, dir)
       val nBuckets = CellStore.stats(s, store).size
       val reads = scala.collection.mutable.Buffer.empty[Int]
       Knn.storeReadTelemetry.set(reads)
@@ -174,7 +186,10 @@ object SparkEntry {
         try Knn.knnBatchFromStore(s, store, Synth.regionalBatchQueryDf(s, 2000),
           k = 5, initialRadiusDeg = 2.0)
         finally Knn.storeReadTelemetry.remove()
-      require(reads.nonEmpty && reads.max < nBuckets,
+      // assert on ROUND 1 — always regional, hence pruned; a later
+      // full-sphere escalation round legitimately reads every bucket, so
+      // reads.max would fail spuriously on a sparse region (review r03c)
+      require(reads.nonEmpty && reads.head < nBuckets,
         s"store-batch prune ineffective: rounds read ${reads.mkString(",")} " +
           s"of $nBuckets buckets")
       out

@@ -42,14 +42,10 @@ object CellStore {
     spark.read.parquet(s"$dir/_stats").collect().map(r =>
       BucketStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
 
-  /** Read only the buckets whose stats overlap any of the [lo, hi] cell
-    * ranges (e.g. S2.rangeMin/rangeMax of a covering's cells). Returns the
-    * pruned DataFrame and the number of buckets actually read. */
-  def readRanges(spark: SparkSession, dir: String,
-                 ranges: Seq[(Long, Long)]): (DataFrame, Int) = {
-    val st = stats(spark, dir)
-    val keep = st.filter(b =>
-      ranges.exists { case (lo, hi) => b.cellMin <= hi && lo <= b.cellMax })
+  /** One reader for every prune strategy: scan exactly the `keep` buckets
+    * (empty -> an empty frame with the store's schema). */
+  private def readKept(spark: SparkSession, dir: String,
+                       keep: Seq[BucketStat]): (DataFrame, Int) = {
     val paths = keep.map(b => s"$dir/data/_bucket=${b.bucket}")
     val df =
       if (paths.isEmpty)
@@ -59,23 +55,24 @@ object CellStore {
     (df.drop("_bucket"), keep.size)
   }
 
+  /** Read only the buckets whose stats overlap any of the [lo, hi] cell
+    * ranges (e.g. S2.rangeMin/rangeMax of a covering's cells). Returns the
+    * pruned DataFrame and the number of buckets actually read. */
+  def readRanges(spark: SparkSession, dir: String,
+                 ranges: Seq[(Long, Long)]): (DataFrame, Int) =
+    readKept(spark, dir, stats(spark, dir).filter(b =>
+      ranges.exists { case (lo, hi) => b.cellMin <= hi && lo <= b.cellMax }))
+
   /** Read exactly the listed buckets (intersected with those that exist).
     * The batch-kNN store probe derives its bucket set distributively from
-    * the round's covering cells and collects only the DISTINCT bucket ids —
+    * the round's covering cells (a fixed-size bucket-mask accumulator) —
     * bounded by the store's bucket count (2^PrefixBits), never by the query
-    * count. */
-  def readBuckets(spark: SparkSession, dir: String,
-                  buckets: Set[Long]): (DataFrame, Int) = {
-    val st = stats(spark, dir)
-    val keep = st.filter(b => buckets.contains(b.bucket))
-    val paths = keep.map(b => s"$dir/data/_bucket=${b.bucket}")
-    val df =
-      if (paths.isEmpty)
-        spark.read.parquet(s"$dir/data").where(lit(false))
-      else
-        spark.read.option("basePath", s"$dir/data").parquet(paths: _*)
-    (df.drop("_bucket"), keep.size)
-  }
+    * count. `preloaded` lets an iterative caller read the _stats file once
+    * per call instead of once per round. */
+  def readBuckets(spark: SparkSession, dir: String, buckets: Set[Long],
+                  preloaded: Option[Seq[BucketStat]] = None): (DataFrame, Int) =
+    readKept(spark, dir,
+      preloaded.getOrElse(stats(spark, dir)).filter(b => buckets.contains(b.bucket)))
 
   def readAll(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/data").drop("_bucket")

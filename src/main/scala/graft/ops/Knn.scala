@@ -99,6 +99,38 @@ object Knn {
   private def maskLevels(mask: Long): Array[Int] =
     (0 to 30).filter(l => (mask & (1L << l)) != 0L).toArray
 
+  /** Fixed-size bucket-set accumulator (2^PrefixBits bits): the store-backed
+    * batch probe learns WHICH CellStore buckets the round's coverings touch
+    * from the same job that computes the coverings — no per-round
+    * distinct+collect job, and the payload is 2^PrefixBits/64 longs
+    * regardless of query count. Same soundness argument as LevelMaskAcc:
+    * bits only OR in, and a completed job has reported every partition's
+    * bits (across rounds the set is a superset — extra buckets cost IO,
+    * never correctness). */
+  private final class BucketMaskAcc(nBits: Int)
+      extends org.apache.spark.util.AccumulatorV2[(Int, Int), Array[Long]] {
+    private val mask = new Array[Long]((nBits + 63) / 64)
+    def isZero: Boolean = mask.forall(_ == 0L)
+    def copy(): BucketMaskAcc = {
+      val a = new BucketMaskAcc(nBits); System.arraycopy(mask, 0, a.mask, 0, mask.length); a
+    }
+    def reset(): Unit = java.util.Arrays.fill(mask, 0L)
+    /** Set every bucket bit in the inclusive span [lo, hi]. */
+    def add(v: (Int, Int)): Unit = {
+      var b = v._1
+      while (b <= v._2) { mask(b >> 6) |= 1L << (b & 63); b += 1 }
+    }
+    def merge(o: org.apache.spark.util.AccumulatorV2[(Int, Int), Array[Long]]): Unit = {
+      val ov = o.value
+      var i = 0
+      while (i < mask.length) { mask(i) |= ov(i); i += 1 }
+    }
+    def value: Array[Long] = mask.clone()
+    def buckets: Set[Long] =
+      (0 until nBits).filter(b => (mask(b >> 6) & (1L << (b & 63))) != 0L)
+        .map(_.toLong).toSet
+  }
+
   private val resultSchema = StructType(Seq(
     StructField("query_id", IntegerType, nullable = false),
     StructField("image_id", LongType, nullable = false),
@@ -278,7 +310,7 @@ object Knn {
   def knnBatch(spark: SparkSession, images: DataFrame, queries: DataFrame,
                k: Int = 10, initialRadiusDeg: Double = 2.0,
                broadcastQueryRowLimit: Long = 2000000L): DataFrame =
-    knnBatchCore(spark, images, queries, k, initialRadiusDeg,
+    knnBatchCore(spark, Some(images), queries, k, initialRadiusDeg,
       broadcastQueryRowLimit, meters = false)
 
   /** `knnBatch` under the production great-circle metric (b6 distance
@@ -287,7 +319,7 @@ object Knn {
   def knnBatchHaversine(spark: SparkSession, images: DataFrame, queries: DataFrame,
                         k: Int = 10, initialRadiusMeters: Double = 300000.0,
                         broadcastQueryRowLimit: Long = 2000000L): DataFrame =
-    knnBatchCore(spark, images, queries, k, initialRadiusMeters,
+    knnBatchCore(spark, Some(images), queries, k, initialRadiusMeters,
       broadcastQueryRowLimit, meters = true)
 
   /** `knnBatch` THROUGH the cell-bucketed store: each round reads ONLY the
@@ -300,21 +332,28 @@ object Knn {
   def knnBatchFromStore(spark: SparkSession, storeDir: String, queries: DataFrame,
                         k: Int = 10, initialRadiusDeg: Double = 2.0,
                         broadcastQueryRowLimit: Long = 2000000L): DataFrame =
-    knnBatchCore(spark, null, queries, k, initialRadiusDeg,
+    knnBatchCore(spark, None, queries, k, initialRadiusDeg,
       broadcastQueryRowLimit, meters = false, storeDir = Some(storeDir))
 
-  private def knnBatchCore(spark: SparkSession, images: DataFrame, queries: DataFrame,
+  /** Exactly one probe source: a direct image frame OR a store directory
+    * (review r03c: an Option pair instead of a null DataFrame, so a future
+    * edit can't dereference the absent side). */
+  private def knnBatchCore(spark: SparkSession, images: Option[DataFrame],
+                           queries: DataFrame,
                            k: Int, initialRadius0: Double,
                            broadcastQueryRowLimit: Long, meters: Boolean,
                            storeDir: Option[String] = None): DataFrame = {
+    require(images.isDefined != storeDir.isDefined,
+      "knnBatchCore: exactly one of images / storeDir")
     // "full sphere" threshold in the metric's own radius unit
     val FullDeg = if (meters) math.Pi * Geo.EarthRadiusMeters else 180.0
     val growth = if (meters) 4.0 else 8.0
     val absEps = if (meters) 1e-6 else 1e-12
     // store-backed probes read only the buckets under the round's coverings
     // (no global projection to cache); the direct form caches the projected
-    // image side once for all rounds
-    val imgs = if (storeDir.isEmpty) probeProjection(images) else null
+    // image side once for all rounds. Bucket stats are read ONCE per call.
+    val imgs = images.map(probeProjection)
+    val storeStats = storeDir.map(d => graft.lineage.CellStore.stats(spark, d))
     // initialRadius <= 0 -> auto from density: aim for ~16*k candidates per
     // round-1 cap so virtually every query resolves immediately — the d2
     // stop rule needs kth * (1 + 1/cos) <= r, i.e. ~(1+1/cos)^2 * k ~ 6-8k
@@ -327,9 +366,9 @@ object Knn {
     val initialRadius =
       if (initialRadius0 > 0) initialRadius0
       else {
-        val n = math.max(1L, storeDir match {
-          case Some(d) => graft.lineage.CellStore.stats(spark, d).map(_.rows).sum
-          case None => imgs.count()
+        val n = math.max(1L, storeStats match {
+          case Some(st) => st.map(_.rows).sum
+          case None => imgs.get.count()
         })
         val deg = math.min(60.0, math.sqrt(16.0 * k * 41253.0 / (math.Pi * n)))
         if (meters) deg * 111320.0 else deg
@@ -346,6 +385,15 @@ object Knn {
       // executor time)
       val levelsAcc = new LevelMaskAcc
       spark.sparkContext.register(levelsAcc, "knnBatchLevels")
+      // store mode: the SAME job also reports which CellStore buckets the
+      // coverings touch, so the store probe needs no per-round
+      // distinct+collect job (one job per round holds on both paths)
+      val bucketAcc = storeDir.map { _ =>
+        val a = new BucketMaskAcc(1 << graft.lineage.CellStore.PrefixBits)
+        spark.sparkContext.register(a, "knnBatchBuckets")
+        a
+      }
+      val bucketShift = 64 - graft.lineage.CellStore.PrefixBits
       val coveringUdf = udf((lat: Double, lng: Double, radius: Double) => {
         val angle =
           if (meters) radius / Geo.EarthRadiusMeters else math.toRadians(radius)
@@ -353,7 +401,12 @@ object Knn {
           if (radius >= FullDeg) faceCells
           else S2.covering(S2.Cap(Geo.toXYZ(lat, lng), angle),
             maxCells = 12, maxLevel = 16).toSeq
-        cells.foreach(c => levelsAcc.add(S2.level(c)))
+        cells.foreach { c =>
+          levelsAcc.add(S2.level(c))
+          bucketAcc.foreach(a => a.add((
+            (S2.rangeMin(c) >>> bucketShift).toInt,
+            (S2.rangeMax(c) >>> bucketShift).toInt)))
+        }
         cells
       })
       // query_id must identify ONE query point: the status join emits each
@@ -405,26 +458,20 @@ object Knn {
           if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov)
           else qcov.hint("shuffle_hash")
         // probe frame: the cached projection, or — store-backed — ONLY the
-        // buckets under the round's coverings. The bucket set derives
-        // distributively: each covering cell's [rangeMin, rangeMax] span
-        // maps to a bucket span by its top PrefixBits (descendant ids at
-        // any level stay inside the ancestor's id range, so every matching
-        // image row lives in those buckets — sound), and the driver
-        // collects only the DISTINCT spans, bounded by the store's bucket
-        // count, never the query count.
+        // buckets under the coverings. The bucket set rides the
+        // BucketMaskAcc out of the SAME snapshot job that computed the
+        // coverings: each covering cell's [rangeMin, rangeMax] id span maps
+        // to a bucket span by its top PrefixBits (descendant ids at any
+        // level stay inside the ancestor's id range, so every matching
+        // image row lives in those buckets — sound, PropertySpec-pinned).
+        // Like the level mask, the set only grows across rounds — a
+        // superset read costs IO, never correctness — and the stats were
+        // loaded once before the loop.
         val probe = storeDir match {
-          case None => imgs
+          case None => imgs.get
           case Some(d) =>
-            import graft.lineage.CellStore
-            val c = col("c")
-            val lsb = c.bitwiseAND(-c)
-            val shift = 64 - CellStore.PrefixBits
-            val spans = remaining.select(explode(col("cov")).as("c"))
-              .select(shiftrightunsigned(c - lsb + lit(1L), shift).as("lo"),
-                shiftrightunsigned(c + lsb - lit(1L), shift).as("hi"))
-              .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
-            val buckets = spans.flatMap { case (lo, hi) => lo to hi }.toSet
-            val (df, nRead) = CellStore.readBuckets(spark, d, buckets)
+            val (df, nRead) = graft.lineage.CellStore.readBuckets(
+              spark, d, bucketAcc.get.buckets, storeStats)
             val t = storeReadTelemetry.get()
             if (t != null) t += nRead
             if (verbose)
@@ -519,6 +566,6 @@ object Knn {
       case e: Throwable =>
         tracker.releaseAll()
         throw e
-    } finally if (imgs != null) imgs.unpersist()
+    } finally imgs.foreach(_.unpersist())
   }
 }
