@@ -24,8 +24,14 @@ object Tiles {
   }
 
   def tileFromLatLng(latDeg: Double, lngDeg: Double, zoom: Int): (Long, Long) = {
-    val (x, y) = project(latDeg, lngDeg, zoom)
-    (x.toLong, y.toLong)
+    // Mercator blows up at the poles: without the clamp a |lat| > ~85.05
+    // point yields y < 0 (or >= 2^z), and the packed TileID's z/x/y bit
+    // fields silently corrupt (negative y sign-extends over the zoom bits).
+    // Same +-85.06 clamp as coverCellWithTilesRobust; indices clamped for
+    // the lng = 180 edge.
+    val (x, y) = project(math.max(-85.06, math.min(85.06, latDeg)), lngDeg, zoom)
+    val n = (1L << zoom) - 1
+    (math.min(n, math.max(0L, x.toLong)), math.min(n, math.max(0L, y.toLong)))
   }
 
   /** EVERY tile crossed by the straight segment between two points in this

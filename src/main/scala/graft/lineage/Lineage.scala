@@ -1,22 +1,37 @@
 package graft.lineage
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** Per-partition lineage + snapshot-resumable stage runner (north rule:
   * "resumable from checkpoint with per-partition lineage + metrics").
   *
   * Design (SURVEY.md §4.3): work is split into `buckets` deterministic units
-  * keyed by a bucket column (cell range at design scale — locality-preserving
-  * so each unit touches a contiguous cell range). Each unit is one
-  * distributed job whose output commits atomically: data files first, then a
-  * metrics row, then a commit marker (the Iceberg-snapshot analogue on plain
-  * parquet — swap `commit` for a table.newAppend() when an Iceberg catalog
-  * is present; cf. the reference's applied-change ids,
+  * keyed by a bucket column. Each unit is one distributed job whose output
+  * commits atomically: data files first, then a metrics row, then a commit
+  * marker (the Iceberg-snapshot analogue on plain parquet — swap `commit`
+  * for a table.newAppend() when an Iceberg catalog is present; cf. the
+  * reference's applied-change ids,
   * /root/reference/src/diagonal.works/b6/ingest/change.go:30-102).
   * Resume = skip buckets whose marker exists: an anti-join of work units
   * against committed units, at bucket granularity.
+  *
+  * Two bucketing modes (r03c audit):
+  *   - `rangeBuckets = true` (the design-scale path): buckets are contiguous
+  *     ranges of `cellCol` (equal-width over the observed [min, max]), so
+  *     each unit's filter is a PLAIN RANGE PREDICATE that pushes down to
+  *     parquet row-group min/max stats — on cell-clustered input (CellStore,
+  *     an Iceberg table ordered by cell) a unit reads only its own files.
+  *     Locality-preserving, balance depends on the id distribution.
+  *   - `rangeBuckets = false`: pmod(xxhash64(bucketKey)) — uniform balance,
+  *     but the hash filter cannot be pushed down, so every unit re-scans the
+  *     full input; keep for small/skewed inputs only.
+  * Input counts for the metrics rows come from ONE up-front histogram job,
+  * not a count per bucket (the old shape paid 2x buckets full scans).
+  *
+  * All marker IO goes through the Hadoop FileSystem of `outDir`, so resume
+  * works identically on local paths, HDFS and object stores (s3a://...) —
+  * java.nio on an s3a URI would silently never resume (r03c audit).
   *
   * Metrics row: (run_id, stage, bucket, input_rows, output_rows, cell_min,
   * cell_max, checksum) with checksum = bit_xor of xxhash64 over all output
@@ -25,24 +40,61 @@ object Lineage {
 
   final case class StageResult(bucketsRun: Seq[Int], bucketsSkipped: Seq[Int])
 
-  private def markerPath(outDir: String, bucket: Int) =
-    Paths.get(s"$outDir/_committed_$bucket")
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
 
-  /** Run `transform` over `input` split into `buckets` units by
-    * pmod(xxhash64(bucketKey), buckets); resume from existing commits. */
+  private def markerPath(outDir: String, bucket: Int) =
+    new org.apache.hadoop.fs.Path(s"$outDir/_committed_$bucket")
+
+  /** Run `transform` over `input` split into `buckets` units; resume from
+    * existing commits. See the scaladoc above for the two bucketing modes. */
   def runStage(spark: SparkSession, input: DataFrame, transform: DataFrame => DataFrame,
                runId: String, stage: String, outDir: String,
-               bucketKey: String, cellCol: String, buckets: Int): StageResult = {
-    Files.createDirectories(Paths.get(outDir))
-    val bucketed = input.withColumn("_bucket",
-      pmod(xxhash64(col(bucketKey)), lit(buckets)).cast("int"))
+               bucketKey: String, cellCol: String, buckets: Int,
+               rangeBuckets: Boolean = false): StageResult = {
+    val (fs, outPath) = fsOf(spark, outDir)
+    fs.mkdirs(outPath)
+
+    // unit definitions: (filter for the unit, bucket expression for the
+    // one-job input histogram)
+    val (unitFilter: (Int => org.apache.spark.sql.Column), bucketExpr) =
+      if (!rangeBuckets) {
+        val e = pmod(xxhash64(col(bucketKey)), lit(buckets)).cast("int")
+        ((b: Int) => e === b, e)
+      } else {
+        // contiguous cellCol ranges with APPROX-QUANTILE boundaries (one
+        // stats job): balanced without assuming anything about the id
+        // distribution or signedness (S2 ids for faces 4-5 are negative
+        // longs — equal-width over [min, max] would collapse), and the
+        // per-unit filter stays a plain range predicate -> parquet min/max
+        // pushdown on cell-clustered input. Duplicate boundaries just
+        // leave some units empty (harmless).
+        val bounds: Array[Long] = input.stat.approxQuantile(cellCol,
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+          .map(_.toLong)
+        val e = (buckets - 2 to 0 by -1).foldLeft(lit(buckets - 1)) {
+          (acc, b) => when(col(cellCol) < bounds(b), b).otherwise(acc)
+        }
+        ((b: Int) => {
+          val loP = if (b == 0) lit(true) else col(cellCol) >= bounds(b - 1)
+          val hiP = if (b == buckets - 1) lit(true) else col(cellCol) < bounds(b)
+          loP && hiP
+        }, e)
+      }
+
+    // input rows per bucket in ONE job (metrics only; 0 for empty buckets)
+    val inCounts: Map[Int, Long] =
+      input.groupBy(bucketExpr.as("_b")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
     val ran = scala.collection.mutable.ArrayBuffer.empty[Int]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[Int]
     (0 until buckets).foreach { b =>
-      if (Files.exists(markerPath(outDir, b))) skipped += b
+      if (fs.exists(markerPath(outDir, b))) skipped += b
       else {
-        val in = bucketed.where(col("_bucket") === b).drop("_bucket")
-        val inRows = in.count()
+        val in = input.where(unitFilter(b))
         val out = transform(in)
         out.write.mode(SaveMode.Overwrite).parquet(s"$outDir/bucket=$b")
         val written = spark.read.parquet(s"$outDir/bucket=$b")
@@ -52,11 +104,12 @@ object Lineage {
           max(col(cellCol)).as("cell_max"),
           coalesce(expr(s"bit_xor(xxhash64(${written.columns.mkString(",")}))"), lit(0L)).as("checksum"))
           .withColumn("run_id", lit(runId)).withColumn("stage", lit(stage))
-          .withColumn("bucket", lit(b)).withColumn("input_rows", lit(inRows))
+          .withColumn("bucket", lit(b))
+          .withColumn("input_rows", lit(inCounts.getOrElse(b, 0L)))
           .select("run_id", "stage", "bucket", "input_rows", "output_rows",
             "cell_min", "cell_max", "checksum")
         m.write.mode(SaveMode.Overwrite).parquet(s"$outDir/_metrics/bucket=$b")
-        Files.createFile(markerPath(outDir, b)) // atomic commit point
+        fs.create(markerPath(outDir, b), false).close() // atomic commit point
         ran += b
       }
     }

@@ -43,9 +43,14 @@ object Containment {
       col("region_id"), col("rings_lat"), col("rings_lng"),
       explode(col("cells")).as("rcell"))
 
-    // levels present in any covering — driver-side over the SMALL side only
-    val levels: Seq[Int] = regionCells.select(col("rcell"))
-      .distinct().collect().map(r => S2.level(r.getLong(0))).distinct.sorted.toSeq
+    // levels present in any covering — aggregate to the <= 31 distinct
+    // LEVELS executor-side and collect only those scalars: collecting the
+    // distinct CELLS would put O(|regions| x cells-per-covering) longs on
+    // the driver, which the non-broadcast path below exists to avoid
+    // (review r03c)
+    val levelOf = udf((c: Long) => S2.level(c))
+    val levels: Seq[Int] = regionCells.select(levelOf(col("rcell")).as("l"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
 
     // native codegen ancestors (no ScalaUDF round-trip on the big side)
     val probes = images.withColumn("anc", explode(

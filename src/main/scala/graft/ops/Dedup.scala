@@ -15,13 +15,19 @@ object Dedup {
 
   /** Exact duplicate groups by content hash: every row mapped to the group's
     * canonical (minimum) id; rows in singleton groups are dropped.
-    * One hash-aggregate, partial+final for free. */
+    *
+    * A real HashAggregate (partial+final) + equi-join back, NOT a window
+    * over the key: training corpora routinely carry one massively repeated
+    * key (empty text, boilerplate), and a window shape funnels that entire
+    * group through a single partition's sort — the aggregate's map-side
+    * combiners collapse the hot key to one row per partition instead, and
+    * AQE's skew handling applies to the join (r03c audit). */
   def exactDuplicates(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val w = Window.partitionBy("dedup_key")
-    df.withColumn("dedup_key", md5(col(keyCol)))
-      .withColumn("canonical_id", min(col(idCol)).over(w))
-      .withColumn("group_n", count(lit(1)).over(w))
+    val keyed = df.withColumn("dedup_key", md5(col(keyCol)))
+    val groups = keyed.groupBy("dedup_key")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_n"))
       .where(col("group_n") > 1)
+    keyed.join(groups.hint("shuffle_hash"), Seq("dedup_key"))
       .select(col(idCol), col("canonical_id"))
   }
 

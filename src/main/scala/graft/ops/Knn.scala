@@ -48,35 +48,10 @@ object Knn {
   private def faceCells: Seq[Long] =
     (0 until 6).map(f => S2.parent(f.toLong << S2.PosBits | (1L << (S2.PosBits - 1)), 0))
 
-  /** Bounded top-k as parallel arrays (rank order = array order). */
-  final case class TopK(ids: Seq[Long], d2s: Seq[Double])
-
-  /** Bounded per-query top-k aggregator: the k-smallest (d2, image_id)
-    * pairs under the total tuple order. Runs as a PARTIAL ObjectHashAggregate
-    * — map-side combiners shrink every partition's candidates to <= k per
-    * query BEFORE the shuffle, so the exchange carries O(queries * k) rows
-    * instead of every candidate (the row_number window it replaces sorted
-    * the full candidate set through the shuffle — measured 2x on the batch
-    * gate). Deterministic: insertion/merge are order-independent under the
-    * total order; ids are unique. */
-  private final class TopKAgg(k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[(Long, Double), List[(Double, Long)], TopK] {
-    private val ord = implicitly[Ordering[(Double, Long)]]
-    def zero: List[(Double, Long)] = Nil
-    def reduce(b: List[(Double, Long)], a: (Long, Double)): List[(Double, Long)] = {
-      val x = (a._2, a._1)
-      if (b.length >= k && ord.compare(x, b.last) >= 0) b
-      else ((x :: b).sorted(ord)).take(k)
-    }
-    def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
-      (a ++ b).sorted(ord).take(k)
-    def finish(b: List[(Double, Long)]): TopK =
-      TopK(b.map(_._2), b.map(_._1))
-    def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =
-      org.apache.spark.sql.Encoders.kryo[List[(Double, Long)]]
-    def outputEncoder: org.apache.spark.sql.Encoder[TopK] =
-      org.apache.spark.sql.Encoders.product[TopK]
-  }
+  // Bounded top-k aggregation (TopK / TopKAgg) lives in ops/TopK.scala —
+  // shared with the ANN/similarity family (r03c audit: the row_number
+  // window the others used funnels a group's full candidate set into one
+  // task at scale; this partial aggregate is the replacement everywhere).
 
   /** Bitmask-of-S2-levels accumulator: the covering UDF records the level of
     * every cell it emits, so the driver learns the exact level set of a
@@ -155,6 +130,7 @@ object Knn {
     var remaining = queries
     var radius = initialRadius
     val resolved = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val topkUdaf = TopKAgg.udafFor(k)
     while (remaining.nonEmpty) {
       val angleRad =
         if (meters) radius / Geo.EarthRadiusMeters else math.toRadians(radius)
@@ -199,10 +175,18 @@ object Knn {
         .withColumn("query_id", explode(stab(col("cell16"))))
         .join(broadcast(qDf), "query_id")
         .withColumn("dist", dist)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("dist"), col("image_id"))))
-        .where(col("rank") <= k)
-        .select(col("query_id"), col("image_id"), col("rank"), col("dist"))
+        // bounded partial aggregation, not a row_number window: a
+        // full-sphere escalation round probes the ENTIRE table, and the
+        // window would funnel every stabbed row into <= |queries|
+        // partitions — single tasks sorting the whole probe at data scale
+        // (r03c audit). The combiners cut each partition to <= k rows per
+        // query before the exchange; tie order (dist, image_id) identical.
+        .groupBy("query_id")
+        .agg(topkUdaf(col("image_id"), col("dist")).as("top"))
+        .select(col("query_id"),
+          posexplode(arrays_zip(col("top.ids"), col("top.d2s"))).as(Seq("pos", "z")))
+        .select(col("query_id"), col("z.ids").as("image_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("z.d2s").as("dist"))
         .collect() // <= |queries| * k tiny rows; heavy filter+topk ran distributed
       val byQuery = cands.groupBy(_.getInt(0))
       val still = scala.collection.mutable.ArrayBuffer.empty[KnnQuery]
@@ -427,9 +411,7 @@ object Knn {
         if (meters) Udfs.haversineMeters(col("lat"), col("lng"), col("qlat"), col("qlng"))
         else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
           ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
-      val topkUdaf = udaf(new TopKAgg(k),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble))
+      val topkUdaf = TopKAgg.udafFor(k)
       while (nRemaining > 0) {
         val tRound = System.nanoTime()
         // levels come from the accumulator the SNAPSHOT job already filled —

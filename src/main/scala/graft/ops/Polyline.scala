@@ -111,7 +111,8 @@ object Polyline {
     * refine: pairwise great-circle arc crossings against the CLOSED shell.
     *
     * @return (path_id, region_id) one row per crossing pair. */
-  def crossingJoin(paths: DataFrame, regions: DataFrame, level: Int = 14): DataFrame = {
+  def crossingJoin(paths: DataFrame, regions: DataFrame, level: Int = 14,
+                   broadcastRegions: Boolean = true): DataFrame = {
     val edgeM = (math.Pi / 2.0) * Geo.EarthRadiusMeters / (1L << level)
     val stepM = edgeM / 2.0
     val reachM = stepM / 2.0 * 1.05 + 1.0
@@ -153,7 +154,9 @@ object Polyline {
         explode(col("cells")).as("rcell"))
       .withColumn("cell", clampUdf(col("rcell")))
       .dropDuplicates("region_id", "cell")
-    pathSide.join(broadcast(regionSide), "cell")
+    pathSide.join(
+        if (broadcastRegions) broadcast(regionSide)
+        else regionSide.hint("shuffle_hash"), "cell")
       .dropDuplicates("path_id", "region_id")
       .where(crossesClosed(col("lats"), col("lngs"),
         col("rings_lat")(0), col("rings_lng")(0)))
@@ -245,7 +248,8 @@ object Polyline {
     * @param paths  (path_id, lats ARRAY<DOUBLE>, lngs ARRAY<DOUBLE>)
     * @return (id, path_id, dist_m) one row per point with a match. */
   def nearestPathJoin(points: DataFrame, paths: DataFrame,
-                      maxDistMeters: Double, level: Int = 12): DataFrame = {
+                      maxDistMeters: Double, level: Int = 12,
+                      broadcastPaths: Boolean = true): DataFrame = {
     val edgeM = (math.Pi / 2.0) * Geo.EarthRadiusMeters / (1L << level)
     val stepM = edgeM / 2.0
     val reachM = maxDistMeters + stepM / 2.0 + 0.02 * maxDistMeters + 1.0
@@ -275,7 +279,9 @@ object Polyline {
       .withColumn("pcell", explode(coverUdf(col("lats"), col("lngs"))))
     val probes = points.withColumn("pcell",
       graft.functions.S2Expressions.s2Ancestors(col("cell16"), Array(level))(0))
-    probes.join(broadcast(pathCells), "pcell")
+    probes.join(
+        if (broadcastPaths) broadcast(pathCells)
+        else pathCells.hint("shuffle_hash"), "pcell")
       .withColumn("dist_m", distToPolyline(col("lat"), col("lng"), col("lats"), col("lngs")))
       .where(col("dist_m") <= maxDistMeters)
       .withColumn("rn", row_number().over(
@@ -394,7 +400,8 @@ object Polyline {
     * @return (region_id, s_lat, s_lng, n_snapped). */
   def snapAreaEdges(regions: DataFrame, paths: DataFrame, thresholdMeters: Double,
                     joinThresholdMeters: Double = 0.1, level: Int = 13,
-                    maxCandidates: Int = 10000): DataFrame = {
+                    maxCandidates: Int = 10000,
+                    broadcastPaths: Boolean = true): DataFrame = {
     val edgeM = (math.Pi / 2.0) * Geo.EarthRadiusMeters / (1L << level)
     val stepM = edgeM / 2.0
     val reachM = thresholdMeters + stepM + 0.02 * thresholdMeters + 1.0
@@ -458,7 +465,9 @@ object Polyline {
     // collect_list order is partitioning-dependent, and snapRingKernel keeps
     // the FIRST of dmax-tied candidates, so an unsorted list would make the
     // snapped coordinates run-dependent (review r03b)
-    val cands = regionSide.join(broadcast(pathSide), "cell")
+    val cands = regionSide.join(
+        if (broadcastPaths) broadcast(pathSide)
+        else pathSide.hint("shuffle_hash"), "cell")
       .dropDuplicates("region_id", "path_id")
       .groupBy("region_id")
       .agg(sort_array(collect_list(

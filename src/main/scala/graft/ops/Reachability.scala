@@ -31,8 +31,14 @@ object Reachability {
     * the last key column is the frontier node. Returns the settled table. */
   private def flood(spark: SparkSession, edges: DataFrame, init: DataFrame,
                     keyCols: Seq[String], cutoff: Double, maxIters: Int,
-                    tracker: Tracker): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val e = edges.select(col("src"), col("dst"), col("cost").cast("double")).cache()
+                    tracker: Tracker, cacheEdges: Boolean = true): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    // cacheEdges=false for a data-sized edge table (the bucketed design-
+    // scale deployment): materializing the FULL table into executor storage
+    // per query evicts other cached state, while the iterated join only
+    // probes the frontier's keys each round (r03c audit) — let the bucketed
+    // source scans serve each round instead.
+    val eProj = edges.select(col("src"), col("dst"), col("cost").cast("double"))
+    val e = if (cacheEdges) eProj.cache() else eProj
     var (dist, _, distRdd) = tracker.materialize(init)
     var frontier = dist
     var i = 0
@@ -98,12 +104,13 @@ object Reachability {
     *              graphs pass both directions.
     * @return (node LONG, dist DOUBLE) minimal cost per reached node. */
   def reachable(spark: SparkSession, edges: DataFrame, origins: Seq[Long],
-                cutoff: Double, maxIters: Int = 50): DataFrame = {
+                cutoff: Double, maxIters: Int = 50,
+                cacheEdges: Boolean = true): DataFrame = {
     import spark.implicits._
     val init = origins.distinct.map(o => (o, 0.0)).toDF("node", "dist")
     val t = new Tracker
     try {
-      val (dist, distRdd) = flood(spark, edges, init, Seq("node"), cutoff, maxIters, t)
+      val (dist, distRdd) = flood(spark, edges, init, Seq("node"), cutoff, maxIters, t, cacheEdges)
       t.releaseExcept(distRdd)
       dist
     } catch { case e: Throwable => t.releaseAll(); throw e }
@@ -113,12 +120,13 @@ object Reachability {
     * the substrate for `closest` and `building-access`.
     * @return (origin LONG, node LONG, dist DOUBLE). */
   def reachableMulti(spark: SparkSession, edges: DataFrame, origins: Seq[Long],
-                     cutoff: Double, maxIters: Int = 50): DataFrame = {
+                     cutoff: Double, maxIters: Int = 50,
+                     cacheEdges: Boolean = true): DataFrame = {
     import spark.implicits._
     val init = origins.distinct.map(o => (o, o, 0.0)).toDF("origin", "node", "dist")
     val t = new Tracker
     try {
-      val (dist, distRdd) = flood(spark, edges, init, Seq("origin", "node"), cutoff, maxIters, t)
+      val (dist, distRdd) = flood(spark, edges, init, Seq("origin", "node"), cutoff, maxIters, t, cacheEdges)
       t.releaseExcept(distRdd)
       dist
     } catch { case e: Throwable => t.releaseAll(); throw e }
@@ -178,7 +186,8 @@ object Reachability {
     *
     * @return (src, dst, uses LONG) tree edges with their usage counts. */
   def pathsToReach(spark: SparkSession, edges: DataFrame, origin: Long,
-                   cutoff: Double, maxDepth: Int = 64): DataFrame = {
+                   cutoff: Double, maxDepth: Int = 64,
+                   broadcastNodeLimit: Long = 5000000L): DataFrame = {
     import spark.implicits._
     val t = new Tracker
     try {
@@ -186,13 +195,20 @@ object Reachability {
     val (dist, _) = flood(spark, edges,
       Seq((origin, 0.0)).toDF("node", "dist"), Seq("node"), cutoff, 50, t)
     // pred(v): min src among edges attaining dist(v) = dist(src) + cost
-    val pred = t.materialize(
+    val (pred, nPred, _) = t.materialize(
       dist.select(col("node").as("dst"), col("dist").as("ddst"))
         .where(col("dst") =!= origin)
         .join(e, Seq("dst"))
         .join(dist.select(col("node").as("src"), col("dist").as("dsrc")), Seq("src"))
         .where(col("dsrc") + col("cost") === col("ddst"))
-        .groupBy("dst").agg(min("src").as("pred")))._1
+        .groupBy("dst").agg(min("src").as("pred")))
+    // pred has one row per reached node — data-sized for a large cutoff on
+    // a big graph. Broadcast it only while it fits (the count is free from
+    // the snapshot); beyond the limit the climb joins shuffle-hash, which
+    // repartitions the (same-sized) frontier instead of pushing a
+    // multi-GB broadcast to every executor each hop (r03c audit).
+    val predSide =
+      if (nPred <= broadcastNodeLimit) broadcast(pred) else pred.hint("shuffle_hash")
     // climb: frontier (leaf = every non-origin node, cur); one use per hop
     var (frontier, nFrontier, _) = t.materialize(dist.where(col("node") =!= origin)
       .select(col("node").as("leaf"), col("node").as("cur")))
@@ -200,7 +216,7 @@ object Reachability {
     var depth = 0
     while (depth < maxDepth && nFrontier > 0) {
       val (hop, _, _) = t.materialize(
-        frontier.join(broadcast(pred), frontier("cur") === pred("dst"))
+        frontier.join(predSide, frontier("cur") === pred("dst"))
           .select(col("leaf"), col("pred"), col("cur")))
       rounds += hop.groupBy(col("pred").as("src"), col("cur").as("dst"))
         .agg(count(lit(1)).as("uses"))

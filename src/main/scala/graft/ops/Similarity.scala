@@ -22,20 +22,34 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, v) => acc + v) / (normA * normB)
 
-  /** Exact brute-force cosine top-k: broadcast the (small) query side, rank
-    * per query with a bounded window. The image table is probed map-side —
-    * no shuffle of the big side before the per-query top-k. */
+  /** Rank joined (query_id, id, cosine) candidates to per-query top-k via
+    * the shared BOUNDED partial aggregate (largest cosine first, id
+    * tie-break — the negated score gives exactly the old
+    * `orderBy(cosine desc, id)` window order). Map-side combiners cut every
+    * partition to <= k rows per query BEFORE the shuffle; the row_number
+    * window this replaces funneled a query's ENTIRE candidate set into one
+    * window partition — a single task sorting ~nProbe/nClusters of the
+    * corpus at data scale (r03c audit). */
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val topkUdaf = TopKAgg.udafFor(k)
+    cand
+      .groupBy("query_id")
+      .agg(topkUdaf(col("id"), -col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top.ids")).as(Seq("pos", "result_id")))
+      .select(col("query_id"), col("result_id"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query side; the
+    * corpus is probed map-side and collapses to <= k rows per query via the
+    * bounded partial aggregate — no shuffle of the big side, no per-query
+    * window sort. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol)
     val q = withNorm(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    c.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("id").as("result_id"), col("rank"))
+    rankTopK(c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm"))), k)
   }
 
   /** Deterministic spherical k-means for the IVF coarse quantizer: trained
@@ -120,13 +134,9 @@ object Similarity {
     val q = withNorm(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
       .withColumn("cluster", explode(probes(col("qvec"))))
-    c.join(broadcast(q), Seq("cluster"))
+    rankTopK(c.join(broadcast(q), Seq("cluster"))
       .where(col("id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("id").as("result_id"), col("rank"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm"))), k)
   }
 
   /** Signed random-hyperplane sketch: `bits` sign bits from deterministic

@@ -260,4 +260,21 @@ class CoreSpec extends AnyFunSuite {
       assert(math.abs(d - 1000.0) < 15.0, s"vertex at $d m, wanted ~1000")
     }
   }
+
+  test("tile ids stay in range at the poles (Mercator clamp)") {
+    // without the clamp, |lat| > ~85.05 yields y < 0 (or >= 2^z) and the
+    // packed TileID's bit fields silently corrupt (r03c audit)
+    for (z <- Seq(1, 8, 16); (lat, lng) <- Seq((89.9, 10.0), (-89.9, -170.0),
+        (90.0, 180.0), (-90.0, -180.0))) {
+      val (x, y) = Tiles.tileFromLatLng(lat, lng, z)
+      val n = 1L << z
+      assert(x >= 0 && x < n && y >= 0 && y < n, s"z=$z lat=$lat lng=$lng -> ($x,$y)")
+    }
+    // clamped polar chains still decode consistently
+    val chain = graft.ops.ProbeIndex.tileChain(89.5, 0.0, 10, 14)
+    chain.foreach { tid =>
+      val z = (tid >>> 59).toInt
+      assert(z >= 10 && z <= 14, s"corrupt zoom field $z in polar tile id")
+    }
+  }
 }

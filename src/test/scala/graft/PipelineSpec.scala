@@ -54,4 +54,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getAs[Long]("output_rows")).sum
     assert(spatialRows == direct.size)
   }
+
+  test("range-bucketed stage: contiguous cell units, resume, complete+disjoint output") {
+    import graft.lineage.Lineage
+    val dir = java.nio.file.Files.createTempDirectory("pipeline-range").toString
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
+    val n = images.count()
+    def run() = Lineage.runStage(spark, images, identity, "run-b", "index",
+      s"$dir/index", bucketKey = "image_id", cellCol = "cell16", buckets = 4,
+      rangeBuckets = true)
+    val r1 = run()
+    assert(r1.bucketsRun.size == 4 && r1.bucketsSkipped.isEmpty)
+    // crash-resume at unit granularity
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/index/_committed_3"))
+    val r2 = run()
+    assert(r2.bucketsRun == Seq(3) && r2.bucketsSkipped.sorted == Seq(0, 1, 2))
+    // the quantile ranges must partition the id space: complete AND disjoint
+    val out = Lineage.output(spark, s"$dir/index")
+    assert(out.count() == n)
+    assert(out.select("image_id").distinct().count() == n)
+    // one-job input histogram feeds the metrics
+    val m = Lineage.metrics(spark, s"$dir/index").collect()
+    assert(m.map(_.getAs[Long]("input_rows")).sum == n)
+    assert(m.map(_.getAs[Long]("output_rows")).sum == n)
+  }
 }
