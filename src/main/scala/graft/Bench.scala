@@ -57,6 +57,12 @@ object Bench {
     // headline queries at the driver-requested parallelism; warm the session
     // first (codegen + JIT + parquet footer cache) so the first query's
     // number measures the query, not cold start
+    def stealCs(): Long = {
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        line.trim.split("\\s+").drop(1).map(_.toLong).lift(7).getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+    }
     val spark = session(cpus)
     try {
       SparkEntry.queries("q_containment")(spark, sfDir).count()
@@ -70,12 +76,33 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val headline = Seq("q_containment", "q_knn", "q_knn_batch", "q_tiles_points",
       "q_hex7_cells", "q_minhash_lsh", "q_ann_topk", "q_dedup_exact", "q_text_quality")
+    // headline queries get the same steal-gating as the scaling pairs
+    // (late round 3): a one-shot number in a polluted window read as a 3x
+    // regression of UNCHANGED plans. A rep polluted beyond the scaling
+    // protocol's bound retries (<= 2 extra, small budget); the reported
+    // time is the fastest rep — the plan is deterministic, noise only adds.
+    val qDeadline = System.currentTimeMillis() +
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_RETRY_BUDGET_MS", "120000").toLong
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def rep(): (Double, Long) = {
+        val s0 = stealCs()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        ((System.nanoTime() - t0) / 1e9, stealCs() - s0)
+      }
+      var (t, steal) = rep()
+      var attempts = 1
+      while (steal > 50 && attempts < 3 && System.currentTimeMillis() < qDeadline) {
+        System.err.println(f"[bench] $name rep$attempts polluted (steal_cs=$steal), retrying")
+        Thread.sleep(5000)
+        val (t2, s2) = rep()
+        if (t2 < t) t = t2
+        steal = s2
+        attempts += 1
+      }
+      name -> t
     }
     spark.stop()
 
@@ -88,12 +115,6 @@ object Bench {
     // only accepted if the steal accrued DURING it stays under a small
     // bound; polluted reps are discarded after a cool-down. This measures
     // the machine, not the hypervisor's credit bucket (protocol: BENCH.md).
-    def stealCs(): Long = {
-      try {
-        val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        line.trim.split("\\s+").drop(1).map(_.toLong).lift(7).getOrElse(0L)
-      } catch { case _: Throwable => 0L }
-    }
     /** One rep in a fresh session: (seconds, steal centiseconds). */
     def oneRep(cores: Int): (Double, Long) = {
       val s = session(cores)
