@@ -126,6 +126,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-group top-k and dedup grouping aggregate — no data-sized window") {
+    // r03c audit: a row_number window partitioned by query_id/dedup_key
+    // funnels a group's ENTIRE candidate set into one partition's sort (the
+    // IVF probe joins ~nProbe/nClusters of the corpus per query; exact
+    // dedup keys can be massively hot). These gates must rank via the
+    // bounded partial aggregate instead.
+    Seq("q_ann_topk", "q_ann_ivf", "q_dedup_exact").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"$name regressed to a window plan:\n${p.take(1200)}")
+    }
+  }
+
   test("tag predicates reach the parquet scan (pushdown)") {
     val p = plan("q_cap_count")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]") ||
