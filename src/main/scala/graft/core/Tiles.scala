@@ -17,9 +17,14 @@ object Tiles {
 
   /** Projected (X, Y) in tile units at `zoom`; floor() is the tile. */
   def project(latDeg: Double, lngDeg: Double, zoom: Int): (Double, Double) = {
+    // Mercator latitude clamp AT THE PROJECTION (review r03d): clamping
+    // only in tileFromLatLng left tilesOnSegment emitting y < 0 (or >= 2^z)
+    // for polar path vertices, which sign-extends over the packed TileID's
+    // zoom bits downstream. A no-op below |lat| ~ 85.05.
+    val lat = math.max(-85.06, math.min(85.06, latDeg))
     val extent = (1L << (zoom - 1)).toDouble
     val x = extent + extent * math.toRadians(lngDeg) / math.Pi
-    val y = extent - extent * math.log(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2)) / math.Pi
+    val y = extent - extent * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)) / math.Pi
     (x, y)
   }
 

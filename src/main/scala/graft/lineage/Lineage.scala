@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Two bucketing modes (r03c audit):
   *   - `rangeBuckets = true` (the design-scale path): buckets are contiguous
-  *     ranges of `cellCol` (equal-width over the observed [min, max]), so
-  *     each unit's filter is a PLAIN RANGE PREDICATE that pushes down to
-  *     parquet row-group min/max stats — on cell-clustered input (CellStore,
-  *     an Iceberg table ordered by cell) a unit reads only its own files.
-  *     Locality-preserving, balance depends on the id distribution.
+  *     ranges of `cellCol` with approx-quantile boundaries (persisted next
+  *     to the markers, reloaded on resume), so each unit's filter is a
+  *     PLAIN RANGE PREDICATE that pushes down to parquet row-group min/max
+  *     stats — on cell-clustered input (CellStore, an Iceberg table ordered
+  *     by cell) a unit reads only its own files. Locality-preserving and
+  *     balanced regardless of the id distribution or sign.
   *   - `rangeBuckets = false`: pmod(xxhash64(bucketKey)) — uniform balance,
   *     but the hash filter cannot be pushed down, so every unit re-scans the
   *     full input; keep for small/skewed inputs only.
@@ -57,6 +58,11 @@ object Lineage {
     val (fs, outPath) = fsOf(spark, outDir)
     fs.mkdirs(outPath)
 
+    // pure-resume fast path: a fully committed stage costs only marker
+    // existence checks, no stats jobs (review r03d)
+    val todo = (0 until buckets).filterNot(b => fs.exists(markerPath(outDir, b)))
+    if (todo.isEmpty) return StageResult(Nil, (0 until buckets).toSeq)
+
     // unit definitions: (filter for the unit, bucket expression for the
     // one-job input histogram)
     val (unitFilter: (Int => org.apache.spark.sql.Column), bucketExpr) =
@@ -71,12 +77,42 @@ object Lineage {
         // per-unit filter stays a plain range predicate -> parquet min/max
         // pushdown on cell-clustered input. Duplicate boundaries just
         // leave some units empty (harmless).
-        val bounds: Array[Long] = input.stat.approxQuantile(cellCol,
-          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-          .map(_.toLong)
-        val e = (buckets - 2 to 0 by -1).foldLeft(lit(buckets - 1)) {
+        //
+        // Boundaries are PERSISTED on the first run and RELOADED on resume
+        // (review r03d): approxQuantile is merge-order-dependent, so a
+        // resumed run recomputing bounds could shift a row across a
+        // committed unit boundary — double-processed or silently lost.
+        // The bounds file commits BEFORE any unit marker, so a crash
+        // between them just recomputes-and-rewrites identical-enough
+        // bounds with zero committed units to contradict.
+        val boundsFile = new org.apache.hadoop.fs.Path(s"$outDir/_bounds")
+        val bounds: Array[Long] =
+          if (fs.exists(boundsFile)) {
+            val in = fs.open(boundsFile)
+            val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+            txt.trim.split(",").filter(_.nonEmpty).map(_.toLong)
+          } else {
+            val qs = input.stat.approxQuantile(cellCol,
+              (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+              .map(_.toLong)
+            // empty input -> no quantiles: every boundary at MaxValue puts
+            // all (zero) rows in unit 0 and the rest stay empty
+            val bs = if (qs.length == buckets - 1) qs
+              else Array.fill(buckets - 1)(Long.MaxValue)
+            val o = fs.create(boundsFile, true)
+            try o.write(bs.mkString(",").getBytes("UTF-8")) finally o.close()
+            bs
+          }
+        require(bounds.length == buckets - 1,
+          s"persisted _bounds has ${bounds.length} boundaries, expected ${buckets - 1} " +
+            "(buckets changed between runs? delete the stage dir to rebucket)")
+        // null cells can't be range-assigned — surface them loudly via the
+        // histogram below instead of silently dropping them (hash mode
+        // accepts them: xxhash64(null) is a value)
+        val e0 = (buckets - 2 to 0 by -1).foldLeft(lit(buckets - 1)) {
           (acc, b) => when(col(cellCol) < bounds(b), b).otherwise(acc)
         }
+        val e = when(col(cellCol).isNull, lit(-1)).otherwise(e0)
         ((b: Int) => {
           val loP = if (b == 0) lit(true) else col(cellCol) >= bounds(b - 1)
           val hiP = if (b == buckets - 1) lit(true) else col(cellCol) < bounds(b)
@@ -88,11 +124,16 @@ object Lineage {
     val inCounts: Map[Int, Long] =
       input.groupBy(bucketExpr.as("_b")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (inCounts.contains(-1))
+      throw new IllegalArgumentException(
+        s"runStage(rangeBuckets=true): ${inCounts(-1)} rows have a null " +
+          s"$cellCol — range units cannot assign them; clean the input or " +
+          "use hash bucketing")
 
     val ran = scala.collection.mutable.ArrayBuffer.empty[Int]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[Int]
     (0 until buckets).foreach { b =>
-      if (fs.exists(markerPath(outDir, b))) skipped += b
+      if (!todo.contains(b)) skipped += b
       else {
         val in = input.where(unitFilter(b))
         val out = transform(in)

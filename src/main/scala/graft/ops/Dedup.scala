@@ -23,7 +23,12 @@ object Dedup {
     * combiners collapse the hot key to one row per partition instead, and
     * AQE's skew handling applies to the join (r03c audit). */
   def exactDuplicates(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val keyed = df.withColumn("dedup_key", md5(col(keyCol)))
+    // null-SAFE key: md5(null) is null, and a plain equi-join would
+    // silently drop the null-key duplicate group the old window kept
+    // (review r03d) — map null content to a sentinel digest instead (no
+    // md5 collision: real digests are 32 hex chars)
+    val keyed = df.withColumn("dedup_key",
+      coalesce(md5(col(keyCol)), lit("<null>")))
     val groups = keyed.groupBy("dedup_key")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_n"))
       .where(col("group_n") > 1)

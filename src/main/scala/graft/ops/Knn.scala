@@ -412,6 +412,7 @@ object Knn {
         else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
           ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
       val topkUdaf = TopKAgg.udafFor(k)
+      var round = 0
       while (nRemaining > 0) {
         val tRound = System.nanoTime()
         // levels come from the accumulator the SNAPSHOT job already filled —
@@ -440,20 +441,34 @@ object Knn {
           if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov)
           else qcov.hint("shuffle_hash")
         // probe frame: the cached projection, or — store-backed — ONLY the
-        // buckets under the coverings. The bucket set rides the
-        // BucketMaskAcc out of the SAME snapshot job that computed the
-        // coverings: each covering cell's [rangeMin, rangeMax] id span maps
-        // to a bucket span by its top PrefixBits (descendant ids at any
-        // level stay inside the ancestor's id range, so every matching
-        // image row lives in those buckets — sound, PropertySpec-pinned).
-        // Like the level mask, the set only grows across rounds — a
-        // superset read costs IO, never correctness — and the stats were
-        // loaded once before the loop.
+        // buckets under THIS round's coverings. Each covering cell's
+        // [rangeMin, rangeMax] id span maps to a bucket span by its top
+        // PrefixBits (descendant ids at any level stay inside the
+        // ancestor's id range, so every matching image row lives in those
+        // buckets — sound, PropertySpec-pinned). Round 1's set rides the
+        // BucketMaskAcc out of the snapshot job (one job per round holds on
+        // the common single-round path); straggler rounds pay ONE tiny
+        // distinct-collect over the remaining snapshot instead of reusing
+        // the cumulative mask — the mask only grows, and a 95%-resolved
+        // round must not re-read every bucket round 1 touched (review
+        // r03d). Stats were loaded once before the loop.
         val probe = storeDir match {
           case None => imgs.get
           case Some(d) =>
+            val shift = 64 - graft.lineage.CellStore.PrefixBits
+            val bucketSet: Set[Long] =
+              if (round == 0) bucketAcc.get.buckets
+              else {
+                val c = col("c")
+                val lsb = c.bitwiseAND(-c)
+                remaining.select(explode(col("cov")).as("c"))
+                  .select(shiftrightunsigned(c - lsb + lit(1L), shift).as("lo"),
+                    shiftrightunsigned(c + lsb - lit(1L), shift).as("hi"))
+                  .distinct().collect()
+                  .flatMap(r => r.getLong(0) to r.getLong(1)).toSet
+              }
             val (df, nRead) = graft.lineage.CellStore.readBuckets(
-              spark, d, bucketAcc.get.buckets, storeStats)
+              spark, d, bucketSet, storeStats)
             val t = storeReadTelemetry.get()
             if (t != null) t += nRead
             if (verbose)
@@ -527,6 +542,7 @@ object Knn {
             f"t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
         remaining = rem
         nRemaining = nRem
+        round += 1
       }
       // snapshot the FINAL ordered result into ONE persisted RDD and release
       // every intermediate (incl. the per-round result pieces): exactly one

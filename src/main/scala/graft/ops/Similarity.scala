@@ -24,12 +24,18 @@ object Similarity {
 
   /** Rank joined (query_id, id, cosine) candidates to per-query top-k via
     * the shared BOUNDED partial aggregate (largest cosine first, id
-    * tie-break — the negated score gives exactly the old
+    * tie-break — for finite scores the negated score gives exactly the old
     * `orderBy(cosine desc, id)` window order). Map-side combiners cut every
     * partition to <= k rows per query BEFORE the shuffle; the row_number
     * window this replaces funneled a query's ENTIRE candidate set into one
     * window partition — a single task sorting ~nProbe/nClusters of the
-    * corpus at data scale (r03c audit). */
+    * corpus at data scale (r03c audit).
+    *
+    * NaN cosines (zero-norm vectors: 0/0) rank LAST here and fall out of
+    * the top-k when k finite candidates exist — a DELIBERATE divergence
+    * from the window, whose desc sort ranked NaN first and put every
+    * degenerate vector at rank 1 of every query (review r03d adjudication:
+    * an undefined similarity must not beat defined ones). */
   private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
     val topkUdaf = TopKAgg.udafFor(k)
     cand

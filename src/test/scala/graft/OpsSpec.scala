@@ -305,6 +305,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Dedup.exactDuplicates(df, "id", "content")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 1L), (3L, 1L), (5L, 1L)))
+    // null content keys form a duplicate GROUP (md5(null) is null — the
+    // join must be null-safe or these rows silently vanish; review r03d)
+    val withNulls = Seq((1L, Some("aaa")), (2L, None), (3L, Some("aaa")),
+        (4L, None), (5L, None))
+      .toDF("id", "content")
+    val gotN = Dedup.exactDuplicates(withNulls, "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotN == Set((1L, 1L), (3L, 1L), (2L, 2L), (4L, 2L), (5L, 2L)))
   }
 
   test("minhash LSH finds planted near-dups and skips unrelated docs") {

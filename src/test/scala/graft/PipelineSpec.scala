@@ -77,5 +77,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = Lineage.metrics(spark, s"$dir/index").collect()
     assert(m.map(_.getAs[Long]("input_rows")).sum == n)
     assert(m.map(_.getAs[Long]("output_rows")).sum == n)
+    // the quantile boundaries are PERSISTED: the resume above MUST have
+    // reused the first run's bounds file (recomputed approx-quantiles could
+    // shift a row across a committed unit boundary — review r03d)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/index/_bounds")))
+    // a fully committed stage is a pure no-op resume (no stats jobs, no runs)
+    val r3 = run()
+    assert(r3.bucketsRun.isEmpty && r3.bucketsSkipped.size == 4)
   }
 }
