@@ -17,14 +17,9 @@ object Tiles {
 
   /** Projected (X, Y) in tile units at `zoom`; floor() is the tile. */
   def project(latDeg: Double, lngDeg: Double, zoom: Int): (Double, Double) = {
-    // Mercator latitude clamp AT THE PROJECTION (review r03d): clamping
-    // only in tileFromLatLng left tilesOnSegment emitting y < 0 (or >= 2^z)
-    // for polar path vertices, which sign-extends over the packed TileID's
-    // zoom bits downstream. A no-op below |lat| ~ 85.05.
-    val lat = math.max(-85.06, math.min(85.06, latDeg))
     val extent = (1L << (zoom - 1)).toDouble
     val x = extent + extent * math.toRadians(lngDeg) / math.Pi
-    val y = extent - extent * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)) / math.Pi
+    val y = extent - extent * math.log(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2)) / math.Pi
     (x, y)
   }
 
@@ -47,8 +42,18 @@ object Tiles {
     * no sampling heuristic, no skipped interior tiles on long segments. */
   def tilesOnSegment(lat1: Double, lng1: Double, lat2: Double, lng2: Double,
                      zoom: Int): Array[(Long, Long)] = {
-    val (x1, y1) = project(lat1, lng1, zoom)
-    val (x2, y2) = project(lat2, lng2, zoom)
+    // clamp the CONTINUOUS endpoints into the tile grid [0, 2^z) before the
+    // traversal (review r03d2: polar vertices project to y < 0 / y >= 2^z,
+    // the traversal then emits out-of-range tiles whose packed ids corrupt
+    // — tileFromLatLng index-clamps, this path must too; the traversal
+    // between clamped endpoints stays inside their bounding rect, so no
+    // intermediate tile can escape the grid). project() itself stays the
+    // faithful unclamped reference port.
+    val hi = (1L << zoom).toDouble - 1e-9
+    def clamp(p: (Double, Double)): (Double, Double) =
+      (math.max(0.0, math.min(hi, p._1)), math.max(0.0, math.min(hi, p._2)))
+    val (x1, y1) = clamp(project(lat1, lng1, zoom))
+    val (x2, y2) = clamp(project(lat2, lng2, zoom))
     var cx = math.floor(x1).toLong; var cy = math.floor(y1).toLong
     val ex = math.floor(x2).toLong; val ey = math.floor(y2).toLong
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]((cx, cy))

@@ -99,13 +99,24 @@ object Lineage {
             // all (zero) rows in unit 0 and the rest stay empty
             val bs = if (qs.length == buckets - 1) qs
               else Array.fill(buckets - 1)(Long.MaxValue)
-            val o = fs.create(boundsFile, true)
+            // write-then-RENAME: a crash mid-write must not leave a partial
+            // _bounds that a resume would trust — a truncated last number
+            // still parses but yields non-monotonic bounds whose unit
+            // filters OVERLAP (review r03d2); rename gives the same
+            // atomicity discipline the commit markers rely on
+            val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_bounds.tmp")
+            val o = fs.create(tmp, true)
             try o.write(bs.mkString(",").getBytes("UTF-8")) finally o.close()
+            if (!fs.rename(tmp, boundsFile) && !fs.exists(boundsFile))
+              throw new java.io.IOException(s"could not commit $boundsFile")
             bs
           }
         require(bounds.length == buckets - 1,
           s"persisted _bounds has ${bounds.length} boundaries, expected ${buckets - 1} " +
             "(buckets changed between runs? delete the stage dir to rebucket)")
+        require(bounds.zip(bounds.drop(1)).forall { case (a, b) => a <= b },
+          "persisted _bounds is not monotonic (corrupt bounds file?); " +
+            "delete the stage dir to rebucket")
         // null cells can't be range-assigned — surface them loudly via the
         // histogram below instead of silently dropping them (hash mode
         // accepts them: xxhash64(null) is a value)

@@ -369,9 +369,13 @@ object Knn {
       // executor time)
       val levelsAcc = new LevelMaskAcc
       spark.sparkContext.register(levelsAcc, "knnBatchLevels")
-      // store mode: the SAME job also reports which CellStore buckets the
-      // coverings touch, so the store probe needs no per-round
-      // distinct+collect job (one job per round holds on both paths)
+      // store mode: the initial snapshot job ALSO reports which CellStore
+      // buckets the round-1 coverings touch, so the COMMON single-round
+      // path needs no distinct+collect job. The accumulator keeps updating
+      // on straggler rounds (a per-cell shift+OR — negligible) but is only
+      // READ for round 1: its mask is cumulative, and straggler rounds
+      // must prune by the REMAINING queries' coverings, which they derive
+      // with one tiny distinct-collect in the loop (review r03d).
       val bucketAcc = storeDir.map { _ =>
         val a = new BucketMaskAcc(1 << graft.lineage.CellStore.PrefixBits)
         spark.sparkContext.register(a, "knnBatchBuckets")
@@ -455,15 +459,19 @@ object Knn {
         val probe = storeDir match {
           case None => imgs.get
           case Some(d) =>
-            val shift = 64 - graft.lineage.CellStore.PrefixBits
             val bucketSet: Set[Long] =
               if (round == 0) bucketAcc.get.buckets
               else {
                 val c = col("c")
-                val lsb = c.bitwiseAND(-c)
+                // (lsb - 1) FIRST: the naive c + lsb - 1 overflows its
+                // intermediate for a face-3 range-end cell (0x70.. + 2^60 =
+                // 2^63) and Spark 4's default ANSI mode turns that into an
+                // ArithmeticException; c +/- (lsb - 1) never overflows for
+                // valid S2 ids (review r03d2, same form as S2.rangeMax)
+                val lsbM1 = c.bitwiseAND(-c) - lit(1L)
                 remaining.select(explode(col("cov")).as("c"))
-                  .select(shiftrightunsigned(c - lsb + lit(1L), shift).as("lo"),
-                    shiftrightunsigned(c + lsb - lit(1L), shift).as("hi"))
+                  .select(shiftrightunsigned(c - lsbM1, bucketShift).as("lo"),
+                    shiftrightunsigned(c + lsbM1, bucketShift).as("hi"))
                   .distinct().collect()
                   .flatMap(r => r.getLong(0) to r.getLong(1)).toSet
               }

@@ -233,6 +233,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val auto = Knn.knnBatchFromStore(spark, store, qdf, k = 5, initialRadiusDeg = 0)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
     assert(auto == direct)
+    // full-sphere escalation THROUGH the store: the straggler-round span
+    // expression must survive the face-3 range-end cell (c + lsb overflows
+    // its intermediate; ANSI mode would abort the job — review r03d2)
+    val store2 = new java.io.File("target/opsspec_store_batch_tiny").getAbsolutePath
+    CellStore.write(images.limit(5).select("image_id", "lat", "lng", "cell16"), store2)
+    val qdf1 = {
+      import spark.implicits._
+      Seq((0, 10.0, 10.0)).toDF("query_id", "qlat", "qlng")
+    }
+    val full = Knn.knnBatchFromStore(spark, store2, qdf1, k = 8, initialRadiusDeg = 2.0)
+    assert(full.count() == 5)
   }
 
   test("batch kNN full-sphere termination: k larger than the table") {
