@@ -270,6 +270,17 @@ class CoreSpec extends AnyFunSuite {
       val n = 1L << z
       assert(x >= 0 && x < n && y >= 0 && y < n, s"z=$z lat=$lat lng=$lng -> ($x,$y)")
     }
+    // polar SEGMENTS stay on the grid too (r03d2: the endpoint clamp in
+    // tilesOnSegment, not in the faithful project() port)
+    for (z <- Seq(4, 12)) {
+      val n = 1L << z
+      Tiles.tilesOnSegment(89.0, -10.0, 86.0, 40.0, z).foreach { case (x, y) =>
+        assert(x >= 0 && x < n && y >= 0 && y < n, s"z=$z polar segment tile ($x,$y)")
+      }
+      Tiles.tilesOnSegment(-89.5, 170.0, -84.0, 179.9, z).foreach { case (x, y) =>
+        assert(x >= 0 && x < n && y >= 0 && y < n, s"z=$z south polar segment tile ($x,$y)")
+      }
+    }
     // clamped polar chains still decode consistently
     val chain = graft.ops.ProbeIndex.tileChain(89.5, 0.0, 10, 14)
     chain.foreach { tid =>
