@@ -85,24 +85,34 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_QUERY_RETRY_BUDGET_MS", "120000").toLong
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      def rep(): (Double, Long) = {
+      // a rep that THROWS reports ok=false and its elapsed time is never a
+      // candidate timing (review r03e: the old form returned
+      // elapsed-to-failure, and the min-of-retries below could publish a
+      // fast failure as the query's official number)
+      def rep(): (Option[Double], Long) = {
         val s0 = stealCs()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        ((System.nanoTime() - t0) / 1e9, stealCs() - s0)
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        val t = (System.nanoTime() - t0) / 1e9
+        (if (ok) Some(t) else None, stealCs() - s0)
       }
       var (t, steal) = rep()
       var attempts = 1
-      while (steal > 50 && attempts < 3 && System.currentTimeMillis() < qDeadline) {
-        System.err.println(f"[bench] $name rep$attempts polluted (steal_cs=$steal), retrying")
+      while ((steal > 50 || t.isEmpty) && attempts < 3 &&
+             System.currentTimeMillis() < qDeadline) {
+        System.err.println(f"[bench] $name rep$attempts ${if (t.isEmpty) "FAILED" else s"polluted (steal_cs=$steal)"}, retrying")
         Thread.sleep(5000)
         val (t2, s2) = rep()
-        if (t2 < t) t = t2
+        t = (t, t2) match { case (Some(a), Some(b)) => Some(math.min(a, b)); case _ => t.orElse(t2) }
         steal = s2
         attempts += 1
       }
-      name -> t
+      // a query that never completed must fail the bench loudly — a numeric
+      // stand-in would corrupt the headline total and hide the breakage
+      name -> t.getOrElse(throw new IllegalStateException(
+        s"bench: $name failed every rep; no honest timing to report"))
     }
     spark.stop()
 

@@ -86,12 +86,14 @@ object Lineage {
         // between them just recomputes-and-rewrites identical-enough
         // bounds with zero committed units to contradict.
         val boundsFile = new org.apache.hadoop.fs.Path(s"$outDir/_bounds")
+        def readBounds(): Array[Long] = {
+          val in = fs.open(boundsFile)
+          val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+          txt.trim.split(",").filter(_.nonEmpty).map(_.toLong)
+        }
         val bounds: Array[Long] =
-          if (fs.exists(boundsFile)) {
-            val in = fs.open(boundsFile)
-            val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-            txt.trim.split(",").filter(_.nonEmpty).map(_.toLong)
-          } else {
+          if (fs.exists(boundsFile)) readBounds()
+          else {
             val qs = input.stat.approxQuantile(cellCol,
               (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
               .map(_.toLong)
@@ -107,9 +109,15 @@ object Lineage {
             val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_bounds.tmp")
             val o = fs.create(tmp, true)
             try o.write(bs.mkString(",").getBytes("UTF-8")) finally o.close()
-            if (!fs.rename(tmp, boundsFile) && !fs.exists(boundsFile))
-              throw new java.io.IOException(s"could not commit $boundsFile")
-            bs
+            // a LOST rename race means another run committed its bounds
+            // first — approxQuantile is merge-order-dependent, so the two
+            // arrays can differ; the loser MUST adopt the winner's persisted
+            // bounds or its unit filters disagree with what a later resume
+            // will load (rows near a differing boundary double-processed or
+            // dropped — the exact hazard this file exists to prevent)
+            if (fs.rename(tmp, boundsFile)) bs
+            else if (fs.exists(boundsFile)) readBounds()
+            else throw new java.io.IOException(s"could not commit $boundsFile")
           }
         require(bounds.length == buckets - 1,
           s"persisted _bounds has ${bounds.length} boundaries, expected ${buckets - 1} " +

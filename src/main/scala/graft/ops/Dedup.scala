@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.functions.Udfs
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (builder brief):

@@ -4,7 +4,6 @@ import graft.core.{Geo, S2}
 import graft.functions.Udfs
 import graft.model.Synth.KnnQuery
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 

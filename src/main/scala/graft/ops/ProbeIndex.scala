@@ -121,16 +121,15 @@ final class Hex7ProbeIndex(regions: Array[graft.model.Synth.Region], imageRes: I
   }
 
   val regionIds: Array[String] = regions.map(_.regionId)
-  val resolutions: Array[Int] = {
-    val s = scala.collection.mutable.SortedSet.empty[Int]
-    regions.foreach(r => s += resFor(r))
-    s.toArray
-  }
+  // one resolution derivation per region, shared by the level set and the
+  // covering build (review r03e: resFor re-scans ring extents)
+  private val regionRes: Array[Int] = regions.map(resFor)
+  val resolutions: Array[Int] = regionRes.distinct.sorted
 
   private val (cells, offsets, cands): (Array[Long], Array[Int], Array[Int]) = {
     val byCell = scala.collection.mutable.TreeMap.empty[Long, List[Int]]
     regions.zipWithIndex.foreach { case (r, i) =>
-      Hex7.polygonCovering(r.rings(0)._1, r.rings(0)._2, resFor(r))
+      Hex7.polygonCovering(r.rings(0)._1, r.rings(0)._2, regionRes(i))
         .foreach(c => byCell(c) = i :: byCell.getOrElse(c, Nil))
     }
     val cs = byCell.keys.toArray

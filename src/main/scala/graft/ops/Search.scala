@@ -73,6 +73,18 @@ object Search {
     * Scales to continuous high-cardinality columns: the widest stage is a
     * range-partitioned sort of the distinct values. */
   def percentiles(df: DataFrame, valueCol: String): DataFrame = {
+    val (frame, release) = percentilesScoped(df, valueCol)
+    Search.synchronized { percentileCaches += release }
+    frame
+  }
+
+  /** `percentiles` with a PER-CALL release handle: call `release()` once the
+    * returned frame is consumed (collected/written) or discarded, and ONLY
+    * this call's determinism-anchor cache is dropped — safe with other
+    * threads' still-live percentile frames, which a global release would
+    * silently corrupt (review r03e: their offsets were collected against the
+    * now-evicted range partitioning). Release is idempotent. */
+  def percentilesScoped(df: DataFrame, valueCol: String): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val n = df.count()
     // cache pins the (sampled, hence per-run) range boundaries so both
@@ -98,32 +110,34 @@ object Search {
     // could repartition differently and invalidate the collected offsets;
     // the cache is the determinism anchor AND stays recomputable on block
     // loss (unlike a checkpoint). It is bounded by the distinct-value count.
-    // Callers running many one-shot percentile queries release the
-    // accumulated anchors with `releasePercentileCaches()` once each result
-    // is consumed (VERDICT r02 #7) — scoped, unlike a blanket clearCache().
-    Search.synchronized { percentileCaches += counts }
+    // One-shot callers use the scoped handle (percentilesScoped) or, in
+    // single-owner contexts, `releasePercentileCaches()` (VERDICT r02 #7).
     val pct = spark.createDataFrame(cumRdd, schema)
       .withColumn("pct",
         (col("_cum") - col("_cnt")).cast("double") / lit(math.max(1L, n - 1)).cast("double"))
       .select(col(valueCol).as("_v"), col("pct"))
-    df.join(pct, df(valueCol) === col("_v")).drop("_v")
+    val frame = df.join(pct, df(valueCol) === col("_v")).drop("_v")
+    val release: () => Unit = () => {
+      // a frame may belong to an already-stopped session (e.g. a previous
+      // test suite) — dropping the reference is then all there is to do
+      try counts.unpersist(blocking = true)
+      catch { case _: Exception => () }
+    }
+    (frame, release)
   }
 
   private val percentileCaches =
-    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Release every determinism-anchor cache accumulated by `percentiles`.
-    * Call ONLY once the returned frames are consumed (collected/written) or
-    * discarded: a frame RE-executed after release recomputes the range
-    * partitioning with fresh samples while keeping the already-collected
-    * offsets — the determinism anchor is gone. Consume, release, move on. */
+    * SINGLE-OWNER convenience (the gate driver, a test suite): it releases
+    * ALL registered anchors process-wide, so it must only run when no other
+    * thread holds a live un-consumed `percentiles` frame — an evicted
+    * anchor's frame RE-executes with fresh range samples against the
+    * already-collected offsets (silently wrong ranks). Concurrent callers
+    * use `percentilesScoped` and release their own handle instead. */
   def releasePercentileCaches(): Unit = Search.synchronized {
-    // a registered frame may belong to an already-stopped session (e.g. a
-    // previous test suite) — dropping the reference is then all there is to do
-    percentileCaches.foreach { df =>
-      try df.unpersist(blocking = true)
-      catch { case _: Exception => () }
-    }
+    percentileCaches.foreach(_.apply())
     percentileCaches.clear()
   }
 }

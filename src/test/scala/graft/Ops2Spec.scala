@@ -261,6 +261,25 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scoped percentiles release drops only its own anchor") {
+    import graft.ops.Search
+    val df = Tables.images(spark, sfDir).select("image_id", "price")
+    Search.releasePercentileCaches() // clean slate
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (fA, relA) = Search.percentilesScoped(df, "price")
+    val resA = fA.collect()
+    val (fB, relB) = Search.percentilesScoped(df.limit(500), "price")
+    val afterBoth = spark.sparkContext.getPersistentRDDs.size
+    assert(afterBoth >= before + 2, "each scoped call pins its own anchor")
+    relA() // must NOT disturb B's still-live anchor
+    assert(spark.sparkContext.getPersistentRDDs.size == afterBoth - 1,
+      "scoped release drops exactly one anchor")
+    val resB = fB.collect() // B still consistent after A's release
+    assert(resB.nonEmpty && resA.nonEmpty)
+    relB(); relB() // idempotent
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   test("merge-changes rejects an empty batch list; cap-polygon rejects poles") {
     import graft.ops.{Geometry, Overlay}
     import org.apache.spark.sql.functions._
