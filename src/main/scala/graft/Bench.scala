@@ -31,8 +31,9 @@ object Bench {
     * matched resolutions), containment-probe against the region set, emit
     * the tile manifest of the matched rows, aggregate per H3 cell + count.
     * Everything before the final (tiny) aggregation is map-side — no
-    * shuffle of the image table. */
-  private def pipeline(spark: SparkSession, n: Long): Long = {
+    * shuffle of the image table. Shared with ClusterBench (the
+    * executor-process N-vs-4N evidence). */
+  private[graft] def pipeline(spark: SparkSession, n: Long): Long = {
     import org.apache.spark.sql.functions.col
     import graft.functions.S2Expressions
     // the h3 validity filter keeps the per-row dual-index assignment in the
@@ -57,12 +58,7 @@ object Bench {
     // headline queries at the driver-requested parallelism; warm the session
     // first (codegen + JIT + parquet footer cache) so the first query's
     // number measures the query, not cold start
-    def stealCs(): Long = {
-      try {
-        val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        line.trim.split("\\s+").drop(1).map(_.toLong).lift(7).getOrElse(0L)
-      } catch { case _: Throwable => 0L }
-    }
+    def stealCs(): Long = BenchProtocol.stealCs()
     val spark = session(cpus)
     try {
       SparkEntry.queries("q_containment")(spark, sfDir).count()
@@ -138,50 +134,11 @@ object Bench {
     }
     // The hypervisor throttles after ~20-30 s of sustained load, so each
     // rep gets an idle cool-down first, arms alternate order across
-    // iterations (no systematic bias), and only steal-clean reps count.
-    /** Measure one N-vs-4N pair under the steal-gated protocol; returns a
-      * JSON fragment. The deadline bounds retries, not the first iteration.
-      */
-    def measurePair(n: Int, m: Int, deadline: Long, minClean: Int = 2): (Double, String) = {
-      // efficiency comes from WITHIN-iteration pairs: both arms measured
-      // back-to-back under the same host conditions, so a contention window
-      // degrades both instead of unfairly pairing a lucky N rep with an
-      // unlucky 4N rep across windows. Best clean pair wins.
-      final case class Pair(tn: Double, tm: Double, clean: Boolean)
-      val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
-      var iter = 0
-      def cleanPairs = pairs.count(_.clean)
-      while ((cleanPairs < minClean) &&
-             (iter < minClean || System.currentTimeMillis() < deadline)) {
-        val order = if (iter % 2 == 0) Seq(m, n) else Seq(n, m)
-        var tn = 0.0; var tm = 0.0; var clean = true
-        order.foreach { cores =>
-          Thread.sleep(15000) // idle: let the throttle credit refill
-          val (t, s) = oneRep(cores)
-          System.err.println(f"[bench] rep cores=$cores%2d sec=$t%6.2f steal_cs=$s")
-          if (s > 50) clean = false
-          if (cores == n) tn = t else tm = t
-        }
-        pairs += Pair(tn, tm, clean)
-        iter += 1
-      }
-      val usable = if (pairs.exists(_.clean)) pairs.filter(_.clean) else pairs
-      // headline = the LOWER-MEDIAN clean pair's own efficiency (ADVICE r01:
-      // best-pair is an upward cherry-pick; using one concrete pair keeps
-      // sec_n/sec_4n and "efficiency" mutually consistent — review r02);
-      // min/max across pairs reported alongside
-      def effOf(p: Pair) = (p.tn / p.tm) / (m.toDouble / n)
-      val sortedPairs = usable.sortBy(effOf)
-      val effs = sortedPairs.map(effOf)
-      val med = sortedPairs((sortedPairs.length - 1) / 2)
-      val eff = effOf(med)
-      def r3(x: Double) = math.rint(x * 1000) / 1000.0
-      (eff,
-        s"""{"rows":$scaleRows,"cores_n":$n,"sec_n":${med.tn},"images_per_sec_n":${(scaleRows / med.tn).toLong},""" +
-        s""""cores_4n":$m,"sec_4n":${med.tm},"images_per_sec_4n":${(scaleRows / med.tm).toLong},""" +
-        s""""efficiency":${r3(eff)},"efficiency_min":${r3(effs.head)},"efficiency_max":${r3(effs.last)},""" +
-        s""""clean_pairs":$cleanPairs,"steal_polluted":${!pairs.exists(_.clean)}}""")
-    }
+    // iterations (no systematic bias), and only steal-clean reps count —
+    // the shared protocol (BenchProtocol.measurePair, also driven by
+    // ClusterBench with executor PROCESSES as the arms).
+    def measurePair(n: Int, m: Int, deadline: Long, minClean: Int = 2): (Double, String) =
+      BenchProtocol.measurePair(n, m, deadline, minClean, scaleRows)(oneRep)
 
     // must leave the whole Bench comfortably inside the driver's timeout
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "300000").toLong

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence with SEPARATE EXECUTOR JVMS — the closest
+  * in-sandbox proxy to the north rule's "N and 4N executors": Spark's
+  * `local-cluster[n, coresPerExec, memMB]` master forks n real executor
+  * processes (own heap, own GC, own JIT — exactly what extra cluster nodes
+  * bring), unlike `local[N]`, which only widens a thread pool inside one
+  * JVM. The flagship pipeline and the steal-gated pair protocol are the
+  * SAME as graft.Bench's (BenchProtocol); only the arm definition changes:
+  * 1 executor x 4 cores vs 4 executors x 4 cores.
+  *
+  * Run via tools/spark_submit_cluster_bench.sh — executors fetch the
+  * library from spark.jars, which spark-submit sets to the packaged jar
+  * (ClusterSmoke proves the class-shipping and the in-JVM cluster-size
+  * restart). Prints ONE JSON line:
+  *   {"metric":"cluster_scaling", ..., "executors_n":1, "executors_4n":4,
+  *    "cores_per_executor":4, "efficiency":...}
+  */
+object ClusterBench {
+
+  private val CoresPerExec = 4
+
+  private def session(executors: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$executors,$CoresPerExec,6144]")
+      // worker memory above is MB per forked worker; executor heap must fit
+      .config("spark.executor.memory", "5g")
+      .config("spark.sql.shuffle.partitions", executors * CoresPerExec)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "64000000").toLong
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "600000").toLong
+    val nExec = sys.env.getOrElse("SPARK_GRAFT_EXECUTORS_N", "1").toInt
+
+    /** One rep at `executors` forked executor JVMs: open the cluster, warm
+      * codegen/JIT in it, time the flagship pipeline, tear the cluster down.
+      * Cluster startup/teardown stays OUTSIDE the timed window. */
+    def oneRep(executors: Int): (Double, Long) = {
+      val s = session(executors)
+      try {
+        Bench.pipeline(s, 500000) // warm codegen/JIT on these executors
+        val s0 = BenchProtocol.stealCs()
+        val t0 = System.nanoTime()
+        Bench.pipeline(s, scaleRows)
+        ((System.nanoTime() - t0) / 1e9, BenchProtocol.stealCs() - s0)
+      } finally s.stop()
+    }
+
+    val deadline = System.currentTimeMillis() + budgetMs
+    val (_, pair) = BenchProtocol.measurePair(
+      nExec, 4 * nExec, deadline, minClean = 3, scaleRows, armKey = "executors")(oneRep)
+    // splice the per-arm shape into the fragment for the record
+    val body = pair.dropRight(1) +
+      s""","cores_per_executor":$CoresPerExec}"""
+    println(s"""{"metric":"cluster_scaling","unit":"efficiency","pipeline":"assign->probe->manifest","body":$body}""")
+  }
+}
