@@ -315,6 +315,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- composed training-data pipeline (builder brief): quality filter
+    //     -> canonical exact-dedup -> per-language corpus stats, the whole
+    //     chain one declarative plan (filters codegen, dedup a partial
+    //     aggregate + shuffle-hash join, final agg integer-exact so the
+    //     cross-engine compare is bit-stable) ---
+    "q_docs_pipeline" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val scored = TextOps.qualityScores(s.table("documents"), "text", "n_chars")
+      val kept = scored.where(col("n_tokens") >= 20 && col("mean_token_len") < 4.9)
+      val canon = Dedup.keepCanonical(
+        kept.withColumn("prefix", substring(col("text"), 1, 20)), "doc_id", "prefix")
+      canon.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // --- text: rolling-hash document fingerprint (kernel; rows-only) ---
     "q_fingerprint" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -721,6 +739,19 @@ object SparkEntry {
           "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_ws_tokens, " +
           s"CAST(LEN(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS BIGINT) AS n_bpe_tokens " +
           "FROM documents ORDER BY doc_id"),
+      "q_docs_pipeline" ->
+        ("WITH t AS (SELECT doc_id, lang, text, n_chars, " +
+          "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_tokens, " +
+          "LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS spaces FROM documents), " +
+          "u AS (SELECT *, CAST(n_chars - spaces AS DOUBLE) / CAST(GREATEST(1, n_tokens) AS DOUBLE) AS mtl FROM t), " +
+          "kept AS (SELECT * FROM u WHERE n_tokens >= 20 AND mtl < 4.9), " +
+          "canon AS (SELECT kept.* FROM kept JOIN " +
+          "(SELECT MD5(SUBSTRING(text, 1, 20)) AS k, MIN(doc_id) AS m FROM kept GROUP BY 1) g " +
+          "ON MD5(SUBSTRING(kept.text, 1, 20)) = g.k AND kept.doc_id = g.m) " +
+          "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, " +
+          "CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+          "FROM canon GROUP BY lang ORDER BY lang"),
       "q_text_langid" -> {
         val scoreCols = TextOps.langProfiles.map { case (lang, words) =>
           val sum = words.map(w =>

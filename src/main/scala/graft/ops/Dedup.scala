@@ -35,6 +35,24 @@ object Dedup {
       .select(col(idCol), col("canonical_id"))
   }
 
+  /** Keep exactly one row per content key — the group's canonical
+    * (minimum-id) member; singleton groups pass through untouched. The
+    * composition-friendly complement of `exactDuplicates` (which reports the
+    * duplicate groups): a filtering pipeline plugs this in to DROP the
+    * non-canonical members and keep flowing. Same scale shape as
+    * exactDuplicates — HashAggregate (partial+final) + shuffle-hash
+    * equi-join back, no window, so one massively repeated key (empty text,
+    * boilerplate) collapses map-side instead of sorting through a single
+    * partition. */
+  def keepCanonical(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val keyed = df.withColumn("dedup_key",
+      coalesce(md5(col(keyCol)), lit("<null>")))
+    val winners = keyed.groupBy("dedup_key").agg(min(col(idCol)).as("_canon"))
+    keyed.join(winners.hint("shuffle_hash"), Seq("dedup_key"))
+      .where(col(idCol) === col("_canon"))
+      .drop("dedup_key", "_canon")
+  }
+
   /** MinHash + LSH banded candidate pairs with exact n-gram Jaccard refine.
     *
     * shingle (word 3-gram) -> 64-perm minhash -> `bands` band keys -> equi-
