@@ -39,18 +39,26 @@ object Dedup {
     * (minimum-id) member; singleton groups pass through untouched. The
     * composition-friendly complement of `exactDuplicates` (which reports the
     * duplicate groups): a filtering pipeline plugs this in to DROP the
-    * non-canonical members and keep flowing. Same scale shape as
-    * exactDuplicates — HashAggregate (partial+final) + shuffle-hash
-    * equi-join back, no window, so one massively repeated key (empty text,
-    * boilerplate) collapses map-side instead of sorting through a single
-    * partition. */
+    * non-canonical members and keep flowing.
+    *
+    * ONE PASS, NO JOIN: `min_by(struct(row), id)` computes the canonical
+    * row per key in a single partial+final aggregation — the
+    * winners-then-join-back shape scans (and re-evaluates every upstream
+    * filter over) the input TWICE, which a plan audit showed as two full
+    * parquet scans of the corpus (review r03e). Plan note: the struct
+    * buffer is not hash-agg mutable, so Spark picks SortAggregate — a
+    * per-partition, spillable sort of the SURVIVING rows; at corpus scale
+    * that is cheaper than the second full scan + filter re-evaluation the
+    * join shape pays (upstream stages are the expensive part of a cleaning
+    * pipeline). Partial aggregation still collapses a massively repeated
+    * key (empty text, boilerplate) map-side, and the exchange carries at
+    * most one surviving row per key per partition. */
   def keepCanonical(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val keyed = df.withColumn("dedup_key",
-      coalesce(md5(col(keyCol)), lit("<null>")))
-    val winners = keyed.groupBy("dedup_key").agg(min(col(idCol)).as("_canon"))
-    keyed.join(winners.hint("shuffle_hash"), Seq("dedup_key"))
-      .where(col(idCol) === col("_canon"))
-      .drop("dedup_key", "_canon")
+    val cols = df.columns.toIndexedSeq
+    df.withColumn("dedup_key", coalesce(md5(col(keyCol)), lit("<null>")))
+      .groupBy("dedup_key")
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col(s"_row.`$c`").as(c)): _*)
   }
 
   /** MinHash + LSH banded candidate pairs with exact n-gram Jaccard refine.
