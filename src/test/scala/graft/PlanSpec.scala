@@ -84,6 +84,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("sh_a") && p.contains("sh_b"), "refine attach missing")
   }
 
+  test("composed docs pipeline stays one scan, join-free") {
+    // review r03e: keepCanonical's winners-then-join-back shape scanned the
+    // corpus (and re-ran the quality filter) TWICE; the min_by aggregate
+    // keeps one pass. Guard both properties so a refactor can't silently
+    // reintroduce the double scan.
+    val p = SparkEntry.queries("q_docs_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected ONE corpus scan, found $scans")
+    assert(!p.contains("Join"), "canonical dedup must aggregate, not join back")
+  }
+
   test("no gate query picks up an all-pairs plan outside the named baselines") {
     // VERDICT r02 #2: the ONLY gate queries allowed a CartesianProduct /
     // BroadcastNestedLoopJoin are the two labeled exact baselines. Iterative
