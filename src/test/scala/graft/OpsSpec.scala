@@ -326,6 +326,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotN == Set((1L, 1L), (3L, 1L), (2L, 2L), (4L, 2L), (5L, 2L)))
   }
 
+  test("keep-canonical: one min-id row per key, null keys grouped, extra columns survive") {
+    import spark.implicits._
+    val df = Seq((5L, Some("aaa"), "p5"), (2L, None, "p2"), (3L, Some("aaa"), "p3"),
+        (4L, None, "p4"), (1L, Some("bbb"), "p1"))
+      .toDF("id", "content", "tag")
+    val got = Dedup.keepCanonical(df, "id", "content")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // aaa -> min(3,5)=3; null group -> min(2,4)=2; singleton bbb passes
+    assert(got == Set((3L, "p3"), (2L, "p2"), (1L, "p1")))
+    // schema preserved exactly (no dedup_key / _row leakage)
+    assert(Dedup.keepCanonical(df, "id", "content").columns.toSeq ==
+      Seq("id", "content", "tag"))
+  }
+
   test("minhash LSH finds planted near-dups and skips unrelated docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
