@@ -41,6 +41,27 @@ object EventStream {
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
 
+  // ---- streaming exact-dedup ------------------------------------------------
+
+  /** Streaming exact-dedup for continuous corpus ingestion: drop rows whose
+    * content key was already seen within the watermark delay — the streaming
+    * face of `Dedup.keepCanonical` (first ARRIVAL wins instead of min id;
+    * for an id-ordered ingest the two agree). State is BOUNDED by the
+    * watermark via `dropDuplicatesWithinWatermark`: a plain
+    * `dropDuplicates` would pin every key ever seen, which at continuous
+    * corpus-ingest scale grows without limit; within-watermark expiry keeps
+    * state proportional to the delay window, the documented trade (a dup
+    * arriving AFTER its original has aged past the delay is re-admitted —
+    * callers choose the delay to cover their ingest reordering bound, and a
+    * periodic batch keepCanonical sweep catches stragglers). Null content
+    * keys dedup as one group via the same sentinel as the batch forms. */
+  def dedupStreaming(rows: DataFrame, tsCol: String, keyCol: String,
+                     delay: String): DataFrame =
+    rows.withColumn("dedup_key", coalesce(md5(col(keyCol)), lit("<null>")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key")
+
   // ---- custom state: per-user sessionization -------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -100,6 +100,36 @@ class StreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want && got == Set((1L, 0L, 600L, 2L), (1L, 9000L, 9000L, 1L), (2L, 50L, 50L, 1L)))
   }
 
+  test("streaming dedup: first arrival wins across micro-batches, state expires with the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventStream.Event]
+    // props carries the content key; 10 s watermark delay bounds the state
+    val deduped = EventStream.dedupStreaming(ms.toDS().toDF(), "ts", "props", "10 seconds")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      def evK(id: Long, sec: Long, key: String) =
+        EventStream.Event(id, new java.sql.Timestamp(sec * 1000L), 1L, "t", 1.0, key)
+      // batch 1: duplicate key "A" within one batch -> first arrival only
+      ms.addData(evK(1, 100, "A"), evK(2, 101, "A"), evK(3, 102, "B"))
+      q.processAllAvailable()
+      // batch 2: "A" again within the delay window -> dropped
+      ms.addData(evK(4, 103, "A"))
+      q.processAllAvailable()
+      def ids() = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids() == Set(1L, 3L), s"within-delay duplicates must drop, got ${ids()}")
+      // advance the watermark far past A's expiry (102 + 10 s), then "A"
+      // re-admits — the documented bounded-state trade
+      ms.addData(evK(5, 5000, "C"))
+      q.processAllAvailable()
+      ms.addData(evK(6, 5001, "A"))
+      q.processAllAvailable()
+      assert(ids() == Set(1L, 3L, 5L, 6L),
+        s"expired key must re-admit (bounded state), got ${ids()}")
+    } finally q.stop()
+  }
+
   test("containment probe runs unchanged under Structured Streaming") {
     import org.apache.spark.sql.functions._
     // the probe is a stateless map-side operator, so the SAME code drives a
