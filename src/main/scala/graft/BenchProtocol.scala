@@ -20,11 +20,12 @@ private[graft] object BenchProtocol {
 
   /** Measure one N-vs-4N pair; `oneRep(arm)` runs the workload at arm
     * parallelism `arm` (cores or executors — the caller decides) and returns
-    * (seconds, steal centiseconds accrued during the rep). `label(arm)` and
-    * `coreFactor` shape the JSON fragment: efficiency divides the time ratio
-    * by the CORE ratio `m*coreFactor / (n*coreFactor)` = m/n. Returns
-    * (efficiency, json fragment). The deadline bounds retries, not the first
-    * iteration. */
+    * (seconds, steal centiseconds accrued during the rep). `armKey` names
+    * the arm unit in the JSON fragment ("cores_n"/"cores_4n" vs
+    * "executors_n"/...); efficiency = (t_n/t_m)/(m/n), which is unit-free
+    * as long as both arms scale the SAME per-arm resource (Bench: cores;
+    * ClusterBench: 4-core executors). Returns (efficiency, json fragment).
+    * The deadline bounds retries, not the first iteration. */
   def measurePair(n: Int, m: Int, deadline: Long, minClean: Int, rows: Long,
                   armKey: String = "cores")(oneRep: Int => (Double, Long)): (Double, String) = {
     final case class Pair(tn: Double, tm: Double, clean: Boolean)

@@ -14,9 +14,10 @@ import org.apache.spark.sql.SparkSession
   * Run via tools/spark_submit_cluster_bench.sh — executors fetch the
   * library from spark.jars, which spark-submit sets to the packaged jar
   * (ClusterSmoke proves the class-shipping and the in-JVM cluster-size
-  * restart). Prints ONE JSON line:
-  *   {"metric":"cluster_scaling", ..., "executors_n":1, "executors_4n":4,
-  *    "cores_per_executor":4, "efficiency":...}
+  * restart). Prints ONE FLAT JSON line (same splice style as Bench):
+  *   {"metric":"cluster_scaling","unit":"efficiency","pipeline":...,
+  *    "rows":...,"executors_n":1,...,"executors_4n":4,"efficiency":...,
+  *    "clean_pairs":...,"steal_polluted":...,"cores_per_executor":4}
   */
 object ClusterBench {
 
@@ -58,9 +59,11 @@ object ClusterBench {
     val deadline = System.currentTimeMillis() + budgetMs
     val (_, pair) = BenchProtocol.measurePair(
       nExec, 4 * nExec, deadline, minClean = 3, scaleRows, armKey = "executors")(oneRep)
-    // splice the per-arm shape into the fragment for the record
-    val body = pair.dropRight(1) +
-      s""","cores_per_executor":$CoresPerExec}"""
-    println(s"""{"metric":"cluster_scaling","unit":"efficiency","pipeline":"assign->probe->manifest","body":$body}""")
+    // splice the pair fragment FLAT into the line (drop its braces), the
+    // same style Bench uses for "scaling" — a nested "body" key diverged
+    // from both the scaladoc and Bench's shape (review r03f)
+    println(s"""{"metric":"cluster_scaling","unit":"efficiency","pipeline":"assign->probe->manifest",""" +
+      pair.drop(1).dropRight(1) +
+      s""","cores_per_executor":$CoresPerExec}""")
   }
 }

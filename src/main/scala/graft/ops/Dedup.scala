@@ -21,17 +21,27 @@ object Dedup {
     * group through a single partition's sort — the aggregate's map-side
     * combiners collapse the hot key to one row per partition instead, and
     * AQE's skew handling applies to the join (r03c audit). */
+  /** The shared null-SAFE content key: md5(null) is null, and a plain
+    * equi-join/groupBy would silently drop or isolate the null-key
+    * duplicate group (review r03d) — map null content to a sentinel digest
+    * instead (no md5 collision: real digests are 32 hex chars). ONE
+    * definition for the batch forms AND the streaming form
+    * (EventStream.dedupStreaming) so batch/streaming agreement cannot
+    * drift. */
+  private[graft] def dedupKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(md5(c), lit("<null>"))
+
+  /** Internal column name, uniquified: a plain "dedup_key" would CLOBBER a
+    * caller's same-named column before the row struct is captured (silent
+    * data corruption — review r03f). */
+  private[graft] val DedupKeyCol = "__graft_dedup_key"
+
   def exactDuplicates(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    // null-SAFE key: md5(null) is null, and a plain equi-join would
-    // silently drop the null-key duplicate group the old window kept
-    // (review r03d) — map null content to a sentinel digest instead (no
-    // md5 collision: real digests are 32 hex chars)
-    val keyed = df.withColumn("dedup_key",
-      coalesce(md5(col(keyCol)), lit("<null>")))
-    val groups = keyed.groupBy("dedup_key")
+    val keyed = df.withColumn(DedupKeyCol, dedupKey(col(keyCol)))
+    val groups = keyed.groupBy(DedupKeyCol)
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_n"))
       .where(col("group_n") > 1)
-    keyed.join(groups.hint("shuffle_hash"), Seq("dedup_key"))
+    keyed.join(groups.hint("shuffle_hash"), Seq(DedupKeyCol))
       .select(col(idCol), col("canonical_id"))
   }
 
@@ -52,12 +62,19 @@ object Dedup {
     * join shape pays (upstream stages are the expensive part of a cleaning
     * pipeline). Partial aggregation still collapses a massively repeated
     * key (empty text, boilerplate) map-side, and the exchange carries at
-    * most one surviving row per key per partition. */
+    * most one surviving row per key per partition.
+    *
+    * NULL ids never win `min_by`'s ordering, so a row with a NULL id is
+    * never selected as a group's representative; a group whose ids are ALL
+    * null is DROPPED (filtered) rather than emitted as the fabricated
+    * all-NULL row min_by's empty buffer would otherwise produce
+    * (review r03f). */
   def keepCanonical(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
     val cols = df.columns.toIndexedSeq
-    df.withColumn("dedup_key", coalesce(md5(col(keyCol)), lit("<null>")))
-      .groupBy("dedup_key")
+    df.withColumn(DedupKeyCol, dedupKey(col(keyCol)))
+      .groupBy(DedupKeyCol)
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .where(col("_row").isNotNull)
       .select(cols.map(c => col(s"_row.`$c`").as(c)): _*)
   }
 

@@ -54,13 +54,18 @@ object EventStream {
     * arriving AFTER its original has aged past the delay is re-admitted —
     * callers choose the delay to cover their ingest reordering bound, and a
     * periodic batch keepCanonical sweep catches stragglers). Null content
-    * keys dedup as one group via the same sentinel as the batch forms. */
+    * keys dedup as one group via the SHARED sentinel expression
+    * (Dedup.dedupKey — one definition, so batch/streaming agreement cannot
+    * drift), under the uniquified internal column name (a plain "dedup_key"
+    * would clobber, then drop, a caller's same-named column). */
   def dedupStreaming(rows: DataFrame, tsCol: String, keyCol: String,
-                     delay: String): DataFrame =
-    rows.withColumn("dedup_key", coalesce(md5(col(keyCol)), lit("<null>")))
+                     delay: String): DataFrame = {
+    import graft.ops.Dedup
+    rows.withColumn(Dedup.DedupKeyCol, Dedup.dedupKey(col(keyCol)))
       .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("dedup_key")
-      .drop("dedup_key")
+      .dropDuplicatesWithinWatermark(Dedup.DedupKeyCol)
+      .drop(Dedup.DedupKeyCol)
+  }
 
   // ---- custom state: per-user sessionization -------------------------------
 

@@ -64,8 +64,13 @@ object ClusterSmoke {
         s.sparkContext.setLogLevel("WARN")
         val got = runQueries(s, sfDir)
         // sample AFTER the queries ran: executors register asynchronously,
-        // so an up-front probe reads 0
+        // so an up-front probe reads 0. ASSERT the count — without it the
+        // "bit-identical across executor processes" claim would also pass
+        // on a degraded cluster where the second executor never ran
+        // (review r03f)
         val execs = s.sparkContext.getExecutorMemoryStatus.size - 1 // minus driver
+        require(execs == n,
+          s"expected $n registered executors, saw $execs — cluster degraded, evidence void")
         local.foreach { case (name, want) =>
           val g = got(name)
           require(g == want,

@@ -89,8 +89,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // corpus (and re-ran the quality filter) TWICE; the min_by aggregate
     // keeps one pass. Guard both properties so a refactor can't silently
     // reintroduce the double scan.
-    val p = SparkEntry.queries("q_docs_pipeline")(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    val p = plan("q_docs_pipeline")
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected ONE corpus scan, found $scans")
     assert(!p.contains("Join"), "canonical dedup must aggregate, not join back")
