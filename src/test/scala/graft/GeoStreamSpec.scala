@@ -1,0 +1,152 @@
+package graft
+
+import graft.model.Synth
+import graft.streaming.GeoStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** A geotagged arrival: the streaming face of the image table's point rows. */
+case class GeoPing(image_id: Long, ts: java.sql.Timestamp,
+                   lat: Double, lng: Double)
+
+/** Streaming-geospatial gate: the geofence and windowed manifests must equal
+  * their batch forms (which are oracle-gated) on identical rows SPLIT ACROSS
+  * MICRO-BATCHES — the property that makes them streaming operators rather
+  * than batch operators that happen to compile against readStream. */
+class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("geostream-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ping(id: Long, sec: Long, lat: Double, lng: Double): GeoPing =
+    GeoPing(id, new java.sql.Timestamp(sec * 1000L), lat, lng)
+
+  // London urban region (reg-0000) carries a 700 m hole at its center:
+  // the exact hot center is NOT contained (even-odd), center+0.01° lat is.
+  private val london = Synth.hotCenters(0)
+  private val ny = Synth.hotCenters(1)
+  private val H = 3600L
+
+  private val pings = Seq(
+    ping(1, 100, london._1 + 0.012, london._2),  // reg-0000 shell, past hole
+    ping(2, 200, london._1, london._2),          // hole center: no match
+    ping(3, 300, ny._1, ny._2),                  // reg-0001
+    ping(4, H + 100, ny._1 + 0.005, ny._2),      // reg-0001, next window
+    ping(5, H + 200, 0.0, -160.0),               // mid-Pacific
+    ping(6, H + 300, london._1 - 0.012, london._2)) // reg-0000 other side
+
+  test("streaming geofence equals the oracle-gated batch probe across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[GeoPing]
+    val q = GeoStream.geofence(ms.toDF(), Synth.regions)
+      .writeStream.format("memory").queryName("geofence_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(pings.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(pings.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("geofence_out")
+        .select("image_id", "region_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = GeoStream.geofence(pings.toDF(), Synth.regions)
+        .select("image_id", "region_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, s"stream $got != batch $want")
+      // pin the fixture semantics so the equality can't be vacuous
+      assert(want.contains((1L, "reg-0000")) && want.contains((3L, "reg-0001")))
+      assert(!want.exists(_._1 == 2L), "hole center must not match (even-odd)")
+    } finally q.stop()
+  }
+
+  test("windowed region counts accumulate across micro-batches and equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[GeoPing]
+    val counts = GeoStream.regionWindowCounts(
+      ms.toDF(), Synth.regions, "ts", "1 hour", "10 seconds")
+    val q = counts.writeStream.format("memory").queryName("regcount_out")
+      .outputMode("append").start()
+    try {
+      // window [0, 1h) fed by TWO micro-batches: ping 1 now, ping 3 later —
+      // one combined row must come out, not one per batch
+      ms.addData(pings(0), pings(1))
+      q.processAllAvailable()
+      ms.addData(pings(2))
+      q.processAllAvailable()
+      assert(spark.table("regcount_out").count() == 0,
+        "append mode must hold the window until the watermark passes its end")
+      // flusher far past both windows — deliberately matching NO region:
+      // the watermark must advance on raw arrivals, not on geofence matches
+      // (GeoStream takes the watermark before the probe), then one more
+      // batch so the advanced watermark takes effect and evicts
+      ms.addData(pings.drop(3): _*)
+      q.processAllAvailable()
+      ms.addData(ping(99, 10 * H, 0.0, 0.0))
+      q.processAllAvailable()
+      ms.addData(ping(100, 10 * H + 1, 0.0, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("regcount_out").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000L, r.getString(1), r.getLong(2)))
+        .toSet
+      // batch oracle: same function body, watermark a no-op — restrict to
+      // the windows the flusher pushed past
+      val want = GeoStream.regionWindowCounts(
+        pings.toDF(), Synth.regions, "ts", "1 hour", "10 seconds")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000L, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"stream $got != batch $want")
+      assert(want.contains((0L, "reg-0000", 1L)) && want.contains((0L, "reg-0001", 1L))
+        && want.contains((H, "reg-0001", 1L)) && want.contains((H, "reg-0000", 1L)))
+    } finally q.stop()
+  }
+
+  test("windowed tile counts equal the batch run of the same plan") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[GeoPing]
+    val counts = GeoStream.tileWindowCounts(
+      ms.toDF(), zMin = 10, zMax = 14, "ts", "1 hour", "10 seconds")
+    val q = counts.writeStream.format("memory").queryName("tilecount_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(pings.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(pings.drop(3): _*)
+      q.processAllAvailable()
+      ms.addData(ping(99, 10 * H, 0.0, 0.0))
+      q.processAllAvailable()
+      ms.addData(ping(100, 10 * H + 1, 0.0, 0.0))
+      q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getTimestamp(0).getTime / 1000L, r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))
+      val got = spark.table("tilecount_out").collect().map(key).toSet
+      val want = GeoStream.tileWindowCounts(
+        pings.toDF(), 10, 14, "ts", "1 hour", "10 seconds")
+        .collect().map(key).toSet
+      assert(got == want, s"stream $got != batch $want")
+      // 6 pings x 5 zooms each land somewhere; the batch tile assignment is
+      // the oracle-gated pointManifest chain, so nonemptiness suffices here
+      assert(want.size >= 10)
+      // cross-check one zoom's total against the gated batch manifest
+      val manifest = graft.ops.Tiling.pointManifest(
+        pings.toDF().withColumn("cell16",
+          graft.functions.S2Expressions.s2Cell16(
+            org.apache.spark.sql.functions.col("lat"),
+            org.apache.spark.sql.functions.col("lng"))), 10, 14)
+      assert(want.toSeq.map(_._5).sum == manifest.count(),
+        "windowed totals must equal the batch manifest row count")
+    } finally q.stop()
+  }
+}
