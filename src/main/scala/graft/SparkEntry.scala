@@ -251,6 +251,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- dedup: perceptual-hash (image payload) banded near-dup pairs ---
+    // Exact by the pigeonhole contract (maxHamming 3 < bands 4), so the
+    // banded equi-join must EQUAL the oracle's all-pairs brute force. The
+    // dup-structured phash fixture (Synth.phashDupExpr) is one shared SQL
+    // text; the gid%40 subset keeps the ORACLE's quadratic side tractable —
+    // the engine side stays the banded join (all-pairs allowlist applies).
+    "q_phash_neardup" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val sub = s.table("orders")
+        .select(col("o_orderkey").as("image_id"))
+        .where(expr("CAST(floor(image_id / 8) AS BIGINT) % 40 = 0"))
+        .withColumn("ph", expr(graft.model.Synth.phashDupExpr("image_id")))
+      Dedup.phashNearDup(sub, "image_id", "ph", maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- dedup: embedding-cosine near-dup (exact baseline) ---
     "q_embed_neardup" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -714,6 +730,13 @@ object SparkEntry {
           "g AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY key) AS canonical_id, " +
           "COUNT(*) OVER (PARTITION BY key) AS n FROM k) " +
           "SELECT doc_id, canonical_id FROM g WHERE n > 1 ORDER BY doc_id"),
+      "q_phash_neardup" ->
+        (s"WITH sub AS (SELECT o_orderkey AS image_id, ${graft.model.Synth.phashDupExpr("o_orderkey")} AS ph " +
+          "FROM orders WHERE CAST(floor(o_orderkey / 8) AS BIGINT) % 40 = 0) " +
+          "SELECT a.image_id AS id_a, b.image_id AS id_b, " +
+          "CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming " +
+          "FROM sub a JOIN sub b ON a.image_id < b.image_id " +
+          "WHERE bit_count(xor(a.ph, b.ph)) <= 3 ORDER BY id_a, id_b"),
       "q_embed_neardup" ->
         ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b " +
           "WHERE a.vec_id < b.vec_id " +

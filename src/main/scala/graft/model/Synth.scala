@@ -53,6 +53,33 @@ object Synth {
        |FROM orders""".stripMargin
   }
 
+  /** Dup-structured perceptual hash over image_id — the fixture for the
+    * phash near-dup operator (Media.withPayload's splitmix64 phash is
+    * uniform, so true near-dup pairs would never exist to test against).
+    * Groups of 8 consecutive ids share a 62-bit base (four small-multiplier
+    * LCG chunks — no 64-bit overflow, so DuckDB's checked BIGINT arithmetic
+    * accepts it); member m = id%8 flips the m bits [8m, 8m+m), so pairwise
+    * hamming INSIDE a group is exactly m_a + m_b (disjoint flip ranges) and
+    * across groups ~31 expected. XOR is spelled overflow-free as
+    * (base - (base&mask)) + (mask - (base&mask)) because DuckDB has no `^`
+    * XOR operator (its `^` is power) — one shared SQL text, evaluated by
+    * BOTH engines, the imagesSelect discipline. */
+  def phashDupExpr(idCol: String): String = {
+    val gid = s"CAST(floor($idCol / 8) AS BIGINT)"
+    def chunk(k: Long, b: Long, m: Long) = s"(($gid * $k + $b) % $m)"
+    val base = s"(${chunk(48271, 11, 65536)}" +
+      s" + ${chunk(69621, 23, 65536)} * 65536" +
+      s" + ${chunk(40692, 37, 65536)} * 4294967296" +
+      s" + ${chunk(52711, 53, 16384)} * 281474976710656)"
+    // mask(m) = (2^m - 1) << 8m, precomputed so the text stays portable
+    val mask = s"(CASE CAST($idCol % 8 AS INT)" +
+      " WHEN 0 THEN 0 WHEN 1 THEN 256 WHEN 2 THEN 196608" +
+      " WHEN 3 THEN 117440512 WHEN 4 THEN 64424509440" +
+      " WHEN 5 THEN 34084860461056 WHEN 6 THEN 17732923532771328" +
+      " ELSE 9151314442816847872 END)"
+    s"(($base - ($base & $mask)) + ($mask - ($base & $mask)))"
+  }
+
   /** Same derivation over a synthetic key range — the bench-scale generator
     * (no test-data dependency; BASELINE.json: "synthesise it
     * deterministically"). Used with spark.range(n).withColumnRenamed("id",...)

@@ -111,24 +111,69 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-duplicate pairs: 64-bit simhash, candidates from 4x16-bit
-    * band buckets (any pair within hamming distance <= `maxHamming` over
-    * uniformly spread differing bits collides in >= 1 band for maxHamming<=3;
-    * wider radii trade recall as usual), exact popcount refine. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), Udfs.simhash(col(textCol)).as("simhash"))
-      .withColumn("band", explode(lit((0 until 4).toArray)))
+  /** Shared 64-bit banded-Hamming candidate kernel: `keyed` carries
+    * (id LONG, h LONG); split h into `bands` contiguous bands, equi-join on
+    * (band, band_key), exact popcount refine. The join replicates only
+    * (id, h) — two longs — per band, the key-only discipline of
+    * `minhashLshPairs`.
+    *
+    * Recall contract (pigeonhole): a pair differing in <= bands-1 bits
+    * cannot differ in every band, so it ALWAYS collides in >= 1 band —
+    * the kernel is EXACT (equals brute force) for maxHamming <= bands-1,
+    * and trades recall in the usual LSH way above that (callers document
+    * their operating point). */
+  private[graft] def hammingBandPairs(keyed: DataFrame, bands: Int,
+                                      maxHamming: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val banded = keyed
+      .withColumn("band", explode(lit((0 until bands).toArray)))
       .withColumn("band_key",
-        expr("concat(band, ':', shiftrightunsigned(simhash, band * 16) & 65535)"))
-    val a = sh.select(col("id").as("id_a"), col("simhash").as("h_a"), col("band_key"))
-    val b = sh.select(col("id").as("id_b"), col("simhash").as("h_b"), col("band_key"))
-    a.join(b, "band_key")
+        expr(s"shiftrightunsigned(h, band * $width) & $mask"))
+    val a = banded.select(col("id").as("id_a"), col("h").as("h_a"),
+      col("band"), col("band_key"))
+    val b = banded.select(col("id").as("id_b"), col("h").as("h_b"),
+      col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash, candidates from 4x16-bit
+    * band buckets (exact for maxHamming <= 3 by the kernel's pigeonhole; the
+    * default radius 6 trades recall as usual — documented operating point),
+    * exact popcount refine. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6): DataFrame =
+    hammingBandPairs(
+      df.select(col(idCol).as("id"), Udfs.simhash(col(textCol)).as("h")),
+      bands = 4, maxHamming = maxHamming)
+
+  /** Perceptual-hash near-duplicate pairs over the image corpus — the
+    * canonical image near-dup operator for a training-data pipeline (the
+    * input_hint carries `phash` for exactly this): all (id_a, id_b, hamming)
+    * with popcount(phash_a XOR phash_b) <= maxHamming.
+    *
+    * EXACT by construction, not probabilistic: `maxHamming < bands` is
+    * required, so the pigeonhole guarantee applies and the banded equi-join
+    * sees every qualifying pair — the result equals the all-pairs brute
+    * force (the oracle for q_phash_neardup) while the plan stays a
+    * shuffle-bounded equi-join (no CartesianProduct; the band buckets are
+    * the only replication, x`bands` rows of two longs each). Skewed buckets
+    * (a constant phash region — black frames, test cards) fall to AQE
+    * skew-join splitting like every other hot-key join in the engine. */
+  def phashNearDup(images: DataFrame, idCol: String = "image_id",
+                   phashCol: String = "phash", maxHamming: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"phashNearDup is exact only for maxHamming < bands (got $maxHamming >= $bands); " +
+        "raise bands or use simhashPairs' documented recall trade")
+    hammingBandPairs(
+      images.select(col(idCol).as("id"), col(phashCol).cast("long").as("h")),
+      bands = bands, maxHamming = maxHamming)
   }
 
   /** Embedding-cosine near-duplicate pairs, exact (brute-force baseline; the

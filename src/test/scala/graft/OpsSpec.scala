@@ -363,6 +363,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("phash near-dup: banded join equals brute force; group structure exact") {
+    import spark.implicits._
+    // 32 groups of 8 ids with the dup-structured fixture phash
+    val ids = (0L until 256L).toDF("image_id")
+      .withColumn("ph", org.apache.spark.sql.functions.expr(
+        graft.model.Synth.phashDupExpr("image_id")))
+    val got = Dedup.phashNearDup(ids, "image_id", "ph", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // brute force in-process
+    val ph = ids.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (for {
+      a <- 0L until 256L; b <- (a + 1) until 256L
+      h = java.lang.Long.bitCount(ph(a) ^ ph(b)) if h <= 3
+    } yield ((a, b), h)).toMap
+    assert(got == want, s"banded ${got.size} pairs != brute ${want.size}")
+    // fixture structure: within a group hamming(m_a, m_b) = m_a + m_b, so
+    // exactly pairs (0,1),(0,2),(0,3),(1,2) qualify per group of 8
+    assert(want.size == 4 * 32)
+    assert(got((8L, 9L)) == 1 && got((8L, 10L)) == 2
+      && got((8L, 11L)) == 3 && got((9L, 10L)) == 3)
+    // unsound operating points are rejected, not silently lossy
+    intercept[IllegalArgumentException] {
+      Dedup.phashNearDup(ids, "image_id", "ph", maxHamming = 4, bands = 4)
+    }
+  }
+
   test("brute-force ANN top-k equals in-process cosine ranking") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val got = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0),
