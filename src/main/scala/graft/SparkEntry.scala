@@ -663,6 +663,23 @@ object SparkEntry {
       Tables.registerBase(s, dir)
       EventStream.batchWindowedCounts(s.table("events"))
         .orderBy("bucket", "event_type")
+    }),
+
+    // --- streaming geospatial surface: geofence occupancy windows ---
+    // GeoStream.regionWindowCounts run under BATCH execution (withWatermark
+    // is a no-op there) — the exact function body the streaming query runs,
+    // so the oracle anchors the streaming surface transitively with
+    // GeoStreamSpec's stream==batch equality. Event time is synthesized
+    // from image_id (two 1-hour windows); oracle = the pure-SQL ray-cast
+    // containment union + epoch-hour bucketing.
+    "q_geofence_window" -> ((s, dir) => {
+      val imgs = images(s, dir)
+        .withColumn("ts", expr("CAST(1700000000 + (image_id % 7200) AS TIMESTAMP)"))
+      graft.streaming.GeoStream.regionWindowCounts(
+          imgs, graft.model.Synth.regions, "ts", "1 hour", "1 minute")
+        .select(expr("CAST(unix_timestamp(win_start) AS BIGINT)").as("win_s"),
+          col("region_id"), col("n"))
+        .orderBy("win_s", "region_id")
     })
   )
 
@@ -816,6 +833,11 @@ object SparkEntry {
         ("SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS bucket, event_type, " +
           "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM events " +
           "GROUP BY 1, 2 ORDER BY bucket, event_type"),
+      "q_geofence_window" ->
+        (s"$W, m AS ($containmentUnion), " +
+          "t AS (SELECT image_id, (1700000000 + (image_id % 7200)) // 3600 * 3600 AS win_s FROM images) " +
+          "SELECT t.win_s, m.region_id, COUNT(*) AS n " +
+          "FROM m JOIN t USING (image_id) GROUP BY 1, 2 ORDER BY win_s, region_id"),
 
       // ---- golden-backed oracles (graft.oracle.Golden): the driver's
       // DuckDB reads an INDEPENDENT driver-side recomputation written as

@@ -111,6 +111,42 @@ class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("geofence windows survive a checkpointed restart, exactly once") {
+    // north rule: "resumable from checkpoint" — the STREAMING face. A file
+    // source feeds the windowed geofence across FOUR query lifetimes sharing
+    // one checkpoint; counts must equal the batch oracle (a broken resume
+    // would double window contributions) and no (window, region) row may
+    // appear twice (append sink + checkpoint = exactly-once).
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("geo-in").toString
+    val out = java.nio.file.Files.createTempDirectory("geo-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("geo-ck").toString
+    val schema = pings.toDF().schema
+    def feed(ps: Seq[GeoPing]): Unit =
+      ps.toDF().coalesce(1).write.mode("append").parquet(in)
+    def runLifetime(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(in)
+      val q = GeoStream.regionWindowCounts(
+          src, Synth.regions, "ts", "1 hour", "10 seconds")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    feed(pings.take(3)); runLifetime()
+    feed(pings.drop(3)); runLifetime()
+    feed(Seq(ping(99, 10 * H, 0.0, 0.0))); runLifetime()
+    feed(Seq(ping(100, 10 * H + 1, 0.0, 0.0))); runLifetime()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000L, r.getString(1), r.getLong(2)))
+    assert(got.length == got.toSet.size, s"duplicate emission after restart: ${got.toSeq}")
+    val want = GeoStream.regionWindowCounts(
+        pings.toDF(), Synth.regions, "ts", "1 hour", "10 seconds")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000L, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got.toSet == want, s"resumed stream ${got.toSet} != batch $want")
+  }
+
   test("windowed tile counts equal the batch run of the same plan") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
