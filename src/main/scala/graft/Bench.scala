@@ -101,8 +101,17 @@ object Bench {
         System.err.println(f"[bench] $name rep$attempts ${if (t.isEmpty) "FAILED" else s"polluted (steal_cs=$steal)"}, retrying")
         Thread.sleep(5000)
         val (t2, s2) = rep()
+        // `steal` must track the rep whose TIME is being kept: blindly
+        // taking the retry's steal would let a fast clean-steal FAILURE
+        // launder a polluted accepted timing past the loop condition with
+        // retries still unspent (review r03g)
+        val keepFirst = (t, t2) match {
+          case (Some(a), Some(b)) => a <= b
+          case (Some(_), None)    => true
+          case _                  => false
+        }
         t = (t, t2) match { case (Some(a), Some(b)) => Some(math.min(a, b)); case _ => t.orElse(t2) }
-        steal = s2
+        if (!keepFirst) steal = s2
         attempts += 1
       }
       // a query that never completed must fail the bench loudly — a numeric

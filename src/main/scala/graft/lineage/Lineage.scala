@@ -139,9 +139,21 @@ object Lineage {
         }, e)
       }
 
-    // input rows per bucket in ONE job (metrics only; 0 for empty buckets)
+    // input rows per TODO bucket in ONE job (metrics only; 0 for empty
+    // buckets). Restricted to the todo units' filters: a 255-of-256-
+    // committed resume previously paid a FULL input scan for metrics that
+    // were then discarded — with range units the restriction is a union of
+    // pushable range predicates, so resume IO stays proportional to the
+    // remaining work (review r03g). Null cells ride along explicitly so the
+    // range-mode loud-failure below still fires on a resume (a range unit
+    // filter evaluates null -> filtered, which would silently hide them).
+    val todoSet = todo.toSet
+    val todoFilter: org.apache.spark.sql.Column =
+      if (todoSet.size == buckets) lit(true)
+      else todo.map(unitFilter).reduce(_ || _) ||
+        (if (rangeBuckets) col(cellCol).isNull else lit(false))
     val inCounts: Map[Int, Long] =
-      input.groupBy(bucketExpr.as("_b")).count().collect()
+      input.where(todoFilter).groupBy(bucketExpr.as("_b")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (inCounts.contains(-1))
       throw new IllegalArgumentException(

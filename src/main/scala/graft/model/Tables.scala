@@ -22,10 +22,22 @@ object Tables {
     "lineitem", "nation", "region", "customer", "part", "supplier", "events")
   private val registered = new java.util.WeakHashMap[SparkSession, String]()
 
+  // size rides along with mtime: an in-place regeneration inside one mtime
+  // tick (1 s on ext4 without fine timestamps) would otherwise serve a
+  // stale view over deleted part files (review r03g); for directory-shaped
+  // parquet the children are folded in (bounded: a handful of part files)
+  private def sig(f: java.io.File): String =
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids == null) "dir:?"
+      else kids.sortBy(_.getName)
+        .map(c => s"${c.getName}:${c.lastModified()}:${c.length()}").mkString(";")
+    } else s"${f.lastModified()}:${f.length()}"
+
   private def fingerprint(sfDir: String): String =
     baseTables.map { t =>
       val f = new java.io.File(s"$sfDir/$t.parquet")
-      s"$t=${f.exists()}:${f.lastModified()}"
+      s"$t=${f.exists()}:${sig(f)}"
     }.mkString(sfDir + "|", ",", "")
 
   def registerBase(spark: SparkSession, sfDir: String): Unit = synchronized {

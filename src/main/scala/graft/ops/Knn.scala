@@ -70,6 +70,18 @@ object Knn {
     def value: Long = mask
   }
 
+  /** THE candidate distance metric — one definition shared by the
+    * driver-resident rounds (`knnRounds`) and the distributed batch core
+    * (`knnBatchCore`), because the cross-path equality gates (OpsSpec:
+    * knnBatch == knn; the DuckDB bit-exact compares) require the two paths'
+    * arithmetic to stay operation-for-operation identical; a private copy
+    * in each would be a silent drift surface (review r03g — the same
+    * one-definition discipline as the materialized `bound` column). */
+  private def distExpr(meters: Boolean): Column =
+    if (meters) Udfs.haversineMeters(col("lat"), col("lng"), col("qlat"), col("qlng"))
+    else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
+      ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
+
   private def maskLevels(mask: Long): Array[Int] =
     (0 to 30).filter(l => (mask & (1L << l)) != 0L).toArray
 
@@ -144,14 +156,25 @@ object Knn {
       val qDf = spark.createDataFrame(
           qRows.map { case (q, _) => (q.queryId, q.lat, q.lng, q.cosLat) })
         .toDF("query_id", "qlat", "qlng", "qcos")
-      // ancestor-hash stab: covering cell id -> query ids
-      val byCell = new java.util.HashMap[Long, Array[Int]]()
+      // ancestor-hash stab: covering cell id -> query ids. Built via
+      // ArrayBuffer, finalized to Array once: `prev :+ qid` copies the whole
+      // array per addition, and a full-sphere escalation round puts EVERY
+      // remaining query on the same 6 face cells — quadratic on the driver
+      // at batch query counts (review r03g)
+      val byCellBuf =
+        new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
       qRows.foreach { case (q, cov) =>
         cov.foreach { c =>
-          val prev = byCell.get(c)
-          byCell.put(c, if (prev == null) Array(q.queryId) else prev :+ q.queryId)
+          var buf = byCellBuf.get(c)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[Int](4)
+            byCellBuf.put(c, buf)
+          }
+          buf += q.queryId
         }
       }
+      val byCell = new java.util.HashMap[Long, Array[Int]](byCellBuf.size())
+      byCellBuf.forEach((c, buf) => byCell.put(c, buf.toArray))
       val levels: Array[Int] =
         qRows.flatMap(_._2).map(S2.level).distinct.sorted.toArray
       val stab = udf((cell: Long) => {
@@ -166,10 +189,7 @@ object Knn {
       })
       val ranges = qRows.flatMap(_._2).map(c => (S2.rangeMin(c), S2.rangeMax(c)))
       val imgs = imagesForRound(full, ranges)
-      val dist: Column =
-        if (meters) Udfs.haversineMeters(col("lat"), col("lng"), col("qlat"), col("qlng"))
-        else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
-          ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
+      val dist: Column = distExpr(meters)
       val cands = imgs
         .withColumn("query_id", explode(stab(col("cell16"))))
         .join(broadcast(qDf), "query_id")
@@ -410,10 +430,7 @@ object Knn {
           .withColumn("qcos", cos(radians(col("qlat"))))
           .withColumn("qradius", lit(initialRadius))
           .withColumn("cov", coveringUdf(col("qlat"), col("qlng"), col("qradius"))))
-      val distCol =
-        if (meters) Udfs.haversineMeters(col("lat"), col("lng"), col("qlat"), col("qlng"))
-        else (col("lat") - col("qlat")) * (col("lat") - col("qlat")) +
-          ((col("lng") - col("qlng")) * col("qcos")) * ((col("lng") - col("qlng")) * col("qcos"))
+      val distCol = distExpr(meters)
       val topkUdaf = TopKAgg.udafFor(k)
       var round = 0
       while (nRemaining > 0) {
@@ -565,6 +582,7 @@ object Knn {
         // would have added
         val (frame, _, finalRdd) = materialize(results)
         tracker.releaseExcept(finalRdd)
+        Tracker.registerSurvivor(finalRdd) // EngineCaches releases it later
         frame.orderBy("query_id", "rank")
       }
     } catch {

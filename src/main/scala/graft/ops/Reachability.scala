@@ -112,6 +112,7 @@ object Reachability {
     try {
       val (dist, distRdd) = flood(spark, edges, init, Seq("node"), cutoff, maxIters, t, cacheEdges)
       t.releaseExcept(distRdd)
+      Tracker.registerSurvivor(distRdd) // EngineCaches releases it later
       dist
     } catch { case e: Throwable => t.releaseAll(); throw e }
   }
@@ -128,6 +129,7 @@ object Reachability {
     try {
       val (dist, distRdd) = flood(spark, edges, init, Seq("origin", "node"), cutoff, maxIters, t, cacheEdges)
       t.releaseExcept(distRdd)
+      Tracker.registerSurvivor(distRdd) // EngineCaches releases it later
       dist
     } catch { case e: Throwable => t.releaseAll(); throw e }
   }
@@ -241,6 +243,7 @@ object Reachability {
           org.apache.spark.sql.types.StructField("uses", org.apache.spark.sql.types.LongType)))))
     val (outM, _, outRdd) = t.materialize(out)
     t.releaseExcept(outRdd)
+    Tracker.registerSurvivor(outRdd) // EngineCaches releases it later
     outM
     } catch {
       // release EVERYTHING on failure — the maxDepth throw (and any Spark

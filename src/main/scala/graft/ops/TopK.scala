@@ -19,14 +19,31 @@ final case class TopK(ids: Seq[Long], d2s: Seq[Double])
 private[graft] final class TopKAgg(k: Int)
     extends org.apache.spark.sql.expressions.Aggregator[(Long, Double), List[(Double, Long)], TopK] {
   private val ord = implicitly[Ordering[(Double, Long)]]
+  // Buffer invariant: ASCENDING under `ord`, length <= k — so reduce is a
+  // single-pass ordered insert and merge a linear two-list merge; the
+  // original sort-the-whole-buffer forms paid O(k log k) + a full rebuild
+  // per ACCEPTED ROW on the hottest per-candidate path in the engine
+  // (review r03g).
   def zero: List[(Double, Long)] = Nil
   def reduce(b: List[(Double, Long)], a: (Long, Double)): List[(Double, Long)] = {
     val x = (a._2, a._1)
     if (b.length >= k && ord.compare(x, b.last) >= 0) b
-    else ((x :: b).sorted(ord)).take(k)
+    else {
+      val (lt, ge) = b.span(e => ord.compare(e, x) < 0) // one pass, stays sorted
+      (lt ::: (x :: ge)).take(k)
+    }
   }
-  def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
-    (a ++ b).sorted(ord).take(k)
+  def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] = {
+    val out = List.newBuilder[(Double, Long)]
+    var (x, y, n) = (a, b, 0)
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && ord.compare(x.head, y.head) <= 0)) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    out.result()
+  }
   def finish(b: List[(Double, Long)]): TopK =
     TopK(b.map(_._2), b.map(_._1))
   def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =

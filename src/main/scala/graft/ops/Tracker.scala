@@ -27,6 +27,33 @@ private[graft] object Tracker {
     val buf = capturePlans.get()
     if (buf != null) buf += df.queryExecution.executedPlan.toString
   }
+
+  /** Surviving-snapshot registry. Every iterative operator deliberately
+    * leaves exactly ONE persisted RDD alive under the frame it returns
+    * (the frame is a flat scan of it); a long-lived session issuing many
+    * such calls accumulates dead snapshots once the results are consumed,
+    * with no handle to free them (review r03g). Callers that keep a session
+    * open call `EngineCaches.releaseIterationSnapshots()` between requests:
+    * results already computed stay correct — an unpersisted snapshot
+    * recomputes through its RDD lineage if re-read, just slower. Same
+    * single-owner caveat as Search.releasePercentileCaches: don't release
+    * while another thread's returned frame is mid-action. */
+  private val survivors = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
+  private[graft] def registerSurvivor(r: RDD[Row]): Unit =
+    Tracker.synchronized { survivors += r }
+  private[graft] def releaseSurvivors(): Unit = Tracker.synchronized {
+    survivors.foreach(_.unpersist(blocking = false))
+    survivors.clear()
+  }
+  private[graft] def survivorCount: Int = Tracker.synchronized(survivors.size)
+}
+
+/** Cache-hygiene surface for long-lived sessions (the library-boundary
+  * face of the snapshot registry above). */
+object EngineCaches {
+  /** Unpersist every iteration snapshot left alive by completed
+    * kNN-batch / reachability calls (one per call by design). */
+  def releaseIterationSnapshots(): Unit = Tracker.releaseSurvivors()
 }
 
 private[ops] final class Tracker {

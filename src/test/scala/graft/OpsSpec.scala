@@ -114,6 +114,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("EngineCaches releases iteration snapshots; released results stay correct") {
+    val images = Tables.images(spark, sfDir)
+    val qdf = {
+      import spark.implicits._
+      Synth.knnQueries.toSeq.take(3).map(q => (q.queryId, q.lat, q.lng))
+        .toDF("query_id", "qlat", "qlng")
+    }
+    val frame = Knn.knnBatch(spark, images, qdf, k = 5)
+    val before = frame.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(graft.ops.Tracker.survivorCount >= 1,
+      "a completed knnBatch must register its one surviving snapshot")
+    // registry counts are process-global and suites share the JVM, so the
+    // release is asserted through a probe RDD's storage level (race-safe),
+    // not through count-goes-to-zero
+    val probe: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Tracker.registerSurvivor(probe)
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+    assert(probe.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release must unpersist every registered survivor")
+    // the already-returned frame recomputes through lineage — same rows
+    val after = frame.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(after == before)
+  }
+
   test("distributed batch kNN equals brute force AND the driver-resident path") {
     import org.apache.spark.sql.functions._
     val images = Tables.images(spark, sfDir)
