@@ -253,4 +253,27 @@ class PropertySpec extends AnyFunSuite {
         s"bucket $b of level-16 descendant outside span [$lo,$hi] of level-$lvl ancestor")
     }
   }
+
+  test("TopKAgg: any fold/merge split equals sorted-take (order-independent)") {
+    // the aggregator under every kNN/ANN gate: its sorted-insert reduce and
+    // linear merge must equal brute-force sort-and-take for ANY partition
+    // split and arrival order (partial aggregation chooses both arbitrarily)
+    val genK = Gen.choose(1, 8)
+    val genRows = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0.0, 10.0))) // duplicate-prone
+    forAll(genK, genRows, Gen.choose(0, 39)) { (k, rows0, split) =>
+      // unique ids (the operator's contract) but heavily tied scores
+      val rows = rows0.zipWithIndex.map { case ((_, d2), i) =>
+        (i.toLong, math.rint(d2 * 2) / 2) }
+      val agg = new graft.ops.TopKAgg(k)
+      val (p1, p2) = rows.splitAt(split)
+      val merged = agg.merge(
+        p1.foldLeft(agg.zero)(agg.reduce),
+        p2.reverse.foldLeft(agg.zero)(agg.reduce)) // second arm reversed order
+      val got = agg.finish(merged)
+      val want = rows.map { case (id, d2) => (d2, id) }.sorted.take(k)
+      assert(got.ids == want.map(_._2) && got.d2s == want.map(_._1),
+        s"k=$k split=$split: got ${got.ids} want ${want.map(_._2)}")
+    }
+  }
 }
