@@ -680,6 +680,27 @@ object SparkEntry {
         .select(expr("CAST(unix_timestamp(win_start) AS BIGINT)").as("win_s"),
           col("region_id"), col("n"))
         .orderBy("win_s", "region_id")
+    }),
+
+    // --- composed IMAGE corpus pipeline (the image twin of q_docs_pipeline):
+    //     phash near-dup drop -> geofence -> per-region corpus stats as ONE
+    //     declarative plan. Dedup rule: drop any image within hamming 3 of a
+    //     SMALLER id (greedy, deterministic, SQL-expressible as NOT EXISTS —
+    //     exactly the id_b side of the exact banded pair list). Sum over
+    //     floor(price) keeps the aggregate integer-exact under any shuffle
+    //     order. ---
+    "q_image_pipeline" -> ((s, dir) => {
+      val sub = images(s, dir)
+        .where(expr("CAST(floor(image_id / 8) AS BIGINT) % 40 = 0"))
+        .withColumn("ph", expr(graft.model.Synth.phashDupExpr("image_id")))
+      val pairs = Dedup.phashNearDup(sub, "image_id", "ph", maxHamming = 3, bands = 4)
+      val kept = sub.join(pairs.select(col("id_b").as("image_id")).distinct(),
+        Seq("image_id"), "left_anti")
+      Containment.containmentProbe(kept, graft.model.Synth.regions)
+        .groupBy("region_id")
+        .agg(count(lit(1)).as("n_images"),
+          sum(expr("CAST(floor(price) AS BIGINT)")).as("price_floor_sum"))
+        .orderBy("region_id")
     })
   )
 
@@ -838,6 +859,20 @@ object SparkEntry {
           "t AS (SELECT image_id, (1700000000 + (image_id % 7200)) // 3600 * 3600 AS win_s FROM images) " +
           "SELECT t.win_s, m.region_id, COUNT(*) AS n " +
           "FROM m JOIN t USING (image_id) GROUP BY 1, 2 ORDER BY win_s, region_id"),
+      "q_image_pipeline" -> {
+        val keptUnion = Synth.regions.map { r =>
+          s"SELECT image_id, '${r.regionId}' AS region_id FROM keep WHERE ${Synth.rayCastSql(r)}"
+        }.mkString(" UNION ALL ")
+        (s"$W, sub AS (SELECT *, ${Synth.phashDupExpr("image_id")} AS ph FROM images " +
+          "WHERE CAST(floor(image_id / 8) AS BIGINT) % 40 = 0), " +
+          "keep AS (SELECT * FROM sub i WHERE NOT EXISTS (" +
+          "SELECT 1 FROM sub a WHERE a.image_id < i.image_id " +
+          "AND bit_count(xor(a.ph, i.ph)) <= 3)), " +
+          s"m AS ($keptUnion) " +
+          "SELECT m.region_id, COUNT(*) AS n_images, " +
+          "CAST(SUM(CAST(floor(k.price) AS BIGINT)) AS BIGINT) AS price_floor_sum " +
+          "FROM m JOIN keep k USING (image_id) GROUP BY 1 ORDER BY region_id")
+      },
 
       // ---- golden-backed oracles (graft.oracle.Golden): the driver's
       // DuckDB reads an INDEPENDENT driver-side recomputation written as
