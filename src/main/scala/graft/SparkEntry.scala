@@ -242,6 +242,18 @@ object SparkEntry {
     }),
 
     // --- dedup: SimHash banded near-dup pairs ---
+    // --- exact n-gram Jaccard near-dup (prefix-filtered AllPairs join —
+    //     the EXACT counterpart of the approximate minhash gate; oracle =
+    //     independent all-pairs brute force with no candidate generation) ---
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" mutato")).as("text"))
+      Dedup.ngramJaccardPairs(docs.unionByName(mutated), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_simhash" -> ((s, dir) => {
       Tables.registerBase(s, dir)
       val docs = s.table("documents").select("doc_id", "text")
@@ -897,6 +909,7 @@ object SparkEntry {
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
       "q_minhash_lsh" -> g("q_minhash_lsh", "id_a, id_b"),
+      "q_ngram_jaccard" -> g("q_ngram_jaccard", "id_a, id_b"),
       "q_mvt_tiles" -> g("q_mvt_tiles", "z, x, y"),
       "q_reachable" -> g("q_reachable", "node"),
       "q_closest" -> g("q_closest", "origin"),

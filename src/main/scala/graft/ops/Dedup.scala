@@ -111,6 +111,70 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram Jaccard near-duplicate pairs via PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Chaudhuri, Ganti & Kaushik, "A primitive
+    * operator for similarity joins", ICDE 2006; Bayardo, Ma & Srikant,
+    * "Scaling up all pairs similarity search", WWW 2007 — public
+    * algorithms). Returns every (id_a, id_b, jaccard) with exact word-3-gram
+    * Jaccard >= threshold — EQUAL to the all-pairs brute force (the gate's
+    * oracle recomputes exactly that) — while the plan stays a
+    * shingle-bucketed equi-join, never a CartesianProduct.
+    *
+    * Prefix filter: order every document's distinct shingles under ONE
+    * global total order — ascending document frequency, ties by hash — and
+    * index only the first m - ceil(t*m) + 1 of a document's m shingles.
+    * Soundness: J(A,B) >= t implies |A∩B| >= t*|A∪B| >= ceil(t*|A|) =: α;
+    * if the prefixes were disjoint, the smallest common element would sit
+    * beyond one side's prefix, leaving at most |A| - p_A = α - 1 < α
+    * elements to hold the whole intersection — contradiction. So every
+    * qualifying pair collides on >= 1 prefix shingle, and the refine (exact
+    * sorted-merge Jaccard, full shingle sets re-attached BY ID — the
+    * key-only discipline of `minhashLshPairs`) loses nothing.
+    *
+    * Scale shape: the rarest-first order means the candidate join's posting
+    * lists are the SHORT ones (a stopword shingle shared by half the corpus
+    * lands at the back of every prefix and is rarely indexed); residual hot
+    * buckets fall to AQE skew splitting like every hot-key join here. Two
+    * bounded shuffles of (id, shingle_hash) pairs — by shingle for the
+    * frequency attach and candidate join, by id for the per-doc prefix
+    * window (group size = one document's shingle count). Unlike
+    * `minhashLshPairs` this pays no recall trade: it is the exact
+    * counterpart at ~the cost of one extra postings shuffle. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"ngramJaccardPairs: threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    // zero-shingle documents are excluded from pairing (documented: with
+    // t > 0 an empty set can only tie another empty set, a degenerate
+    // "duplicate" no cleaning pipeline wants)
+    val sh = df.select(col(idCol).as("id"), Udfs.docShingles(col(textCol)).as("shingles"))
+      .where(size(col("shingles")) > 0)
+    val posts = sh.select(col("id"), size(col("shingles")).as("m"),
+      explode(col("shingles")).as("sh"))
+    val freq = posts.groupBy("sh").agg(count(lit(1)).as("df_sh"))
+    // prefix length m - α + 1 with α = ceil(t*m); the 1e-9 backoff keeps an
+    // exactly-integral t*m from rounding UP through FP noise (a too-large α
+    // would shorten the prefix and break soundness; one-too-small only adds
+    // candidates)
+    val w = Window.partitionBy("id").orderBy(col("df_sh"), col("sh"))
+    val prefix = posts.join(freq, "sh")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)) + lit(1))
+      .select("id", "sh")
+    val cand = prefix.select(col("id").as("id_a"), col("sh"))
+      .join(prefix.select(col("id").as("id_b"), col("sh")), "sh")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Udfs.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Shared 64-bit banded-Hamming candidate kernel: `keyed` carries
     * (id LONG, h LONG); split h into `bands` contiguous bands, equi-join on
     * (band, band_key), exact popcount refine. The join replicates only

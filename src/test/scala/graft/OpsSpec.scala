@@ -379,6 +379,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngram Jaccard: prefix-filtered join equals all-pairs brute force") {
+    import spark.implicits._
+    // deterministic corpus with planted near-dups, exact dups, disjoint
+    // docs, a sub-3-word doc (single combined shingle) and repeated-shingle
+    // texts — the shapes that stress the prefix-length arithmetic
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (0 until 24).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val docs = (base ++ base.map { case (id, t) => (id + 100L, t + " tailword") }
+      ++ Seq((900L, "alpha beta"), (901L, "alpha beta"), (902L, "")))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val sh = docs.collect()
+        .map(r => (r.getLong(0), graft.functions.Udfs.wordShingleHashes(r.getString(1), 3).distinct.sorted))
+        .filter(_._2.nonEmpty).sortBy(_._1)
+      def jac(a: Array[Long], b: Array[Long]): Double = {
+        val inter = a.intersect(b).length.toLong
+        val union = a.length.toLong + b.length - inter
+        if (union == 0) 1.0 else inter.toDouble / union
+      }
+      val want = (for {
+        i <- sh.indices; j <- (i + 1) until sh.length
+        jc = jac(sh(i)._2, sh(j)._2) if jc >= t
+      } yield ((sh(i)._1, sh(j)._1), jc)).toMap
+      assert(got == want, s"threshold $t: got ${got.size} pairs, want ${want.size}")
+    }
+  }
+
   test("simhash: identical texts at hamming 0; near texts within 6") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again in the yard"
