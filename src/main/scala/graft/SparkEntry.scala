@@ -279,6 +279,32 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- dedup: connected components over near-dup pairs (alternating
+    //     large-star/small-star; SoCC'14) — pair lists are not transitive,
+    //     a corpus dedup needs CLUSTERS. Graph = phash near-dup pairs UNION
+    //     a stride-segmented chain (deterministic LEAD window): components
+    //     get real diameter, so the gate exercises the log-round
+    //     convergence, while the stride split keeps many components.
+    //     Oracle: DuckDB WITH RECURSIVE transitive closure + MIN — an
+    //     entirely different algorithm in a different engine. ---
+    "q_dedup_components" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val sub = s.table("orders")
+        .select(col("o_orderkey").as("image_id"))
+        .where(expr("CAST(floor(image_id / 8) AS BIGINT) % 40 = 0"))
+        .withColumn("ph", expr(graft.model.Synth.phashDupExpr("image_id")))
+      val phPairs = Dedup.phashNearDup(sub, "image_id", "ph", maxHamming = 3, bands = 4)
+        .select(col("id_a"), col("id_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(expr("CAST(floor(image_id / 2560) AS BIGINT)"))
+        .orderBy("image_id")
+      val chain = sub
+        .select(col("image_id").as("id_a"), lead("image_id", 1).over(w).as("id_b"))
+        .where(col("id_b").isNotNull)
+      graft.ops.Components.connectedComponents(phPairs.unionByName(chain))
+        .orderBy("id")
+    }),
+
     // --- dedup: embedding-cosine near-dup (exact baseline) ---
     "q_embed_neardup" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -787,6 +813,23 @@ object SparkEntry {
           "CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming " +
           "FROM sub a JOIN sub b ON a.image_id < b.image_id " +
           "WHERE bit_count(xor(a.ph, b.ph)) <= 3 ORDER BY id_a, id_b"),
+      "q_dedup_components" ->
+        ("WITH RECURSIVE " +
+          s"sub AS (SELECT o_orderkey AS image_id, ${graft.model.Synth.phashDupExpr("o_orderkey")} AS ph " +
+          "FROM orders WHERE CAST(floor(o_orderkey / 8) AS BIGINT) % 40 = 0), " +
+          "p AS (" +
+          "SELECT a.image_id AS id_a, b.image_id AS id_b FROM sub a JOIN sub b " +
+          "ON a.image_id < b.image_id AND bit_count(xor(a.ph, b.ph)) <= 3 " +
+          "UNION " +
+          "SELECT id_a, id_b FROM (SELECT image_id AS id_a, " +
+          "LEAD(image_id) OVER (PARTITION BY CAST(floor(image_id / 2560) AS BIGINT) ORDER BY image_id) AS id_b " +
+          "FROM sub) WHERE id_b IS NOT NULL), " +
+          "e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
+          "reach(id, r) AS (" +
+          "SELECT DISTINCT u, u FROM e " +
+          "UNION " +
+          "SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u) " +
+          "SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"),
       "q_embed_neardup" ->
         ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b " +
           "WHERE a.vec_id < b.vec_id " +
