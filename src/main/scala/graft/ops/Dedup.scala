@@ -111,6 +111,22 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Keep one canonical row per near-dup CLUSTER: connected components over
+    * the pair list (Components.connectedComponents — near-duplication is
+    * not transitive at the pair level, so clusters, not pairs, decide what
+    * survives), then drop every row whose id is a NON-MINIMUM member of its
+    * component. Rows not in any pair pass through untouched. The cluster
+    * analogue of `keepCanonical` (same smallest-id convention); feed it the
+    * output of any pair operator here (phash / minhash / simhash / n-gram
+    * Jaccard / cosine LSH).
+    * @param pairs two LONG columns of ids — the near-dup edges. */
+  def keepCanonicalByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(
+      Components.connectedComponents(pairs)
+        .where(col("id") =!= col("component"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** EXACT n-gram Jaccard near-duplicate pairs via PREFIX FILTERING — the
     * AllPairs/PPJoin family (Chaudhuri, Ganti & Kaushik, "A primitive
     * operator for similarity joins", ICDE 2006; Bayardo, Ma & Srikant,

@@ -75,6 +75,16 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("keepCanonicalByPairs keeps component minima and untouched rows") {
+    import spark.implicits._
+    // components {1,2,3} and {10,11}; 99 is in no pair
+    val rows = Seq(1L, 2L, 3L, 10L, 11L, 99L).map(i => (i, s"p$i")).toDF("id", "v")
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = graft.ops.Dedup.keepCanonicalByPairs(rows, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
   test("empty and self-loop-only inputs yield empty results") {
     import spark.implicits._
     assert(Components.connectedComponents(
