@@ -146,8 +146,14 @@ object Bench {
     // iterations (no systematic bias), and only steal-clean reps count —
     // the shared protocol (BenchProtocol.measurePair, also driven by
     // ClusterBench with executor PROCESSES as the arms).
+    // cool-down: full credit-refill idle only before arms that load at least
+    // half the machine; a 4-core rep on a 32-core box cannot trigger the
+    // sustained-load throttle, so its idle is mostly wasted budget — the
+    // saved time buys extra pair iterations (more chances at clean pairs)
+    def cool(arm: Int): Long = if (arm * 2 >= cpus) 15000L else 6000L
     def measurePair(n: Int, m: Int, deadline: Long, minClean: Int = 2): (Double, String) =
-      BenchProtocol.measurePair(n, m, deadline, minClean, scaleRows)(oneRep)
+      BenchProtocol.measurePair(n, m, deadline, minClean, scaleRows,
+        coolDownMs = cool)(oneRep)
 
     // must leave the whole Bench comfortably inside the driver's timeout
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "300000").toLong

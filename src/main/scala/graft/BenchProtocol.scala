@@ -25,32 +25,57 @@ private[graft] object BenchProtocol {
     * "executors_n"/...); efficiency = (t_n/t_m)/(m/n), which is unit-free
     * as long as both arms scale the SAME per-arm resource (Bench: cores;
     * ClusterBench: 4-core executors). Returns (efficiency, json fragment).
-    * The deadline bounds retries, not the first iteration. */
+    * The deadline bounds retries, not the first iteration.
+    *
+    * Besides the per-rep steal gate, a pair is CLEAN only if its efficiency
+    * is physically plausible: `effCap` (default 1.2) rejects pairs where the
+    * SMALL arm ran anomalously slow without recorded steal (observed: a
+    * 4-core rep at half speed, eff 2.08 — throttling the /proc/stat counter
+    * does not see). For this CPU-bound pipeline with fixed per-core cache,
+    * genuinely superlinear core scaling is impossible — the small arm has
+    * MORE cache and memory bandwidth per thread, so eff > ~1.1 is always a
+    * measurement artifact. The cap is deliberately ONE-SIDED: it can only
+    * discard pairs that INFLATE the reported efficiency, never pairs that
+    * lower it, so it cannot cherry-pick the number upward. Suspect pairs are
+    * counted in the JSON (`suspect_pairs`) and rejoin the candidate pool
+    * only when no clean pair exists at all.
+    *
+    * `coolDownMs(arm)` is the pre-rep idle (hypervisor credit refill);
+    * callers shorten it for arms using a small machine fraction so more
+    * pairs fit the budget. */
   def measurePair(n: Int, m: Int, deadline: Long, minClean: Int, rows: Long,
-                  armKey: String = "cores")(oneRep: Int => (Double, Long)): (Double, String) = {
-    final case class Pair(tn: Double, tm: Double, clean: Boolean)
+                  armKey: String = "cores",
+                  coolDownMs: Int => Long = _ => 15000L,
+                  effCap: Double = 1.2)(oneRep: Int => (Double, Long)): (Double, String) = {
+    final case class Pair(tn: Double, tm: Double, stealClean: Boolean)
+    def effOf(p: Pair) = (p.tn / p.tm) / (m.toDouble / n)
+    def isClean(p: Pair) = p.stealClean && effOf(p) <= effCap
     val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
     var iter = 0
-    def cleanPairs = pairs.count(_.clean)
+    def cleanPairs = pairs.count(isClean)
     while ((cleanPairs < minClean) &&
            (iter < minClean || System.currentTimeMillis() < deadline)) {
       val order = if (iter % 2 == 0) Seq(m, n) else Seq(n, m)
-      var tn = 0.0; var tm = 0.0; var clean = true
+      var tn = 0.0; var tm = 0.0; var stealClean = true
       order.foreach { arm =>
-        Thread.sleep(15000) // idle: let the hypervisor throttle credit refill
+        Thread.sleep(coolDownMs(arm)) // idle: hypervisor throttle credit refill
         val (t, s) = oneRep(arm)
         System.err.println(f"[bench] rep $armKey=$arm%2d sec=$t%6.2f steal_cs=$s")
-        if (s > 50) clean = false
+        if (s > 50) stealClean = false
         if (arm == n) tn = t else tm = t
       }
-      pairs += Pair(tn, tm, clean)
+      val p = Pair(tn, tm, stealClean)
+      if (p.stealClean && !isClean(p))
+        System.err.println(f"[bench] pair eff=${effOf(p)}%.3f > cap $effCap — " +
+          "suspect (unrecorded throttle on the small arm), not counted clean")
+      pairs += p
       iter += 1
     }
-    val usable = if (pairs.exists(_.clean)) pairs.filter(_.clean) else pairs
+    val suspects = pairs.count(p => p.stealClean && !isClean(p))
+    val usable = if (pairs.exists(isClean)) pairs.filter(isClean) else pairs
     // headline = the LOWER-MEDIAN clean pair's own efficiency (ADVICE r01:
     // best-pair is an upward cherry-pick; one concrete pair keeps sec_n /
     // sec_4n and "efficiency" mutually consistent — review r02)
-    def effOf(p: Pair) = (p.tn / p.tm) / (m.toDouble / n)
     val sortedPairs = usable.sortBy(effOf)
     val effs = sortedPairs.map(effOf)
     val med = sortedPairs((sortedPairs.length - 1) / 2)
@@ -60,6 +85,6 @@ private[graft] object BenchProtocol {
       s"""{"rows":$rows,"${armKey}_n":$n,"sec_n":${med.tn},"images_per_sec_n":${(rows / med.tn).toLong},""" +
       s""""${armKey}_4n":$m,"sec_4n":${med.tm},"images_per_sec_4n":${(rows / med.tm).toLong},""" +
       s""""efficiency":${r3(eff)},"efficiency_min":${r3(effs.head)},"efficiency_max":${r3(effs.last)},""" +
-      s""""clean_pairs":$cleanPairs,"steal_polluted":${!pairs.exists(_.clean)}}""")
+      s""""clean_pairs":$cleanPairs,"suspect_pairs":$suspects,"steal_polluted":${!pairs.exists(_.stealClean)}}""")
   }
 }

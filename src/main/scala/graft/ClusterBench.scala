@@ -58,7 +58,10 @@ object ClusterBench {
 
     val deadline = System.currentTimeMillis() + budgetMs
     val (_, pair) = BenchProtocol.measurePair(
-      nExec, 4 * nExec, deadline, minClean = 3, scaleRows, armKey = "executors")(oneRep)
+      nExec, 4 * nExec, deadline, minClean = 3, scaleRows, armKey = "executors",
+      // 4N executors x 4 cores = half the box at nExec=1: full refill idle
+      // there, short idle before the 1-executor arm (see Bench.cool)
+      coolDownMs = e => if (e * CoresPerExec * 2 >= 32) 15000L else 6000L)(oneRep)
     // splice the pair fragment FLAT into the line (drop its braces), the
     // same style Bench uses for "scaling" — a nested "body" key diverged
     // from both the scaladoc and Bench's shape (review r03f)
