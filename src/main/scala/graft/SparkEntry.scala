@@ -132,6 +132,17 @@ object SparkEntry {
           Tables.regions(s), broadcastRegions = false, saltBuckets = 8)
         .select("image_id", "region_id").orderBy("image_id", "region_id")),
 
+    // --- same join behind the broadcast-vs-shuffle AUTO-PLANNER (north
+    //     star: "coverings materialized ... for broadcast-vs-shuffle join
+    //     planning"): strategy picked from the exploded-covering byte
+    //     estimate + coarsest covering level, one tiny region-side job;
+    //     results are strategy-independent, so it shares the oracle ---
+    "q_containment_auto" -> ((s, dir) =>
+      Containment.containmentAuto(
+          images(s, dir).select("image_id", "lat", "lng", "cell16"),
+          Tables.regions(s))
+        .select("image_id", "region_id").orderBy("image_id", "region_id")),
+
     // --- §2.4 kNN via S2 cell-ring expansion ---
     "q_knn" -> ((s, dir) =>
       Knn.knn(s, images(s, dir), Synth.knnQueries.toSeq, k = 10)),
@@ -303,6 +314,30 @@ object SparkEntry {
         .where(col("id_b").isNotNull)
       graft.ops.Components.connectedComponents(phPairs.unionByName(chain))
         .orderBy("id")
+    }),
+
+    // --- dedup: CLUSTER-level canonical survivor set — keepCanonicalByPairs
+    //     over the same phash+chain pair graph: components decide survival
+    //     (pair lists are not transitive), each component keeps its minimum
+    //     id, rows in no pair pass through. Oracle: the recursive-closure
+    //     SQL with NOT IN over non-minimum members. ---
+    "q_dedup_canonical" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val sub = s.table("orders")
+        .select(col("o_orderkey").as("image_id"))
+        .where(expr("CAST(floor(image_id / 8) AS BIGINT) % 40 = 0"))
+        .withColumn("ph", expr(graft.model.Synth.phashDupExpr("image_id")))
+      val phPairs = Dedup.phashNearDup(sub, "image_id", "ph", maxHamming = 3, bands = 4)
+        .select(col("id_a"), col("id_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(expr("CAST(floor(image_id / 2560) AS BIGINT)"))
+        .orderBy("image_id")
+      val chain = sub
+        .select(col("image_id").as("id_a"), lead("image_id", 1).over(w).as("id_b"))
+        .where(col("id_b").isNotNull)
+      Dedup.keepCanonicalByPairs(sub.select("image_id"), "image_id",
+          phPairs.unionByName(chain))
+        .orderBy("image_id")
     }),
 
     // --- dedup: embedding-cosine near-dup (exact baseline) ---
@@ -760,6 +795,26 @@ object SparkEntry {
          |CAST(FLOOR(y12 / CAST($div AS DOUBLE)) AS BIGINT) AS y FROM base""".stripMargin
     }.mkString(" UNION ALL ")
 
+    // transitive closure over the phash+chain pair graph — shared by the
+    // component-labeling and the cluster-canonical-survivor oracles (same
+    // fixture, two different result shapes over the same `reach` relation)
+    val componentClosureCtes =
+      ("WITH RECURSIVE " +
+        s"sub AS (SELECT o_orderkey AS image_id, ${graft.model.Synth.phashDupExpr("o_orderkey")} AS ph " +
+        "FROM orders WHERE CAST(floor(o_orderkey / 8) AS BIGINT) % 40 = 0), " +
+        "p AS (" +
+        "SELECT a.image_id AS id_a, b.image_id AS id_b FROM sub a JOIN sub b " +
+        "ON a.image_id < b.image_id AND bit_count(xor(a.ph, b.ph)) <= 3 " +
+        "UNION " +
+        "SELECT id_a, id_b FROM (SELECT image_id AS id_a, " +
+        "LEAD(image_id) OVER (PARTITION BY CAST(floor(image_id / 2560) AS BIGINT) ORDER BY image_id) AS id_b " +
+        "FROM sub) WHERE id_b IS NOT NULL), " +
+        "e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(id, r) AS (" +
+        "SELECT DISTINCT u, u FROM e " +
+        "UNION " +
+        "SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u)")
+
     Map(
       "q_take" ->
         s"$W SELECT image_id, caption, lat, lng FROM images ORDER BY image_id LIMIT 10",
@@ -793,6 +848,8 @@ object SparkEntry {
         s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
       "q_containment_salted" ->
         s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
+      "q_containment_auto" ->
+        s"$W SELECT * FROM ($containmentUnion) u ORDER BY image_id, region_id",
       "q_knn" -> s"$W SELECT * FROM ($knnSql) u ORDER BY query_id, rank",
       // identical semantics through the bucket-pruned store read
       "q_store_knn" -> s"$W SELECT * FROM ($knnSql) u ORDER BY query_id, rank",
@@ -814,22 +871,14 @@ object SparkEntry {
           "FROM sub a JOIN sub b ON a.image_id < b.image_id " +
           "WHERE bit_count(xor(a.ph, b.ph)) <= 3 ORDER BY id_a, id_b"),
       "q_dedup_components" ->
-        ("WITH RECURSIVE " +
-          s"sub AS (SELECT o_orderkey AS image_id, ${graft.model.Synth.phashDupExpr("o_orderkey")} AS ph " +
-          "FROM orders WHERE CAST(floor(o_orderkey / 8) AS BIGINT) % 40 = 0), " +
-          "p AS (" +
-          "SELECT a.image_id AS id_a, b.image_id AS id_b FROM sub a JOIN sub b " +
-          "ON a.image_id < b.image_id AND bit_count(xor(a.ph, b.ph)) <= 3 " +
-          "UNION " +
-          "SELECT id_a, id_b FROM (SELECT image_id AS id_a, " +
-          "LEAD(image_id) OVER (PARTITION BY CAST(floor(image_id / 2560) AS BIGINT) ORDER BY image_id) AS id_b " +
-          "FROM sub) WHERE id_b IS NOT NULL), " +
-          "e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
-          "reach(id, r) AS (" +
-          "SELECT DISTINCT u, u FROM e " +
-          "UNION " +
-          "SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u) " +
-          "SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"),
+        (componentClosureCtes +
+          " SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"),
+      // survivors = every sub row except non-minimum component members
+      "q_dedup_canonical" ->
+        (componentClosureCtes +
+          ", comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id) " +
+          "SELECT image_id FROM sub WHERE image_id NOT IN " +
+          "(SELECT id FROM comp WHERE id <> component) ORDER BY image_id"),
       "q_embed_neardup" ->
         ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b " +
           "WHERE a.vec_id < b.vec_id " +

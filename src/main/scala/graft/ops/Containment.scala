@@ -75,6 +75,66 @@ object Containment {
       .select(images.columns.map(col) :+ col("region_id"): _*)
   }
 
+  /** The auto-planner's decision record — stats come from ONE tiny aggregate
+    * over the REGION side only (the decision must never scan the image side:
+    * at design scale that side is 10^12 rows and any pre-scan would dwarf
+    * the join it is trying to plan).
+    *
+    * @param broadcast         exploded covering fits the broadcast budget
+    * @param saltBuckets       > 0 only on the shuffle path when the covering
+    *                          contains a COARSE cell (level <= coarseLevelMax):
+    *                          a level-8 covering cell funnels a continent-scale
+    *                          image population through one hash key, the
+    *                          deterministic-skew case AQE's runtime splitting
+    *                          should not be left to discover alone
+    * @param estBroadcastBytes estimated exploded-covering broadcast payload:
+    *                          per covering row, the 24-byte (cell, id) core
+    *                          plus the region's full ring geometry (16 B per
+    *                          vertex), since `containmentJoin` broadcasts the
+    *                          rings WITH each exploded covering row
+    * @param minCoverLevel     coarsest S2 level present in any covering */
+  final case class ContainmentChoice(broadcast: Boolean, saltBuckets: Int,
+                                     estBroadcastBytes: Long, minCoverLevel: Int)
+
+  /** Pick broadcast vs shuffle-hash vs salted-shuffle for `containmentJoin`
+    * from the materialized coverings (the sorted Long arrays in `cells`) —
+    * the north star's "broadcast-vs-shuffle join planning" step, run as one
+    * small Spark job over the region frame. Catalyst cannot make this call
+    * itself: the broadcast cost lives in the EXPLODED covering (cells x
+    * rings), which the optimizer's pre-explosion row stats do not see. */
+  def chooseStrategy(regions: DataFrame,
+                     broadcastBytesLimit: Long = 8L << 20,
+                     coarseLevelMax: Int = 9,
+                     saltBuckets: Int = 8): ContainmentChoice = {
+    val levelOf = udf((c: Long) => S2.level(c))
+    val row = regions.select(
+        // each exploded row carries the region's full ring payload
+        (expr("aggregate(rings_lat, 0, (a, x) -> a + size(x))") * 16L + 64L)
+          .as("row_bytes"),
+        explode(col("cells")).as("c"))
+      .agg(sum(col("row_bytes")).as("bytes"),
+        min(levelOf(col("c"))).as("min_level"))
+      .head()
+    val bytes = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val minLevel = if (row.isNullAt(1)) 30 else row.getInt(1)
+    val bcast = bytes <= broadcastBytesLimit
+    ContainmentChoice(bcast,
+      if (!bcast && minLevel <= coarseLevelMax) saltBuckets else 0,
+      bytes, minLevel)
+  }
+
+  /** `containmentJoin` behind the auto-planner: identical results on every
+    * path (covering-independence, OpsSpec), so the choice is purely a
+    * physical-plan decision. */
+  def containmentAuto(images: DataFrame, regions: DataFrame,
+                      broadcastBytesLimit: Long = 8L << 20,
+                      coarseLevelMax: Int = 9,
+                      saltBuckets: Int = 8): DataFrame = {
+    val c = chooseStrategy(regions, broadcastBytesLimit, coarseLevelMax, saltBuckets)
+    containmentJoin(images, regions,
+      broadcastRegions = c.broadcast, saltBuckets = c.saltBuckets)
+  }
+
   /** Broadcast-probe fast path: the same prune+refine semantics as
     * `containmentJoin`, executed as ONE map-side probe per image against a
     * driver-built cell->regions hash index — precisely b6's per-point index

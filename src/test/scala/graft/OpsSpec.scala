@@ -95,6 +95,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("auto-planner: strategy from region-side stats; every choice returns the same rows") {
+    import org.apache.spark.sql.functions._
+    val regions = Tables.regions(spark)
+    // the fixture's 24 small regions must choose broadcast under the default
+    // budget, and the estimate must be consistent with the real exploded size
+    val c = Containment.chooseStrategy(regions)
+    assert(c.broadcast && c.saltBuckets == 0)
+    val explodedRows =
+      regions.select(explode(col("cells"))).count()
+    assert(c.estBroadcastBytes > explodedRows * 24,
+      "estimate must at least cover the per-row core")
+    // a zero budget forces the shuffle path; the salt decision must be
+    // exactly "a covering cell at or coarser than coarseLevelMax exists"
+    // (the fixture's MaxCells-5 coverings do contain coarse cells)
+    val c0 = Containment.chooseStrategy(regions, broadcastBytesLimit = 0L)
+    assert(!c0.broadcast &&
+      (c0.saltBuckets > 0) == (c0.minCoverLevel <= 9))
+    // lowering coarseLevelMax below the fixture's coarsest level: no salt
+    val cNoSalt = Containment.chooseStrategy(regions, broadcastBytesLimit = 0L,
+      coarseLevelMax = c0.minCoverLevel - 1)
+    assert(!cNoSalt.broadcast && cNoSalt.saltBuckets == 0)
+    // a coarse covering cell (level 6) on the shuffle path demands salt —
+    // the deterministic continent-cell skew case
+    val coarse = regions.limit(1)
+      .withColumn("cells", array(lit(graft.core.S2.parent(
+        graft.core.S2.cellAt(51.5, -0.13, 16), 6))))
+    val cc = Containment.chooseStrategy(coarse, broadcastBytesLimit = 0L)
+    assert(!cc.broadcast && cc.saltBuckets > 0 && cc.minCoverLevel == 6)
+    // an empty region frame plans harmlessly (broadcast of nothing)
+    val ce = Containment.chooseStrategy(regions.limit(0))
+    assert(ce.broadcast && ce.estBroadcastBytes == 0L)
+    // and the auto path returns exactly the fixed-path rows on both routes
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
+    val want = Containment.containmentJoin(images, regions)
+      .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val auto = Containment.containmentAuto(images, regions)
+      .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val autoShuffle = Containment.containmentAuto(images, regions, broadcastBytesLimit = 0L)
+      .select("image_id", "region_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(auto == want && autoShuffle == want && want.nonEmpty)
+  }
+
   test("kNN cell-ring expansion equals brute-force top-k, dense and sparse") {
     val images = Tables.images(spark, sfDir)
     val qs = Synth.knnQueries.toSeq
