@@ -40,9 +40,15 @@ private[graft] object BenchProtocol {
     * counted in the JSON (`suspect_pairs`) and rejoin the candidate pool
     * only when no clean pair exists at all.
     *
-    * `coolDownMs(arm)` is the pre-rep idle (hypervisor credit refill);
-    * callers shorten it for arms using a small machine fraction so more
-    * pairs fit the budget. */
+    * `coolDownMs(load)` is the pre-rep idle (hypervisor credit refill);
+    * callers shorten it for small loads so more pairs fit the budget. The
+    * drain the idle repairs comes from the PRECEDING load, so it is keyed on
+    * max(previous rep's arm, upcoming arm) — a small arm timed right after a
+    * half-machine rep would otherwise run under-cooled and its inflated time
+    * passes the steal gate in exactly the efficiency-inflating direction the
+    * one-sided cap exists to stop (review r03g). History before the first
+    * rep is unknown (headline queries, jar packaging), so the first rep
+    * always gets the full idle. */
   def measurePair(n: Int, m: Int, deadline: Long, minClean: Int, rows: Long,
                   armKey: String = "cores",
                   coolDownMs: Int => Long = _ => 15000L,
@@ -52,14 +58,20 @@ private[graft] object BenchProtocol {
     def isClean(p: Pair) = p.stealClean && effOf(p) <= effCap
     val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
     var iter = 0
+    // unknown pre-pair history: full idle first (sentinel bigger than any
+    // real core count but safe in callers' `load * 2 >= cpus` arithmetic)
+    var prevLoad = 1 << 20
     def cleanPairs = pairs.count(isClean)
     while ((cleanPairs < minClean) &&
            (iter < minClean || System.currentTimeMillis() < deadline)) {
       val order = if (iter % 2 == 0) Seq(m, n) else Seq(n, m)
       var tn = 0.0; var tm = 0.0; var stealClean = true
       order.foreach { arm =>
-        Thread.sleep(coolDownMs(arm)) // idle: hypervisor throttle credit refill
+        // idle keyed on the larger of (what just ran, what runs next):
+        // credit refill must cover the PRECEDING drain (scaladoc above)
+        Thread.sleep(coolDownMs(math.max(prevLoad, arm)))
         val (t, s) = oneRep(arm)
+        prevLoad = arm
         System.err.println(f"[bench] rep $armKey=$arm%2d sec=$t%6.2f steal_cs=$s")
         if (s > 50) stealClean = false
         if (arm == n) tn = t else tm = t

@@ -41,6 +41,7 @@ object ClusterBench {
     val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "64000000").toLong
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "600000").toLong
     val nExec = sys.env.getOrElse("SPARK_GRAFT_EXECUTORS_N", "1").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     /** One rep at `executors` forked executor JVMs: open the cluster, warm
       * codegen/JIT in it, time the flagship pipeline, tear the cluster down.
@@ -60,8 +61,9 @@ object ClusterBench {
     val (_, pair) = BenchProtocol.measurePair(
       nExec, 4 * nExec, deadline, minClean = 3, scaleRows, armKey = "executors",
       // 4N executors x 4 cores = half the box at nExec=1: full refill idle
-      // there, short idle before the 1-executor arm (see Bench.cool)
-      coolDownMs = e => if (e * CoresPerExec * 2 >= 32) 15000L else 6000L)(oneRep)
+      // for that load, short idle after/before small loads (see Bench.cool;
+      // host size from the same env var Bench uses, not a hardcoded 32)
+      coolDownMs = e => if (e * CoresPerExec * 2 >= cpus) 15000L else 6000L)(oneRep)
     // splice the pair fragment FLAT into the line (drop its braces), the
     // same style Bench uses for "scaling" — a nested "body" key diverged
     // from both the scaladoc and Bench's shape (review r03f)

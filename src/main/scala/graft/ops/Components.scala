@@ -40,10 +40,14 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** (id, component) for every node appearing in `pairs`, where `component`
-    * is the MINIMUM id of the node's connected component — so a component's
-    * id IS its canonical member under the engine's smallest-id convention
-    * (`Dedup.keepCanonical`, the q_image_pipeline drop rule).
+  /** (id, component) for every node appearing in a NON-self pair, where
+    * `component` is the MINIMUM id of the node's connected component — so a
+    * component's id IS its canonical member under the engine's smallest-id
+    * convention (`Dedup.keepCanonical`, the q_image_pipeline drop rule).
+    * Self-pairs carry no connectivity and are dropped on input, so a node
+    * appearing ONLY in self-pairs gets no output row (its component is
+    * trivially itself; ComponentsSpec pins this) — consumers like
+    * `Dedup.keepCanonicalByPairs` treat absence as "own component".
     *
     * @param pairs exactly two LONG-castable columns (the undirected edge
     *              list); self-pairs and duplicates are tolerated.

@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object Containment {
 
+  // one shared level-derivation UDF: the join's distinct-levels pass and the
+  // auto-planner's stats job must never drift apart (review r03g)
+  private val levelOf = udf((c: Long) => S2.level(c))
+
   /** @param images  point side; must carry image_id, lat, lng, cell16.
     *                Project heavy payload columns away before calling.
     * @param regions polygon side: region_id, rings_lat, rings_lng, cells.
@@ -35,10 +39,14 @@ object Containment {
     *                a deterministic salt from image_id, region cells are
     *                replicated saltBuckets times (north-rule skew handling;
     *                AQE skew-join also stays on).
+    * @param knownLevels the distinct covering levels, when the caller already
+    *                computed them (`chooseStrategy` returns them from its
+    *                stats job); None runs the distinct-levels job here.
     */
   def containmentJoin(images: DataFrame, regions: DataFrame,
                       broadcastRegions: Boolean = true,
-                      saltBuckets: Int = 0): DataFrame = {
+                      saltBuckets: Int = 0,
+                      knownLevels: Option[Seq[Int]] = None): DataFrame = {
     val regionCells = regions.select(
       col("region_id"), col("rings_lat"), col("rings_lng"),
       explode(col("cells")).as("rcell"))
@@ -48,9 +56,9 @@ object Containment {
     // distinct CELLS would put O(|regions| x cells-per-covering) longs on
     // the driver, which the non-broadcast path below exists to avoid
     // (review r03c)
-    val levelOf = udf((c: Long) => S2.level(c))
-    val levels: Seq[Int] = regionCells.select(levelOf(col("rcell")).as("l"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val levels: Seq[Int] = knownLevels.getOrElse(
+      regionCells.select(levelOf(col("rcell")).as("l"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq)
 
     // native codegen ancestors (no ScalaUDF round-trip on the big side)
     val probes = images.withColumn("anc", explode(
@@ -92,9 +100,14 @@ object Containment {
     *                          plus the region's full ring geometry (16 B per
     *                          vertex), since `containmentJoin` broadcasts the
     *                          rings WITH each exploded covering row
-    * @param minCoverLevel     coarsest S2 level present in any covering */
+    * @param minCoverLevel     coarsest S2 level present in any covering
+    * @param levels            ALL distinct covering levels, sorted — returned
+    *                          so `containmentAuto` can hand them straight to
+    *                          `containmentJoin` and the whole auto path costs
+    *                          exactly ONE region-side job (review r03g) */
   final case class ContainmentChoice(broadcast: Boolean, saltBuckets: Int,
-                                     estBroadcastBytes: Long, minCoverLevel: Int)
+                                     estBroadcastBytes: Long, minCoverLevel: Int,
+                                     levels: Seq[Int])
 
   /** Pick broadcast vs shuffle-hash vs salted-shuffle for `containmentJoin`
     * from the materialized coverings (the sorted Long arrays in `cells`) —
@@ -106,21 +119,21 @@ object Containment {
                      broadcastBytesLimit: Long = 8L << 20,
                      coarseLevelMax: Int = 9,
                      saltBuckets: Int = 8): ContainmentChoice = {
-    val levelOf = udf((c: Long) => S2.level(c))
     val row = regions.select(
         // each exploded row carries the region's full ring payload
         (expr("aggregate(rings_lat, 0, (a, x) -> a + size(x))") * 16L + 64L)
           .as("row_bytes"),
         explode(col("cells")).as("c"))
       .agg(sum(col("row_bytes")).as("bytes"),
-        min(levelOf(col("c"))).as("min_level"))
+        collect_set(levelOf(col("c"))).as("levels"))
       .head()
     val bytes = if (row.isNullAt(0)) 0L else row.getLong(0)
-    val minLevel = if (row.isNullAt(1)) 30 else row.getInt(1)
+    val levels = row.getSeq[Int](1).sorted
+    val minLevel = if (levels.isEmpty) 30 else levels.head
     val bcast = bytes <= broadcastBytesLimit
     ContainmentChoice(bcast,
       if (!bcast && minLevel <= coarseLevelMax) saltBuckets else 0,
-      bytes, minLevel)
+      bytes, minLevel, levels)
   }
 
   /** `containmentJoin` behind the auto-planner: identical results on every
@@ -132,7 +145,8 @@ object Containment {
                       saltBuckets: Int = 8): DataFrame = {
     val c = chooseStrategy(regions, broadcastBytesLimit, coarseLevelMax, saltBuckets)
     containmentJoin(images, regions,
-      broadcastRegions = c.broadcast, saltBuckets = c.saltBuckets)
+      broadcastRegions = c.broadcast, saltBuckets = c.saltBuckets,
+      knownLevels = Some(c.levels))
   }
 
   /** Broadcast-probe fast path: the same prune+refine semantics as

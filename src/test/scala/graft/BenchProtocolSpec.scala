@@ -77,4 +77,18 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(math.abs(eff - 0.5) < 1e-9)
     assert(f("clean_pairs") == "1" && f("suspect_pairs") == "0")
   }
+
+  test("cool-down keys on max(previous rep's load, upcoming arm), full idle first") {
+    // a small arm timed right after a big rep must get the BIG idle — the
+    // preceding drain is what the idle repairs (review r03g)
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Int]
+    BenchProtocol.measurePair(
+      4, 16, deadline = System.currentTimeMillis() - 1, minClean = 2,
+      rows = 1000L, coolDownMs = { k => keys += k; 0L }) {
+      arm => (if (arm == 4) 16.0 else 4.0, 0L)
+    }
+    // iter 0 order (16, 4): sentinel-then-16; iter 1 order (4, 16): the 4
+    // rep follows the previous iteration's 4-core rep
+    assert(keys.toSeq == Seq(1 << 20, 16, 4, 16))
+  }
 }

@@ -125,7 +125,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cc.broadcast && cc.saltBuckets > 0 && cc.minCoverLevel == 6)
     // an empty region frame plans harmlessly (broadcast of nothing)
     val ce = Containment.chooseStrategy(regions.limit(0))
-    assert(ce.broadcast && ce.estBroadcastBytes == 0L)
+    assert(ce.broadcast && ce.estBroadcastBytes == 0L && ce.levels.isEmpty)
+    // the returned level set (fed straight to containmentJoin so the auto
+    // path costs one region-side job) is sorted and consistent with the
+    // coarsest level and the real distinct set
+    assert(c.levels.headOption.contains(c.minCoverLevel) &&
+      c.levels == c.levels.sorted &&
+      c.levels.toSet == regions.select(explode(col("cells")).as("c"))
+        .select(col("c")).collect()
+        .map(r => graft.core.S2.level(r.getLong(0))).toSet)
     // and the auto path returns exactly the fixed-path rows on both routes
     val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
     val want = Containment.containmentJoin(images, regions)
