@@ -42,7 +42,18 @@ private[graft] object Tracker {
   private[graft] def registerSurvivor(r: RDD[Row]): Unit =
     Tracker.synchronized { survivors += r }
   private[graft] def releaseSurvivors(): Unit = Tracker.synchronized {
-    survivors.foreach(_.unpersist(blocking = false))
+    // a survivor whose SparkContext has been stopped died WITH the context
+    // (its blocks are already gone); unpersist would reach into the dead
+    // BlockManagerMaster and NPE. Seen when survivors outlive their session
+    // — one session per test suite, or a server cycling sessions. A stop
+    // racing mid-release hits the same dead endpoint, so the best-effort
+    // release also swallows that (correctness is unaffected either way:
+    // releasing is only ever a cache drop).
+    survivors.foreach { r =>
+      if (!r.sparkContext.isStopped)
+        try r.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
     survivors.clear()
   }
   private[graft] def survivorCount: Int = Tracker.synchronized(survivors.size)

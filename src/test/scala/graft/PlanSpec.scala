@@ -55,6 +55,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), s"probe path must not shuffle:\n${p.take(1500)}")
   }
 
+  test("auto-planner choices land on the intended physical joins") {
+    // the decision is driver-side, so the STATIC plan already shows the
+    // chosen join operator; a regression that routes the auto path into a
+    // sort-merge (shuffling the 10^12-row image side into sorts) or a
+    // nested-loop must fail here
+    val images = graft.model.Tables.images(spark, sfDir)
+      .select("image_id", "lat", "lng", "cell16")
+    val regions = graft.model.Tables.regions(spark)
+    val pBcast = graft.ops.Containment.containmentAuto(images, regions)
+      .queryExecution.executedPlan.toString
+    assert(pBcast.contains("BroadcastHashJoin"),
+      s"small region set must broadcast:\n${pBcast.take(1500)}")
+    val pShuffle = graft.ops.Containment.containmentAuto(images, regions,
+        broadcastBytesLimit = 0L, coarseLevelMax = -1) // no salt: pure SHJ
+      .queryExecution.executedPlan.toString
+    assert(pShuffle.contains("ShuffledHashJoin"),
+      s"over-budget region set must shuffle-hash, not sort-merge:\n${pShuffle.take(1500)}")
+    Seq(pBcast, pShuffle).foreach(p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"containment must stay an equi-join:\n${p.take(1500)}"))
+  }
+
   test("containment family plans carry NO ScalaUDF on the image side") {
     // since late round 3 every image-side kernel in the containment family
     // is a native codegen expression (s2_cell16 / s2_ancestors /
