@@ -385,6 +385,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- text: Gopher-style repetition / format signals. The synthetic
+    //     corpus is single-line, so BOTH engines derive the same
+    //     deterministic multi-line form first (replace " a " -> newline);
+    //     the word-level signals see heavy real repetition either way. ---
+    "q_text_repetition" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents")
+        .withColumn("text2", replace(col("text"), lit(" a "), lit("\n")))
+      TextOps.repetitionScores(docs, "text2")
+        .select("doc_id", "n_lines", "dup_line_frac", "dup_word_frac",
+          "bullet_line_frac", "ellipsis_line_frac")
+        .orderBy("doc_id")
+    }),
+
     // --- text: n-gram-heuristic language ID scores ---
     "q_text_langid" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -899,6 +913,17 @@ object SparkEntry {
           "CAST(spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio, " +
           "CAST(n_chars - spaces AS DOUBLE) / CAST(GREATEST(1, n_tokens) AS DOUBLE) AS mean_token_len " +
           "FROM t ORDER BY doc_id"),
+      "q_text_repetition" ->
+        ("WITH t AS (SELECT doc_id, REPLACE(text, ' a ', chr(10)) AS text2 FROM documents), " +
+          "l AS (SELECT doc_id, " +
+          "LIST_FILTER(STRING_SPLIT(text2, chr(10)), x -> LENGTH(x) > 0) AS lines, " +
+          "LIST_FILTER(STRING_SPLIT(text2, ' '), x -> LENGTH(x) > 0) AS words FROM t) " +
+          "SELECT doc_id, CAST(LEN(lines) AS BIGINT) AS n_lines, " +
+          "CAST(LEN(lines) - LEN(LIST_DISTINCT(lines)) AS DOUBLE) / CAST(GREATEST(1, LEN(lines)) AS DOUBLE) AS dup_line_frac, " +
+          "CAST(LEN(words) - LEN(LIST_DISTINCT(words)) AS DOUBLE) / CAST(GREATEST(1, LEN(words)) AS DOUBLE) AS dup_word_frac, " +
+          "CAST(LEN(LIST_FILTER(lines, x -> STARTS_WITH(x, '- ') OR STARTS_WITH(x, '* '))) AS DOUBLE) / CAST(GREATEST(1, LEN(lines)) AS DOUBLE) AS bullet_line_frac, " +
+          "CAST(LEN(LIST_FILTER(lines, x -> ENDS_WITH(x, '...'))) AS DOUBLE) / CAST(GREATEST(1, LEN(lines)) AS DOUBLE) AS ellipsis_line_frac " +
+          "FROM l ORDER BY doc_id"),
       "q_text_tokens" ->
         ("SELECT doc_id, " +
           "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_ws_tokens, " +

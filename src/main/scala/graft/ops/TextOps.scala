@@ -63,4 +63,33 @@ object TextOps {
   /** Karp-Rabin rolling-hash document fingerprint (core kernel). */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", Udfs.fingerprint(col(textCol)))
+
+  /** Gopher-style repetition / format signals (Rae et al. 2021, §A1.1 —
+    * public filtering heuristics; also RefinedWeb's line-wise rules):
+    * duplicate-line fraction, duplicate-word fraction (1 − type/token
+    * ratio), bullet-start and ellipsis-end line fractions. All exact
+    * integer-count ratios as pure codegen Column expressions — map-side
+    * only, no shuffle, no UDF: the 100 TB shape for per-document quality
+    * scoring (one scan, whole-stage codegen keeps every signal in the same
+    * pass). Empty docs score 0 on every fraction (greatest(1, n) guards). */
+  def repetitionScores(df: DataFrame, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val nLines = size(lines).cast("long")
+    val nWords = size(words).cast("long")
+    val dl = greatest(lit(1L), nLines).cast("double")
+    val dw = greatest(lit(1L), nWords).cast("double")
+    df.withColumn("n_lines", nLines)
+      .withColumn("dup_line_frac",
+        (nLines - size(array_distinct(lines)).cast("long")).cast("double") / dl)
+      .withColumn("dup_word_frac",
+        (nWords - size(array_distinct(words)).cast("long")).cast("double") / dw)
+      .withColumn("bullet_line_frac",
+        size(filter(lines, l =>
+          startswith(l, lit("- ")) || startswith(l, lit("* "))))
+          .cast("double") / dl)
+      .withColumn("ellipsis_line_frac",
+        size(filter(lines, l => endswith(l, lit("..."))))
+          .cast("double") / dl)
+  }
 }

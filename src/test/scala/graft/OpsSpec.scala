@@ -145,6 +145,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auto == want && autoShuffle == want && want.nonEmpty)
   }
 
+  test("repetition signals: exact fractions on a crafted corpus, empty-doc guards") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 non-empty lines, one duplicate ("same"); 1 bullet line, 1
+      // ellipsis line; word duplication from the space-separated "w w"
+      (1L, "same\nsame\n- bullet w w x\ntrailing line..."),
+      (2L, ""),                         // empty: every fraction 0, n_lines 0
+      (3L, "* b ...\nplain"),           // bullet line ends with "..." too
+      (4L, "one line only")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.repetitionScores(docs, "text")
+      .select("doc_id", "n_lines", "dup_line_frac", "dup_word_frac",
+        "bullet_line_frac", "ellipsis_line_frac")
+      .collect().map(x => (x.getLong(0),
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    // doc 1: lines = [same, same, "- bullet w w x", "trailing line..."]
+    //        words split on SPACES only (newlines ride inside a token):
+    //        ["same\nsame\n-", bullet, w, w, "x\ntrailing", "line..."]: 6, distinct 5
+    assert(r(1L) == ((4L, 1.0 / 4, 1.0 / 6, 1.0 / 4, 1.0 / 4)))
+    assert(r(2L) == ((0L, 0.0, 0.0, 0.0, 0.0)))
+    // doc 3: 2 lines, 0 dup; words [*, b, ..., plain] distinct; bullet 1/2;
+    //        "* b ..." ends with "..." -> ellipsis 1/2
+    assert(r(3L) == ((2L, 0.0, 0.0, 1.0 / 2, 1.0 / 2)))
+    assert(r(4L) == ((1L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("kNN cell-ring expansion equals brute-force top-k, dense and sparse") {
     val images = Tables.images(spark, sfDir)
     val qs = Synth.knnQueries.toSeq
