@@ -399,6 +399,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- text: PII / URL masking. The corpus contains no addresses, so
+    //     BOTH engines inject the same deterministic contact line first
+    //     (concat of existing columns) — the scrub itself is the operator
+    //     under test, exercised on every row. ---
+    "q_text_redact" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents").withColumn("text2",
+        concat(col("text"), lit(" contact "), col("source"), lit("@ex."),
+          col("lang"), lit(" or https://"), col("source"), lit(".ex.org/d/"),
+          col("doc_id").cast("string"), lit(" end")))
+      TextOps.redactPii(docs, "text2")
+        .select("doc_id", "n_emails", "n_urls", "text_redacted")
+        .orderBy("doc_id")
+    }),
+
     // --- text: n-gram-heuristic language ID scores ---
     "q_text_langid" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -913,6 +928,18 @@ object SparkEntry {
           "CAST(spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio, " +
           "CAST(n_chars - spaces AS DOUBLE) / CAST(GREATEST(1, n_tokens) AS DOUBLE) AS mean_token_len " +
           "FROM t ORDER BY doc_id"),
+      "q_text_redact" ->
+        ("WITH t AS (SELECT doc_id, text || ' contact ' || source || '@ex.' || lang || " +
+          "' or https://' || source || '.ex.org/d/' || CAST(doc_id AS VARCHAR) || ' end' AS text2 " +
+          "FROM documents), " +
+          "r AS (SELECT doc_id, " +
+          "regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t1, " +
+          "CAST(LEN(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails " +
+          "FROM t) " +
+          "SELECT doc_id, n_emails, " +
+          "CAST(LEN(regexp_extract_all(t1, 'https?://[^ \\n\\t]+')) AS BIGINT) AS n_urls, " +
+          "regexp_replace(t1, 'https?://[^ \\n\\t]+', '<URL>', 'g') AS text_redacted " +
+          "FROM r ORDER BY doc_id"),
       "q_text_repetition" ->
         ("WITH t AS (SELECT doc_id, REPLACE(text, ' a ', chr(10)) AS text2 FROM documents), " +
           "l AS (SELECT doc_id, " +

@@ -64,6 +64,33 @@ object TextOps {
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", Udfs.fingerprint(col(textCol)))
 
+  /** PII / URL masking (the Dolma & C4-style scrub step every public
+    * training-data pipeline runs before tokenization): replace e-mail
+    * addresses and http(s) URLs with fixed mask tokens and count the hits.
+    * Pure codegen regexp expressions — map-side, no shuffle, no UDF.
+    *
+    * The patterns deliberately use ONLY the regex subset where Java's
+    * engine (Spark) and RE2 (DuckDB) agree — character classes and greedy
+    * quantifiers, no word boundaries, no lookaround, no backrefs — the same
+    * dialect-safety rule as [[BpeishPattern]], so the oracle recomputation
+    * is bit-exact. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  // \n/\t stay REGEX escapes (not Scala ones) so the exact same pattern
+  // text can be pasted into the SQL oracle string
+  val UrlPattern = "https?://[^ \\n\\t]+"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_urls",
+        size(regexp_extract_all(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          lit(UrlPattern), lit(0))).cast("long"))
+      .withColumn("text_redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          UrlPattern, "<URL>"))
+
   /** Gopher-style repetition / format signals (Rae et al. 2021, §A1.1 —
     * public filtering heuristics; also RefinedWeb's line-wise rules):
     * duplicate-line fraction, duplicate-word fraction (1 − type/token

@@ -145,6 +145,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auto == want && autoShuffle == want && want.nonEmpty)
   }
 
+  test("PII/URL redaction: masks and counts; email-inside-URL order pinned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b+c@x-mail.org now"),
+      (2L, "see https://a.b/c?q=1 and http://plain end"),
+      (3L, "u@v.w x@y.zz"),          // 1-letter TLD is NOT an email
+      (4L, "https://h.co/a@b.cc t"), // email inside URL: email first, then
+                                     // the URL mask swallows the remainder
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.redactPii(docs, "text")
+      .select("doc_id", "n_emails", "n_urls", "text_redacted")
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    assert(r(1L) == ((1L, 0L, "mail me at <EMAIL> now")))
+    assert(r(2L) == ((0L, 2L, "see <URL> and <URL> end")))
+    assert(r(3L) == ((1L, 0L, "u@v.w <EMAIL>")))
+    assert(r(4L) == ((1L, 1L, "<URL> t")))
+    assert(r(5L) == ((0L, 0L, "")))
+  }
+
   test("repetition signals: exact fractions on a crafted corpus, empty-doc guards") {
     import spark.implicits._
     val docs = Seq(
