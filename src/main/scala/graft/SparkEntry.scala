@@ -944,7 +944,7 @@ object SparkEntry {
         ("WITH t AS (SELECT doc_id, REPLACE(text, ' a ', chr(10)) AS text2 FROM documents), " +
           "l AS (SELECT doc_id, " +
           "LIST_FILTER(STRING_SPLIT(text2, chr(10)), x -> LENGTH(x) > 0) AS lines, " +
-          "LIST_FILTER(STRING_SPLIT(text2, ' '), x -> LENGTH(x) > 0) AS words FROM t) " +
+          "LIST_FILTER(regexp_split_to_array(text2, '[ \\n\\t]'), x -> LENGTH(x) > 0) AS words FROM t) " +
           "SELECT doc_id, CAST(LEN(lines) AS BIGINT) AS n_lines, " +
           "CAST(LEN(lines) - LEN(LIST_DISTINCT(lines)) AS DOUBLE) / CAST(GREATEST(1, LEN(lines)) AS DOUBLE) AS dup_line_frac, " +
           "CAST(LEN(words) - LEN(LIST_DISTINCT(words)) AS DOUBLE) / CAST(GREATEST(1, LEN(words)) AS DOUBLE) AS dup_word_frac, " +

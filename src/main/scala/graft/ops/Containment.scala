@@ -39,14 +39,23 @@ object Containment {
     *                a deterministic salt from image_id, region cells are
     *                replicated saltBuckets times (north-rule skew handling;
     *                AQE skew-join also stays on).
-    * @param knownLevels the distinct covering levels, when the caller already
-    *                computed them (`chooseStrategy` returns them from its
-    *                stats job); None runs the distinct-levels job here.
     */
   def containmentJoin(images: DataFrame, regions: DataFrame,
                       broadcastRegions: Boolean = true,
-                      saltBuckets: Int = 0,
-                      knownLevels: Option[Seq[Int]] = None): DataFrame = {
+                      saltBuckets: Int = 0): DataFrame =
+    containmentJoinImpl(images, regions, broadcastRegions, saltBuckets, None)
+
+  /** Internal form taking the distinct covering levels a caller ALREADY
+    * computed over these same `regions` (`containmentAuto` gets them from
+    * `chooseStrategy`'s stats job). Package-private on purpose: a level set
+    * that does not match `regions` would silently drop matches — ancestors
+    * are generated only at the supplied levels — so the pairing stays an
+    * internal invariant, never a public cache for callers to get stale
+    * (review r03h). */
+  private[ops] def containmentJoinImpl(images: DataFrame, regions: DataFrame,
+                                       broadcastRegions: Boolean,
+                                       saltBuckets: Int,
+                                       knownLevels: Option[Seq[Int]]): DataFrame = {
     val regionCells = regions.select(
       col("region_id"), col("rings_lat"), col("rings_lng"),
       explode(col("cells")).as("rcell"))
@@ -144,7 +153,7 @@ object Containment {
                       coarseLevelMax: Int = 9,
                       saltBuckets: Int = 8): DataFrame = {
     val c = chooseStrategy(regions, broadcastBytesLimit, coarseLevelMax, saltBuckets)
-    containmentJoin(images, regions,
+    containmentJoinImpl(images, regions,
       broadcastRegions = c.broadcast, saltBuckets = c.saltBuckets,
       knownLevels = Some(c.levels))
   }

@@ -101,7 +101,13 @@ object TextOps {
     * pass). Empty docs score 0 on every fraction (greatest(1, n) guards). */
   def repetitionScores(df: DataFrame, textCol: String): DataFrame = {
     val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    // words split on the WHITESPACE CLASS, deliberately unlike tokenCount's
+    // single-space split (which exists for LENGTH-arithmetic parity): this
+    // operator splits lines in the same pass, and a space-only split would
+    // fuse each line's last word with the next line's first word —
+    // systematically deflating the duplicate-word signal on multi-line docs
+    // (review r03h). Empties from runs are filtered like everywhere else.
+    val words = filter(split(col(textCol), "[ \\n\\t]"), w => length(w) > 0)
     val nLines = size(lines).cast("long")
     val nWords = size(words).cast("long")
     val dl = greatest(lit(1L), nLines).cast("double")

@@ -38,22 +38,26 @@ private[graft] object Tracker {
     * recomputes through its RDD lineage if re-read, just slower. Same
     * single-owner caveat as Search.releasePercentileCaches: don't release
     * while another thread's returned frame is mid-action. */
+  /** Best-effort unpersist for EVERY release path: an RDD whose
+    * SparkContext has been stopped died WITH the context (its blocks are
+    * already gone); unpersist would reach into the dead BlockManagerMaster
+    * and NPE. Seen when survivors outlive their session (one session per
+    * test suite, a server cycling sessions) — and the per-call release
+    * paths hit the same thing when a session stops MID-OPERATOR and the
+    * operator's catch block releases: the NPE would then mask the real
+    * error. A stop racing mid-release hits the same dead endpoint, so the
+    * guard also swallows that (correctness unaffected either way: releasing
+    * is only ever a cache drop). */
+  private[ops] def safeUnpersist(r: RDD[Row]): Unit =
+    if (!r.sparkContext.isStopped)
+      try r.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+
   private val survivors = scala.collection.mutable.ArrayBuffer.empty[RDD[Row]]
   private[graft] def registerSurvivor(r: RDD[Row]): Unit =
     Tracker.synchronized { survivors += r }
   private[graft] def releaseSurvivors(): Unit = Tracker.synchronized {
-    // a survivor whose SparkContext has been stopped died WITH the context
-    // (its blocks are already gone); unpersist would reach into the dead
-    // BlockManagerMaster and NPE. Seen when survivors outlive their session
-    // — one session per test suite, or a server cycling sessions. A stop
-    // racing mid-release hits the same dead endpoint, so the best-effort
-    // release also swallows that (correctness is unaffected either way:
-    // releasing is only ever a cache drop).
-    survivors.foreach { r =>
-      if (!r.sparkContext.isStopped)
-        try r.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => () }
-    }
+    survivors.foreach(safeUnpersist)
     survivors.clear()
   }
   private[graft] def survivorCount: Int = Tracker.synchronized(survivors.size)
@@ -106,7 +110,7 @@ private[ops] final class Tracker {
     * hands out — without this, each round leaks one persisted RDD for the
     * session's lifetime. */
   def releaseExcept(keep: RDD[Row]): Unit =
-    rdds.foreach(r => if (r ne keep) r.unpersist(blocking = false))
+    rdds.foreach(r => if (r ne keep) Tracker.safeUnpersist(r))
 
-  def releaseAll(): Unit = rdds.foreach(_.unpersist(blocking = false))
+  def releaseAll(): Unit = rdds.foreach(Tracker.safeUnpersist)
 }

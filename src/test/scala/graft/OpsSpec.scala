@@ -170,11 +170,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val docs = Seq(
       // 4 non-empty lines, one duplicate ("same"); 1 bullet line, 1
-      // ellipsis line; word duplication from the space-separated "w w"
+      // ellipsis line; word duplication from "same" x2 and "w w"
       (1L, "same\nsame\n- bullet w w x\ntrailing line..."),
       (2L, ""),                         // empty: every fraction 0, n_lines 0
       (3L, "* b ...\nplain"),           // bullet line ends with "..." too
-      (4L, "one line only")
+      (4L, "one line only"),
+      // the line-boundary case (review r03h): a fully duplicated two-line
+      // doc must show duplication in BOTH signals — a space-only word
+      // split would fuse "cat\nthe" and report dup_word_frac 0
+      (5L, "the cat\nthe cat")
     ).toDF("doc_id", "text")
     val r = graft.ops.TextOps.repetitionScores(docs, "text")
       .select("doc_id", "n_lines", "dup_line_frac", "dup_word_frac",
@@ -183,14 +187,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))))
       .toMap
     // doc 1: lines = [same, same, "- bullet w w x", "trailing line..."]
-    //        words split on SPACES only (newlines ride inside a token):
-    //        ["same\nsame\n-", bullet, w, w, "x\ntrailing", "line..."]: 6, distinct 5
-    assert(r(1L) == ((4L, 1.0 / 4, 1.0 / 6, 1.0 / 4, 1.0 / 4)))
+    //        words (whitespace-class split) =
+    //        [same, same, -, bullet, w, w, x, trailing, line...]: 9, distinct 7
+    assert(r(1L) == ((4L, 1.0 / 4, 2.0 / 9, 1.0 / 4, 1.0 / 4)))
     assert(r(2L) == ((0L, 0.0, 0.0, 0.0, 0.0)))
     // doc 3: 2 lines, 0 dup; words [*, b, ..., plain] distinct; bullet 1/2;
     //        "* b ..." ends with "..." -> ellipsis 1/2
     assert(r(3L) == ((2L, 0.0, 0.0, 1.0 / 2, 1.0 / 2)))
     assert(r(4L) == ((1L, 0.0, 0.0, 0.0, 0.0)))
+    assert(r(5L) == ((2L, 1.0 / 2, 2.0 / 4, 0.0, 0.0)))
   }
 
   test("kNN cell-ring expansion equals brute-force top-k, dense and sparse") {
