@@ -48,6 +48,12 @@ object SparkEntry {
   /** The images CTE prefix shared by every oracle query. */
   private val W = s"WITH images AS (${Synth.imagesSelect})"
 
+  /** Per-language keep rates for the q_sample_hash gate; the oracle CASE
+    * expression is generated from this SAME map via Sampling.thresholdHex,
+    * so the threshold literals cannot drift between engines. */
+  private val SampleRates = Map(
+    "en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.125, "zh" -> 0.125)
+
   // cap fixture: 5.5 km-ish equirect cap at the London hot center
   private val capLat = 51.5074
   private val capLng = -0.1278
@@ -430,6 +436,41 @@ object SparkEntry {
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
           TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // --- dedup family: benchmark DECONTAMINATION (GPT-3/PaLM n-gram
+    //     overlap rule). Benchmark = every 10th doc's text — the leaked-
+    //     benchmark scenario, so hits = the benchmark members themselves
+    //     PLUS any near-verbatim copies in the rest of the corpus; the
+    //     survivors are the clean corpus. Broadcast semi-join on grams,
+    //     text never shuffles. ---
+    "q_decontaminate" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents")
+      val bench = docs.where(col("doc_id") % 10 === 0).select("text")
+      Dedup.decontaminate(docs, bench, "doc_id", "text", n = 8)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // --- sampling: shuffle-free deterministic per-language rates (md5
+    //     draw < per-stratum hex threshold; thresholds shared textually
+    //     with the oracle CASE expression) ---
+    "q_sample_hash" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      graft.ops.Sampling.sampleByHash(
+          s.table("documents"), "doc_id", "lang", SampleRates)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // --- sampling: exactly-25-per-language deterministic carve-out (window
+    //     over md5 order — the bounded-strata form) ---
+    "q_sample_stratified" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      graft.ops.Sampling.sampleExact(s.table("documents"), "doc_id", "lang", 25)
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
 
@@ -969,6 +1010,29 @@ object SparkEntry {
           "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, " +
           "CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
           "FROM canon GROUP BY lang ORDER BY lang"),
+      "q_decontaminate" ->
+        ("WITH w AS (SELECT doc_id, lang, source, " +
+          "LIST_FILTER(regexp_split_to_array(text, '[ \\n\\t]'), x -> LENGTH(x) > 0) AS ws FROM documents), " +
+          "g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS gram " +
+          "FROM w, LATERAL UNNEST(range(1, LEN(ws) - 6)) AS t(i)), " +
+          "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0), " +
+          "cont AS (SELECT DISTINCT doc_id FROM g WHERE gram IN (SELECT gram FROM bench)) " +
+          "SELECT doc_id, lang, source FROM documents " +
+          "WHERE doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id"),
+      "q_sample_hash" -> {
+        val cases = SampleRates.map { case (k, r) =>
+          s"WHEN '$k' THEN '${graft.ops.Sampling.thresholdHex(r)}'"
+        }.mkString(" ")
+        "SELECT doc_id, lang, source FROM documents " +
+          "WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+          s"(CASE lang $cases ELSE '${graft.ops.Sampling.thresholdHex(0.0)}' END) " +
+          "ORDER BY doc_id"
+      },
+      "q_sample_stratified" ->
+        ("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+          "ROW_NUMBER() OVER (PARTITION BY lang " +
+          "ORDER BY SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk " +
+          "FROM documents) t WHERE rk <= 25 ORDER BY doc_id"),
       "q_text_langid" -> {
         val scoreCols = TextOps.langProfiles.map { case (lang, words) =>
           val sum = words.map(w =>

@@ -269,4 +269,29 @@ object Dedup {
       .where(col("cosine") > threshold)
       .select("id_a", "id_b")
   }
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap rule): drop
+    * every corpus row whose text shares ANY word n-gram with the benchmark
+    * set. Corpus docs shorter than n words carry no n-gram and always
+    * survive.
+    *
+    * Plan shape at scale: both sides explode to grams with the text payload
+    * projected away FIRST, so document bodies never ride a shuffle. The
+    * benchmark side is small by nature (eval sets are ~10^4..10^6 grams
+    * even for big benchmark suites), so its distinct gram set is BROADCAST
+    * and the corpus probe is a map-side LeftSemi — zero shuffle of corpus
+    * data to find hits. Hit ids collapse through a partial-aggregated
+    * distinct (one id per doc, not one per matching gram) before the
+    * left_anti re-attach returns the surviving ORIGINAL rows. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextOps.wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(TextOps.wordNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -99,6 +99,22 @@ object TextOps {
     * only, no shuffle, no UDF: the 100 TB shape for per-document quality
     * scoring (one scan, whole-stage codegen keeps every signal in the same
     * pass). Empty docs score 0 on every fraction (greatest(1, n) guards). */
+  /** Word n-grams as a codegen-friendly array expression: whitespace-class
+    * split (same token stream as `repetitionScores`' word split and the
+    * DuckDB oracle's `regexp_split_to_array(text, '[ \n\t]')`), empties
+    * dropped, each run of n consecutive words joined with single spaces.
+    * Documents with fewer than n words carry no n-gram -> empty array (the
+    * `when` guard matters: an unguarded `sequence(1, size-n+1)` DESCENDS
+    * when size < n and would fabricate grams). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"wordNgrams: n must be >= 1, got $n")
+    val words = filter(split(text, "[ \\n\\t]"), w => length(w) > 0)
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - lit(n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def repetitionScores(df: DataFrame, textCol: String): DataFrame = {
     val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
     // words split on the WHITESPACE CLASS, deliberately unlike tokenCount's

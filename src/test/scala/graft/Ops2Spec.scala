@@ -296,4 +296,62 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(polar.getMessage.contains("pole") ||
       Option(polar.getCause).exists(_.getMessage.contains("pole")))
   }
+
+  test("decontaminate drops n-gram overlap with the benchmark, keeps short docs") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),      // shares "c d e" with bench
+      (2L, "x y z w v"),      // no overlap
+      (3L, "q r s c d e"),    // shares "c d e"
+      (4L, "aa")              // shorter than n words: cannot be contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("c d e f g")).toDF("text")
+    val survivors = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(2L, 4L))
+    // a benchmark with no n-gram of its own flags nothing
+    val benchShort = Seq(Tuple1("one two")).toDF("text")
+    val all = Dedup.decontaminate(corpus, benchShort, "doc_id", "text", n = 3)
+      .count()
+    assert(all == 4L)
+  }
+
+  test("sampleByHash: deterministic, rate-nested, rate-0/1 exact") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(1.0) == "g")
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    def ids(rates: Map[String, Double]): Set[Long] =
+      Sampling.sampleByHash(df, "id", "stratum", rates)
+        .select("id").as[Long].collect().toSet
+    val half = ids(Map("a" -> 0.5, "b" -> 0.5))
+    assert(ids(Map("a" -> 0.5, "b" -> 0.5)) == half) // deterministic
+    // nested thresholds => nested samples (same draws, lower cutoff)
+    val quarter = ids(Map("a" -> 0.25, "b" -> 0.25))
+    assert(quarter.subsetOf(half))
+    // roughly proportional (md5 uniformity; generous bounds)
+    assert(half.size > 120 && half.size < 280, s"half=${half.size}")
+    // rate 1 keeps everything, absent stratum + default 0 keeps nothing
+    assert(ids(Map("a" -> 1.0, "b" -> 1.0)).size == 400)
+    assert(ids(Map("a" -> 1.0)) == (2L to 400L by 2).toSet)
+  }
+
+  test("sampleExact: n lowest draws per stratum, stable under repartition") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val got = Sampling.sampleExact(df, "id", "stratum", 10)
+    assert(got.groupBy("stratum").count().as[(String, Long)].collect().toMap ==
+      Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    val again = Sampling.sampleExact(df.repartition(7), "id", "stratum", 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == got.select("id").as[Long].collect().toSet)
+    // stratum smaller than n: all rows survive
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "stratum")
+    assert(Sampling.sampleExact(tiny, "id", "stratum", 10).count() == 2L)
+  }
 }
