@@ -54,6 +54,12 @@ object SparkEntry {
   private val SampleRates = Map(
     "en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.125, "zh" -> 0.125)
 
+  /** Per-language mix weights for q_upsample — integer parts and fractional
+    * thresholds are derived from this one map on both engine and oracle
+    * sides. */
+  private val UpsampleWeights = Map(
+    "en" -> 0.5, "de" -> 2.0, "fr" -> 1.5, "es" -> 2.5, "zh" -> 1.0)
+
   // cap fixture: 5.5 km-ish equirect cap at the London hot center
   private val capLat = 51.5074
   private val capLng = -0.1278
@@ -472,6 +478,34 @@ object SparkEntry {
       graft.ops.Sampling.sampleExact(s.table("documents"), "doc_id", "lang", 25)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+
+    // --- sampling: deterministic fractional UPSAMPLING (corpus mixing —
+    //     per-language weights; expected multiplicity = weight, no RNG) ---
+    "q_upsample" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      graft.ops.Sampling.upsample(
+          s.table("documents").select("doc_id", "lang"),
+          "doc_id", "lang", UpsampleWeights)
+        .orderBy("doc_id", "copy")
+    }),
+
+    // --- similarity: CLIP-score-style ALIGNMENT FILTER over paired
+    //     embeddings (tower A = even vec_ids, tower B = the next id —
+    //     scale-free pairing; keep pairs agreeing above 0.05). Output is
+    //     ids only: the float score stays engine-internal, the DECISION is
+    //     what both engines must agree on (same discipline as
+    //     q_embed_neardup). ---
+    "q_align_filter" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val e = s.table("embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+        .where(col("id_a") % 2 === 0)
+      val b = e.select((col("vec_id") - 1).as("id_a"),
+        col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      Similarity.alignmentFilter(a.join(b, "id_a"), "vec_a", "vec_b", 0.05)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
     }),
 
     // --- composed training-data pipeline (builder brief): quality filter
@@ -1033,6 +1067,21 @@ object SparkEntry {
           "ROW_NUMBER() OVER (PARTITION BY lang " +
           "ORDER BY SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk " +
           "FROM documents) t WHERE rk <= 25 ORDER BY doc_id"),
+      "q_upsample" -> {
+        val arms = UpsampleWeights.map { case (k, w) =>
+          val whole = math.floor(w).toInt
+          val thr = graft.ops.Sampling.thresholdHex(w - whole)
+          s"WHEN '$k' THEN $whole + (CASE WHEN sub < '$thr' THEN 1 ELSE 0 END)"
+        }.mkString(" ")
+        s"WITH r AS (SELECT doc_id, lang, (CASE lang $arms ELSE 1 END) AS reps " +
+          "FROM (SELECT doc_id, lang, SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS sub FROM documents)) " +
+          "SELECT doc_id, lang, CAST(i AS INT) AS copy " +
+          "FROM r, LATERAL UNNEST(range(1, reps + 1)) AS t(i) ORDER BY doc_id, copy"
+      },
+      "q_align_filter" ->
+        ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+          "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 " +
+          "WHERE a.vec_id % 2 = 0 AND list_cosine_similarity(a.v, b.v) > 0.05 ORDER BY id_a"),
       "q_text_langid" -> {
         val scoreCols = TextOps.langProfiles.map { case (lang, words) =>
           val sum = words.map(w =>

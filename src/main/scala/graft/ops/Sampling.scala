@@ -48,6 +48,33 @@ object Sampling {
     df.where(hashDraw(col(keyCol)) < thr)
   }
 
+  /** Deterministic fractional upsampling for corpus mixing (Pile/Dolma-style
+    * per-source weights): a row appears floor(w) times, plus once more iff
+    * its md5 draw falls under frac(w) — expected multiplicity exactly w,
+    * with NO RNG, byte-stable across runs, partitionings and engines.
+    * Weights below 1 degrade to deterministic downsampling (floor 0 +
+    * fractional keep = the sampleByHash rule). Adds `copy` (INT, 1..reps);
+    * a map-side explode of a tiny int sequence — no shuffle. */
+  def upsample(df: DataFrame, keyCol: String, stratumCol: String,
+               weights: Map[String, Double],
+               defaultWeight: Double = 1.0): DataFrame = {
+    def repsFor(w: Double): Column = {
+      require(w >= 0.0, s"upsample: weight must be >= 0, got $w")
+      val whole = math.floor(w).toInt
+      lit(whole) +
+        (hashDraw(col(keyCol)) < lit(thresholdHex(w - whole))).cast("int")
+    }
+    val reps = weights.foldLeft(repsFor(defaultWeight)) {
+      case (acc, (k, w)) =>
+        when(col(stratumCol) === lit(k), repsFor(w)).otherwise(acc)
+    }
+    // the when-guard matters: sequence(1, 0) DESCENDS rather than erroring,
+    // and explode of the empty array is what drops a reps=0 row
+    df.withColumn("copy", explode(
+      when(reps >= 1, sequence(lit(1), reps))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Exactly-n-per-stratum deterministic sample: the n rows with the LOWEST
     * md5 draws in each stratum, ties broken by the key itself. */
   def sampleExact(df: DataFrame, keyCol: String, stratumCol: String,

@@ -21,6 +21,24 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, v) => acc + v) / (normA * normB)
 
+  /** CLIP-score-style alignment filter for paired multimodal embeddings
+    * (the LAION/DataComp pipeline stage): keep rows whose two embedding
+    * columns agree above the threshold, exposing the score for downstream
+    * quality buckets. Pure map-side after whatever join built the pairs —
+    * norms and the dot product are higher-order-function expressions over
+    * the arrays (no UDF, no shuffle), so the filter rides the pair-build
+    * stage at any scale. */
+  def alignmentFilter(pairs: DataFrame, vecACol: String, vecBCol: String,
+                      threshold: Double,
+                      scoreCol: String = "alignment"): DataFrame = {
+    def nrm(c: Column): Column = sqrt(aggregate(c, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    pairs
+      .withColumn(scoreCol,
+        cosine(col(vecACol), col(vecBCol), nrm(col(vecACol)), nrm(col(vecBCol))))
+      .where(col(scoreCol) > threshold)
+  }
+
   /** Rank joined (query_id, id, cosine) candidates to per-query top-k via
     * the shared BOUNDED partial aggregate (largest cosine first, id
     * tie-break — for finite scores the negated score gives exactly the old

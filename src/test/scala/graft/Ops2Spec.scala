@@ -354,4 +354,41 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "stratum")
     assert(Sampling.sampleExact(tiny, "id", "stratum", 10).count() == 2L)
   }
+
+  test("upsample: integer weights exact, fractional = floor + hash keep, zero drops") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b")).toDF("id", "stratum")
+    // integer weight: every 'a' row exactly twice, copies numbered 1..2
+    val doubled = Sampling.upsample(df, "id", "stratum", Map("a" -> 2.0, "b" -> 0.0))
+    assert(doubled.count() == 200L)
+    assert(doubled.groupBy("id").count().where(col("count") =!= 2).count() == 0)
+    assert(doubled.select("copy").distinct().as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // fractional: floor(1.5)=1 guaranteed + ~half get a 2nd copy; the extra
+    // set must EQUAL the sampleByHash(0.5) keep set (same draw, same rule)
+    val mixed = Sampling.upsample(df, "id", "stratum", Map("a" -> 1.5), defaultWeight = 1.0)
+    val aCounts = mixed.where(col("stratum") === "a")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(aCounts.values.forall(c => c == 1L || c == 2L) && aCounts.size == 100)
+    val extra = aCounts.filter(_._2 == 2L).keySet
+    val kept = Sampling.sampleByHash(df.where(col("stratum") === "a"), "id", "stratum",
+      Map("a" -> 0.5)).select("id").as[Long].collect().toSet
+    assert(extra == kept)
+    // default weight 1.0: 'b' rows pass through once with copy=1
+    assert(mixed.where(col("stratum") === "b").count() == 100L)
+  }
+
+  test("alignmentFilter keeps aligned pairs, exposes score, drops orthogonal") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // cosine 1
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // cosine 0
+      (3L, Array(1.0f, 1.0f), Array(1.0f, 0.9f))    // cosine ~0.998
+    ).toDF("pair_id", "vec_a", "vec_b")
+    val got = Similarity.alignmentFilter(pairs, "vec_a", "vec_b", 0.5)
+    assert(got.select("pair_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(got.columns.contains("alignment"))
+    assert(got.where(col("alignment") > 0.99).count() == 2L)
+  }
 }
