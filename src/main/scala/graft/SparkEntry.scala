@@ -359,6 +359,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- SemDeDup (cluster-bounded semantic dedup — the web-scale shape;
+    //     oracle: independent within-cluster brute force, shared quantizer
+    //     kernel per the Golden float policy) ---
+    "q_semdedup" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val emb = s.table("embeddings")
+      val sample = emb.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val centroids = Similarity.trainCentroids(sample, nClusters = 16, iters = 5)
+      Dedup.semanticDedupPairs(emb, "vec_id", "embedding", centroids, 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- similarity: brute-force cosine top-k ANN baseline ---
     "q_ann_topk" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -490,6 +503,19 @@ object SparkEntry {
         .orderBy("doc_id", "copy")
     }),
 
+    // --- sampling: deterministic token-budget SHARD PACKING (shuffle,
+    //     concatenate, chunk into fixed token windows — chunked-window
+    //     cumsum, no global sort, no sampled partitioning) ---
+    "q_pack_shards" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Sampling.packShards(docs, "doc_id", "n_tokens", budget = 4096L)
+        .withColumnRenamed("offset", "tok_offset")
+        .orderBy("doc_id")
+    }),
+
     // --- similarity: CLIP-score-style ALIGNMENT FILTER over paired
     //     embeddings (tower A = even vec_ids, tower B = the next id —
     //     scale-free pairing; keep pairs agreeing above 0.05). Output is
@@ -531,6 +557,27 @@ object SparkEntry {
       Tables.registerBase(s, dir)
       TextOps.fingerprints(s.table("documents").select("doc_id", "text"), "text")
         .select("doc_id", "fingerprint").orderBy("doc_id")
+    }),
+
+    // --- text: winnowed (MOSS) fingerprints — Schleimer et al. 2003;
+    //     oracle: independent per-window rescan vs the engine's deque ---
+    "q_winnow" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      TextOps.winnowFingerprints(
+          s.table("documents").select("doc_id", "text"), "text", k = 20, w = 8)
+        .select("doc_id", "pos", "fp").orderBy("doc_id", "pos")
+    }),
+
+    // --- dedup: winnowing near-dup pairs (>= 3 shared selected prints,
+    //     boilerplate fps capped at docFreq 4; oracle: hash-map postings) ---
+    "q_winnow_pairs" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" mutato")).as("text"))
+      Dedup.winnowNearDupPairs(docs.unionByName(mutated), "doc_id", "text",
+          k = 20, w = 8, minShared = 3, maxDocFreq = Some(4))
+        .orderBy("id_a", "id_b")
     }),
 
     // --- multimodal: binary payload round-trip metadata ---
@@ -1078,10 +1125,20 @@ object SparkEntry {
           "SELECT doc_id, lang, CAST(i AS INT) AS copy " +
           "FROM r, LATERAL UNNEST(range(1, reps + 1)) AS t(i) ORDER BY doc_id, copy"
       },
+      "q_pack_shards" ->
+        ("WITH t AS (SELECT doc_id, " +
+          "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_tokens " +
+          "FROM documents) " +
+          "SELECT doc_id, " +
+          "CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_offset, " +
+          "CAST((SUM(n_tokens) OVER w - n_tokens) // 4096 AS BIGINT) AS shard " +
+          "FROM t WINDOW w AS (ORDER BY SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY doc_id"),
       "q_align_filter" ->
         ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
           "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 " +
-          "WHERE a.vec_id % 2 = 0 AND list_cosine_similarity(a.v, b.v) > 0.05 ORDER BY id_a"),
+          "WHERE a.vec_id % 2 = 0 AND list_cosine_similarity(a.v, b.v) > 0.05 " +
+          "AND NOT isnan(list_cosine_similarity(a.v, b.v)) ORDER BY id_a"),
       "q_text_langid" -> {
         val scoreCols = TextOps.langProfiles.map { case (lang, words) =>
           val sum = words.map(w =>
@@ -1149,6 +1206,7 @@ object SparkEntry {
       // math is not ANSI-SQL-expressible. ----
       "q_ann_lsh" -> g("q_ann_lsh", "id_a, id_b"),
       "q_ann_ivf" -> g("q_ann_ivf", "query_id, rank"),
+      "q_semdedup" -> g("q_semdedup", "id_a, id_b"),
       "q_connect" -> g("q_connect", "id"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),
@@ -1166,6 +1224,8 @@ object SparkEntry {
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
       "q_minhash_lsh" -> g("q_minhash_lsh", "id_a, id_b"),
+      "q_winnow" -> g("q_winnow", "doc_id, pos"),
+      "q_winnow_pairs" -> g("q_winnow_pairs", "id_a, id_b"),
       "q_ngram_jaccard" -> g("q_ngram_jaccard", "id_a, id_b"),
       "q_mvt_tiles" -> g("q_mvt_tiles", "z, x, y"),
       "q_reachable" -> g("q_reachable", "node"),

@@ -105,6 +105,43 @@ object Hashes {
     out
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * SIGMOD "Winnowing: Local Algorithms for Document Fingerprinting" §4 —
+    * the MOSS algorithm) over a k-gram hash sequence: slide a window of
+    * `w` consecutive gram hashes; in each window select the minimum,
+    * taking the RIGHTMOST position on ties (the paper's rule — it
+    * minimizes the fingerprint density); each selected POSITION is
+    * recorded once even when consecutive windows re-select it. Guarantee
+    * (paper §3): any substring match of length >= w + k - 1 shares at
+    * least one selected fingerprint, which is what makes the pair join
+    * over selected hashes a sound near-dup candidate generator.
+    *
+    * O(n) via a monotone deque; the golden oracle recomputes selection
+    * with an independent per-window right-to-left rescan
+    * (graft.oracle.Golden.winnowSelect), so the deque logic itself is
+    * gate-checked. Returns (hash, gram index) in selection order. */
+  def winnow(grams: Array[Long], w: Int): Array[(Long, Int)] = {
+    require(w >= 1, s"winnow: window must be >= 1, got $w")
+    if (grams.length < w) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val dq = new java.util.ArrayDeque[Int]()
+    var last = -1
+    var i = 0
+    while (i < grams.length) {
+      // >= pop: an equal older value is discarded, so the deque front is
+      // always the rightmost occurrence of the window minimum
+      while (!dq.isEmpty && grams(dq.peekLast) >= grams(i)) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst <= i - w) dq.pollFirst()
+      if (i >= w - 1 && dq.peekFirst != last) {
+        last = dq.peekFirst
+        out += ((grams(last), last))
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Karp-Rabin rolling-hash document fingerprint: polynomial hash of the
     * whole string, base 257 mod 2^61-1. */
   def fingerprint(s: String): Long = {

@@ -121,6 +121,13 @@ object Udfs {
   // ---- text / dedup kernels ----
   val fingerprint: UserDefinedFunction = udf((s: String) => Hashes.fingerprint(s))
 
+  /** Winnowed (MOSS) fingerprints of a document: char k-gram FNV-1a hashes
+    * -> windowed rightmost-min selection (Hashes.winnow). Emits (pos, fp)
+    * structs; docs shorter than k + w - 1 chars select nothing. */
+  def winnowFps(k: Int, w: Int): UserDefinedFunction =
+    udf((s: String) =>
+      Hashes.winnow(shingles(s, k).map(Hashes.fnv1a), w).toSeq)
+
   val simhash: UserDefinedFunction = udf((s: String) =>
     Hashes.simhash(tokenize(s).map(Hashes.fnv1a)))
 

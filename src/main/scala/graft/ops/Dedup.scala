@@ -191,6 +191,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Winnowing near-duplicate pairs (Schleimer et al. 2003 — the MOSS
+    * pipeline as a distributed join): per document, the winnowed
+    * fingerprint set ([[TextOps.winnowFingerprints]]: char k-grams,
+    * window w, rightmost-min selection); pairs are documents sharing
+    * >= `minShared` DISTINCT selected fingerprints. Deterministic and
+    * LOCAL (unlike MinHash there is no probabilistic recall knob): any
+    * shared substring of length >= w + k - 1 forces a shared fingerprint,
+    * so minShared=m means >= m independently-witnessed shared passages.
+    *
+    * Scale shape: the join carries ONLY (id, fp) — two longs — per
+    * selected print (~2/(w+1) per char, the paper's density), the same
+    * key-only discipline as [[minhashLshPairs]]; the pair count is a
+    * partial-aggregated groupBy. `maxDocFreq` drops fingerprints selected
+    * by more than that many documents BEFORE pairing — MOSS's boilerplate
+    * suppression, and at web scale the posting-list cap that bounds any
+    * one bucket's quadratic contribution (a fp shared by d docs yields
+    * d(d-1)/2 candidate rows); residual skew falls to AQE like every
+    * hot-key join here. */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int, minShared: Int,
+                         maxDocFreq: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"winnowNearDupPairs: minShared must be >= 1, got $minShared")
+    maxDocFreq.foreach(m => require(m >= 2,
+      s"winnowNearDupPairs: maxDocFreq must be >= 2 (pairs need two docs), got $m"))
+    val fps = TextOps.winnowFingerprints(
+        df.select(col(idCol).as("id"), col(textCol).as("_text")), "_text", k, w)
+      .select(col("id"), col("fp")).distinct()
+    val kept = maxDocFreq match {
+      case Some(m) =>
+        val hot = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+          .where(col("_df") > m).select("fp")
+        fps.join(hot, Seq("fp"), "left_anti")
+      case None => fps
+    }
+    kept.select(col("id").as("id_a"), col("fp"))
+      .join(kept.select(col("id").as("id_b"), col("fp")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Shared 64-bit banded-Hamming candidate kernel: `keyed` carries
     * (id LONG, h LONG); split h into `bands` contiguous bands, equi-join on
     * (band, band_key), exact popcount refine. The join replicates only
@@ -266,7 +308,46 @@ object Dedup {
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")))
-      .where(col("cosine") > threshold)
+      // NaN (zero-norm vector) must be rejected explicitly — Spark orders
+      // NaN above all doubles, so `NaN > threshold` alone is TRUE
+      .where(col("cosine") > threshold && !isnan(col("cosine")))
+      .select("id_a", "id_b")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-duplicate
+    * pairs found ONLY within k-means clusters of the embedding space — the
+    * web-scale shape for embedding dedup. The all-pairs quadratic is bounded
+    * per cluster (the paper's trick: with C clusters of ~N/C rows each, work
+    * drops from N² to N²/C while near-identical vectors still collide,
+    * because a cosine-ε duplicate pair is far closer to each other than to
+    * any centroid boundary at the thresholds dedup uses, ≥0.9). Plan shape:
+    * map-side centroid assignment over a broadcast constant-size quantizer
+    * (same model as [[Similarity.ivfTopK]] — at design scale `cluster` is
+    * the write-time bucket key and this join is co-located), then a plain
+    * equi-join on `cluster` with the exact-cosine refine in the condition.
+    * DELIBERATELY approximate across clusters, exact within: a pair split
+    * by the quantizer is missed — that is SemDeDup's published contract,
+    * and the exact baseline ([[embeddingNearDupExact]]) plus the LSH path
+    * ([[Similarity.cosineLshPairs]]) remain for recall-critical uses.
+    * Zero-norm vectors score NaN, which must be rejected EXPLICITLY:
+    * Spark SQL orders NaN above every double, so a bare `> threshold`
+    * would pair every degenerate vector with its whole cluster. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[Array[Double]],
+                         threshold: Double): DataFrame = {
+    val assign = udf((v: Seq[Float]) =>
+      Similarity.nearestCentroid(v.map(_.toDouble).toArray, centroids))
+    val n = Similarity.withNorm(df, idCol, vecCol)
+      .withColumn("cluster", assign(col("vec")))
+    val a = n.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = n.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(
+        col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")))
+      .where(col("cosine") > threshold && !isnan(col("cosine")))
       .select("id_a", "id_b")
   }
 

@@ -61,8 +61,13 @@ object Sampling {
     def repsFor(w: Double): Column = {
       require(w >= 0.0, s"upsample: weight must be >= 0, got $w")
       val whole = math.floor(w).toInt
-      lit(whole) +
-        (hashDraw(col(keyCol)) < lit(thresholdHex(w - whole))).cast("int")
+      // NULL key => no fractional draw (floor(w) copies), matching SQL's
+      // `CASE WHEN sub < thr THEN 1 ELSE 0 END` where a NULL comparison
+      // falls to ELSE — without the coalesce, NULL poisons reps and the
+      // row vanishes entirely even for integer weights.
+      lit(whole) + coalesce(
+        (hashDraw(col(keyCol)) < lit(thresholdHex(w - whole))).cast("int"),
+        lit(0))
     }
     val reps = weights.foldLeft(repsFor(defaultWeight)) {
       case (acc, (k, w)) =>
@@ -73,6 +78,54 @@ object Sampling {
     df.withColumn("copy", explode(
       when(reps >= 1, sequence(lit(1), reps))
         .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Deterministic token-budget shard packing — the "shuffle, concatenate,
+    * chunk into fixed token windows" step of a training-data pipeline:
+    * stream the corpus in the md5-shuffled total order (hashDraw(key), key —
+    * the same deterministic shuffle the samplers use), accumulate token
+    * counts, and assign each doc the shard where it STARTS:
+    * `offset` = tokens before it in the stream, `shard` = offset / budget.
+    * Byte-stable across runs, partitionings and engines (BIGINT arithmetic
+    * over a total order); re-running a 100 TB packing job must not reshard.
+    *
+    * Scale shape — NO global window, NO sampled range partitioning: the
+    * first 4 hex chars of the draw give a FIXED 65,536-way chunking of the
+    * stream (md5 is uniform, so chunks are balanced at ~1.5 GB per 100 TB).
+    * Per-chunk token totals are a tiny aggregate; chunk start offsets are a
+    * window over those 65,536 rows; the per-doc cumsum is a per-chunk
+    * window (one spillable sort task per chunk) plus a broadcast join on
+    * the chunk id. Because the chunk id is a PREFIX of the order key, chunk
+    * order ⊕ in-chunk order equals the global order — same two-pass prefix
+    * trick as Search.percentiles but with deterministic boundaries, so no
+    * determinism-anchor cache is needed.
+    *
+    * Keys must be NON-NULL (engines disagree on NULL order) and token
+    * counts non-negative. */
+  def packShards(df: DataFrame, keyCol: String, tokensCol: String,
+                 budget: Long): DataFrame = {
+    require(budget > 0, s"packShards: budget must be positive, got $budget")
+    val draw = hashDraw(col(keyCol))
+    val chunk = conv(substring(draw, 1, 4), 16, 10).cast("int")
+    val rows = df
+      .select(col(keyCol), col(tokensCol).cast("long").as("_tok"))
+      .withColumn("_draw", draw).withColumn("_chunk", chunk)
+    val chunkOffsets = rows
+      .groupBy("_chunk").agg(sum("_tok").as("_chunk_tok"))
+      .withColumn("_chunk_off",
+        coalesce(sum("_chunk_tok").over(
+          Window.orderBy("_chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_chunk", "_chunk_off")
+    val inChunk = Window.partitionBy("_chunk")
+      .orderBy(col("_draw"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .join(broadcast(chunkOffsets), Seq("_chunk"))
+      .withColumn("offset", col("_chunk_off") + sum("_tok").over(inChunk) - col("_tok"))
+      // integral `div`, not double division: exact past 2^53 tokens
+      .withColumn("shard", expr(s"offset div ${budget}L"))
+      .select(col(keyCol), col("offset"), col("shard"))
   }
 
   /** Exactly-n-per-stratum deterministic sample: the n rows with the LOWEST

@@ -9,17 +9,28 @@ import org.apache.spark.sql.functions._
   * expression (zip_with + aggregate) — codegen-friendly, no UDF. */
 object Similarity {
 
+  /** L2 norm of a float vector, accumulated left-to-right in double. */
+  def l2Norm(c: Column): Column = sqrt(aggregate(c, lit(0.0d),
+    (acc, x) => acc + x.cast("double") * x.cast("double")))
+
   /** Normalize to (id, vec, norm) with a double L2 norm. */
   def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("norm", sqrt(aggregate(col("vec"), lit(0.0d),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("norm", l2Norm(col("vec")))
 
   /** Cosine similarity of two float vectors with precomputed norms; products
-    * accumulate left-to-right in double. */
-  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v) / (normA * normB)
+    * accumulate left-to-right in double. TOTAL by construction: a zero-norm
+    * (degenerate) vector yields NaN rather than evaluating 0/0 — under
+    * Spark's default ANSI mode a literal 0/0 THROWS DIVIDE_BY_ZERO and
+    * kills the whole query, so one failed-decode embedding in a 100 TB
+    * corpus must not crash the job; NaN then ranks last in [[rankTopK]]
+    * and is rejected by [[alignmentFilter]]. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+    val denom = normA * normB
+    when(denom === 0.0d, lit(Double.NaN)).otherwise(dot / denom)
+  }
 
   /** CLIP-score-style alignment filter for paired multimodal embeddings
     * (the LAION/DataComp pipeline stage): keep rows whose two embedding
@@ -27,16 +38,20 @@ object Similarity {
     * quality buckets. Pure map-side after whatever join built the pairs —
     * norms and the dot product are higher-order-function expressions over
     * the arrays (no UDF, no shuffle), so the filter rides the pair-build
-    * stage at any scale. */
+    * stage at any scale.
+    *
+    * Zero-norm vectors (failed decodes — exactly what an alignment filter
+    * exists to drop) give cosine 0/0 = NaN; Spark's nan-safe comparison
+    * would rank NaN ABOVE the threshold, so the filter explicitly rejects
+    * NaN scores (same adjudication as [[rankTopK]]: an undefined
+    * similarity must not pass a quality bar). */
   def alignmentFilter(pairs: DataFrame, vecACol: String, vecBCol: String,
                       threshold: Double,
                       scoreCol: String = "alignment"): DataFrame = {
-    def nrm(c: Column): Column = sqrt(aggregate(c, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
     pairs
       .withColumn(scoreCol,
-        cosine(col(vecACol), col(vecBCol), nrm(col(vecACol)), nrm(col(vecBCol))))
-      .where(col(scoreCol) > threshold)
+        cosine(col(vecACol), col(vecBCol), l2Norm(col(vecACol)), l2Norm(col(vecBCol))))
+      .where(col(scoreCol) > threshold && !isnan(col(scoreCol)))
   }
 
   /** Rank joined (query_id, id, cosine) candidates to per-query top-k via
@@ -210,6 +225,8 @@ object Similarity {
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")).as("cosine"))
-      .where(col("cosine") >= threshold)
+      // explicit NaN reject: Spark orders NaN above all doubles, so a
+      // zero-norm vector sharing a bucket would otherwise pass the refine
+      .where(col("cosine") >= threshold && !isnan(col("cosine")))
   }
 }

@@ -64,6 +64,26 @@ object TextOps {
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", Udfs.fingerprint(col(textCol)))
 
+  /** Winnowed (MOSS) document fingerprints — Schleimer, Wilkerson & Aiken
+    * 2003: char k-gram hashes, window-w rightmost-min selection
+    * ([[graft.core.Hashes.winnow]]). One output row per SELECTED
+    * fingerprint: the input columns plus (pos, fp), where pos is the
+    * k-gram's character offset. Any substring match of length >= w + k - 1
+    * between two documents is guaranteed to share a selected fp — the
+    * local-fingerprinting contract that makes the selected set a sound
+    * near-dup candidate key (vs MinHash, which is probabilistic).
+    * Map-side only (UDF + explode, no shuffle); document density is
+    * ~2/(w+1) selected prints per char, so the explode fan-out is bounded
+    * and tunable by w. */
+  def winnowFingerprints(df: DataFrame, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k, w must be >= 1, got k=$k w=$w")
+    df.withColumn("_sel", explode(Udfs.winnowFps(k, w)(col(textCol))))
+      .withColumn("fp", col("_sel._1"))
+      .withColumn("pos", col("_sel._2"))
+      .drop("_sel")
+  }
+
   /** PII / URL masking (the Dolma & C4-style scrub step every public
     * training-data pipeline runs before tokenization): replace e-mail
     * addresses and http(s) URLs with fixed mask tokens and count the hits.

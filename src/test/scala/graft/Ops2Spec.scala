@@ -378,6 +378,18 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mixed.where(col("stratum") === "b").count() == 100L)
   }
 
+  test("upsample: NULL key gets floor(w) copies (no fractional draw), like the SQL CASE") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (None: Option[Long], "a"))
+      .toDF("id", "stratum")
+    val up = Sampling.upsample(df, "id", "stratum", Map("a" -> 2.5))
+    // the null-key row must not vanish: it gets exactly floor(2.5) = 2 copies
+    assert(up.where(col("id").isNull).count() == 2L)
+    val c1 = up.where(col("id") === 1L).count()
+    assert(c1 == 2L || c1 == 3L)
+  }
+
   test("alignmentFilter keeps aligned pairs, exposes score, drops orthogonal") {
     import graft.ops.Similarity
     import spark.implicits._
@@ -390,5 +402,124 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.select("pair_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
     assert(got.columns.contains("alignment"))
     assert(got.where(col("alignment") > 0.99).count() == 2L)
+  }
+
+  test("alignmentFilter drops zero-norm (NaN-score) pairs instead of passing them") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // cosine 1: kept
+      (2L, Array(0.0f, 0.0f), Array(1.0f, 0.0f)),   // zero norm: NaN, dropped
+      (3L, Array(0.0f, 0.0f), Array(0.0f, 0.0f))    // both zero: NaN, dropped
+    ).toDF("pair_id", "vec_a", "vec_b")
+    val got = Similarity.alignmentFilter(pairs, "vec_a", "vec_b", 0.05)
+    assert(got.select("pair_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("packShards equals the global-window brute force and is partition-invariant") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, 10L + i % 37)).toDF("id", "n_tokens")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = asMap(Sampling.packShards(df, "id", "n_tokens", budget = 500L))
+    // brute force: one global order by (md5 prefix, id), running token sum
+    val ordered = df.select(col("id"), col("n_tokens"),
+        substring(md5(col("id").cast("string")), 1, 8).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy { case (id, _, d) => (d, id) }
+    var acc = 0L
+    val want = ordered.map { case (id, t, _) =>
+      val off = acc; acc += t; id -> ((off, off / 500L))
+    }.toMap
+    assert(got == want)
+    // same result under a different input partitioning
+    assert(asMap(Sampling.packShards(df.repartition(13), "id", "n_tokens", 500L)) == want)
+    // every doc fits its shard's start rule: offset div budget is the shard
+    assert(want.values.forall { case (off, sh) => sh == off / 500L })
+  }
+
+  test("winnow kernel: deque equals per-window rescan, incl. ties; density + guarantee hold") {
+    import graft.core.Hashes
+    // adversarial hash streams: uniform, heavy ties (mod 4), monotone runs
+    val streams = Seq(
+      Array.tabulate(200)(i => Hashes.splitmix64(i.toLong)),
+      Array.tabulate(200)(i => (Hashes.splitmix64(i.toLong) % 4 + 4) % 4),
+      Array.tabulate(50)(i => i.toLong) ++ Array.tabulate(50)(i => (50 - i).toLong))
+    for (g <- streams; w <- Seq(1, 2, 5, 13)) {
+      val got = Hashes.winnow(g, w).toSeq
+      val want = graft.oracle.Golden.winnowSelect(g, w)
+      assert(got == want, s"w=$w stream=${g.take(8).mkString(",")}…")
+      // window coverage: consecutive selected positions are <= w apart
+      // (= w exactly when a min exits and the newest gram takes over), so
+      // every w-window contains a selection (the local guarantee)
+      val pos = got.map(_._2)
+      assert(pos.zip(pos.drop(1)).forall { case (a, b) => b - a <= w && b > a })
+    }
+    // shorter than one window selects nothing
+    assert(Hashes.winnow(Array(1L, 2L), 3).isEmpty)
+  }
+
+  test("winnowNearDupPairs: shared-substring docs pair, boilerplate fp cap drops hot grams") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val shared = "zqv kwx jfu ypt hbn mlc"  // >= w + k - 1 chars, rare letters
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $shared delta echo foxtrot golf"),
+      (2L, s"hotel india juliet $shared kilo lima mike november"),
+      (3L, "oscar papa quebec romeo sierra tango uniform victor"),
+      // 4..9: six docs all containing one common boilerplate passage
+      (4L, "BOILER PLATE PASSAGE one"), (5L, "BOILER PLATE PASSAGE two"),
+      (6L, "BOILER PLATE PASSAGE three"), (7L, "BOILER PLATE PASSAGE four"),
+      (8L, "BOILER PLATE PASSAGE five"), (9L, "BOILER PLATE PASSAGE six")
+    ).toDF("doc_id", "text")
+    val k = 8; val w = 4
+    val got = Dedup.winnowNearDupPairs(docs, "doc_id", "text",
+        k, w, minShared = 2, maxDocFreq = Some(4))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val arr = docs.as[(Long, String)].collect()
+    val want = graft.oracle.Golden.winnowPairs(arr, k, w, minShared = 2, maxDocFreq = 4)
+    assert(got == want)
+    // docs 1 and 2 share the >= w+k-1 = 11-char passage -> guaranteed pair
+    assert(got.exists { case (a, b, _) => a == 1L && b == 2L })
+    // doc 3 shares nothing long enough -> no pair with it
+    assert(got.forall { case (a, b, _) => a != 3L && b != 3L })
+    // the 6-doc boilerplate fps exceed docFreq 4: without the cap the
+    // 4..9 clique would pair; with it, no 4..9 pair survives minShared
+    // unless witnessed by non-boilerplate prints (their suffixes differ)
+    val capless = Dedup.winnowNearDupPairs(docs, "doc_id", "text",
+        k, w, minShared = 2, maxDocFreq = None)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val clique = capless.count { case (a, b, _) => a >= 4L && b <= 9L && b >= 4L }
+    val cliqueCapped = got.count { case (a, b, _) => a >= 4L && b <= 9L && b >= 4L }
+    assert(clique == 15 && cliqueCapped == 0)
+  }
+
+  test("semanticDedupPairs: exact within clusters, equals the golden recompute") {
+    import graft.ops.{Dedup, Similarity}
+    import spark.implicits._
+    // 4 tight direction groups of 6 vectors (near-identical within a group)
+    // + one zero vector (must not crash, must pair with nothing)
+    val base = Seq(
+      Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f), Array(0.6f, 0.6f, 0.5f))
+    val vecs = (for {
+      g <- base.indices; i <- 0 until 6
+    } yield {
+      val eps = 0.01f * i
+      (g * 10L + i, base(g).zipWithIndex.map { case (x, d) =>
+        x + (if (d == g % 3) eps else 0f) })
+    }) :+ (99L, Array(0.0f, 0.0f, 0.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val arr = vecs.map { case (id, v) => (id, v) }.toArray
+    val centroids = Similarity.trainCentroids(arr, nClusters = 4, iters = 5)
+    val got = Dedup.semanticDedupPairs(df, "vec_id", "embedding", centroids, 0.99)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val want = graft.oracle.Golden.semDedup(arr, 0.99, nClusters = 4)
+    assert(got == want)
+    // the zero vector pairs with nothing (NaN rejected, no crash)
+    assert(got.forall { case (a, b) => a != 99L && b != 99L })
+    // and within-group pairs were actually found
+    assert(got.nonEmpty)
   }
 }
