@@ -1030,10 +1030,16 @@ object SparkEntry {
           ", comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id) " +
           "SELECT image_id FROM sub WHERE image_id NOT IN " +
           "(SELECT id FROM comp WHERE id <> component) ORDER BY image_id"),
+      // NaN (zero-norm) similarities are EXCLUDED on both sides — DuckDB
+      // orders NaN above all doubles (desc -> rank 1; > threshold -> kept),
+      // the exact opposite of the engine's reject, so the guard must be
+      // mirrored here or a single failed-decode embedding silently splits
+      // the engines (review r03i)
       "q_embed_neardup" ->
         ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b " +
           "WHERE a.vec_id < b.vec_id " +
           "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45 " +
+          "AND NOT isnan(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) " +
           "ORDER BY id_a, id_b"),
       "q_ann_topk" ->
         ("SELECT query_id, result_id, rank FROM (" +
@@ -1041,7 +1047,9 @@ object SparkEntry {
           "CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
           "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS INT) AS rank " +
           "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q " +
-          "WHERE e.vec_id != q.vec_id) t WHERE rank <= 10 ORDER BY query_id, rank"),
+          "WHERE e.vec_id != q.vec_id " +
+          "AND NOT isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))" +
+          ") t WHERE rank <= 10 ORDER BY query_id, rank"),
       "q_text_quality" ->
         ("WITH t AS (SELECT doc_id, n_chars, " +
           "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_tokens, " +

@@ -101,14 +101,26 @@ object Sampling {
     * determinism-anchor cache is needed.
     *
     * Keys must be NON-NULL (engines disagree on NULL order) and token
-    * counts non-negative. */
+    * counts non-negative (Spark's `div` truncates toward zero where the
+    * oracle's `//` floors, so a negative offset would silently split the
+    * engines) — both contracts are ENFORCED with a loud runtime failure
+    * rather than documentation alone (review r03i). */
   def packShards(df: DataFrame, keyCol: String, tokensCol: String,
                  budget: Long): DataFrame = {
     require(budget > 0, s"packShards: budget must be positive, got $budget")
     val draw = hashDraw(col(keyCol))
     val chunk = conv(substring(draw, 1, 4), 16, 10).cast("int")
+    // assert_true as a FILTER condition (null on success -> isNull = keep
+    // all rows; throws on violation) so column pruning cannot drop the
+    // guard the way it would an unused projected column
+    val contract = assert_true(
+      col(keyCol).isNotNull && col(tokensCol).cast("long") >= 0L,
+      lit(s"packShards: NULL $keyCol or negative $tokensCol " +
+        "(non-null keys and non-negative token counts are required " +
+        "for a deterministic total order)"))
     val rows = df
       .select(col(keyCol), col(tokensCol).cast("long").as("_tok"))
+      .where(contract.isNull)
       .withColumn("_draw", draw).withColumn("_chunk", chunk)
     val chunkOffsets = rows
       .groupBy("_chunk").agg(sum("_tok").as("_chunk_tok"))

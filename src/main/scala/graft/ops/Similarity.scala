@@ -23,8 +23,9 @@ object Similarity {
     * (degenerate) vector yields NaN rather than evaluating 0/0 — under
     * Spark's default ANSI mode a literal 0/0 THROWS DIVIDE_BY_ZERO and
     * kills the whole query, so one failed-decode embedding in a 100 TB
-    * corpus must not crash the job; NaN then ranks last in [[rankTopK]]
-    * and is rejected by [[alignmentFilter]]. */
+    * corpus must not crash the job; NaN is then EXCLUDED by [[rankTopK]]
+    * and every thresholding site (Spark orders NaN above all doubles, so
+    * a bare `> t` would otherwise pass it). */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, v) => acc + v)
@@ -63,14 +64,18 @@ object Similarity {
     * window partition — a single task sorting ~nProbe/nClusters of the
     * corpus at data scale (r03c audit).
     *
-    * NaN cosines (zero-norm vectors: 0/0) rank LAST here and fall out of
-    * the top-k when k finite candidates exist — a DELIBERATE divergence
-    * from the window, whose desc sort ranked NaN first and put every
-    * degenerate vector at rank 1 of every query (review r03d adjudication:
-    * an undefined similarity must not beat defined ones). */
+    * NaN cosines (zero-norm vectors: 0/0) are EXCLUDED before ranking —
+    * an undefined similarity must not beat defined ones (review r03d),
+    * and excluding beats rank-last: rank-last still emitted NaN rows when
+    * a query had < k finite candidates, and the UDAF (Java total order,
+    * NaN greatest), the old desc window (NaN first) and the SQL oracle
+    * (DuckDB desc, NaN first) all disagreed on where those rows land
+    * (review r03i) — exclusion is the one contract every engine states
+    * identically. */
   private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
     val topkUdaf = TopKAgg.udafFor(k)
     cand
+      .where(!isnan(col("cosine")))
       .groupBy("query_id")
       .agg(topkUdaf(col("id"), -col("cosine")).as("top"))
       .select(col("query_id"), posexplode(col("top.ids")).as(Seq("pos", "result_id")))

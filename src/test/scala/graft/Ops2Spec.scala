@@ -435,8 +435,40 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
     // same result under a different input partitioning
     assert(asMap(Sampling.packShards(df.repartition(13), "id", "n_tokens", 500L)) == want)
-    // every doc fits its shard's start rule: offset div budget is the shard
-    assert(want.values.forall { case (off, sh) => sh == off / 500L })
+  }
+
+  test("packShards enforces its data contracts loudly (NULL key, negative tokens)") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // a NULL key would land in an engine-ordered NULL chunk; a negative
+    // count would split Spark's `div` truncation from the oracle's floor —
+    // both must fail loudly, not silently diverge
+    val nullKey = Seq((Some(1L), 5L), (None: Option[Long], 5L)).toDF("id", "n_tokens")
+    val e1 = intercept[Exception] {
+      Sampling.packShards(nullKey, "id", "n_tokens", budget = 10L).collect()
+    }
+    assert(e1.getMessage.contains("packShards") ||
+      Option(e1.getCause).exists(_.getMessage.contains("packShards")))
+    val negTok = Seq((1L, 5L), (2L, -1L)).toDF("id", "n_tokens")
+    val e2 = intercept[Exception] {
+      Sampling.packShards(negTok, "id", "n_tokens", budget = 10L).collect()
+    }
+    assert(e2.getMessage.contains("packShards") ||
+      Option(e2.getCause).exists(_.getMessage.contains("packShards")))
+  }
+
+  test("top-k ANN excludes undefined (NaN) similarities instead of emitting them") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f))  // zero norm: cosine NaN vs any query
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 10)
+    // with k > #finite candidates, rank-last would still emit the NaN row;
+    // the exclusion contract means vector 3 never appears at all
+    assert(got.select("result_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("winnow kernel: deque equals per-window rescan, incl. ties; density + guarantee hold") {
