@@ -473,6 +473,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- dedup: exact duplicated-SPAN removal (Lee et al. 2021
+    //     ExactSubstr as a sliding n-gram join): every word 8-gram
+    //     occurring >1x corpus-wide marks its words; text_kept is the doc
+    //     with covered spans removed. Oracle: independent gram
+    //     regeneration + NOT EXISTS coverage + ordered string_agg. ---
+    "q_dup_spans" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      Dedup.dupSpanDedup(s.table("documents"), "doc_id", "text", n = 8)
+        .select("doc_id", "n_dup_grams", "n_covered_words", "text_kept")
+        .orderBy("doc_id")
+    }),
+
+    // --- sampling: DSIR-style importance resampling (hashed unigram+bigram
+    //     buckets; integer-exact target-vs-raw mass-ratio decision, en docs
+    //     as the target domain; model = two 256-row literal maps, scoring
+    //     map-side) ---
+    "q_importance" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents")
+      graft.ops.Sampling.importanceResample(
+          docs, docs.where(col("lang") === "en"), "doc_id", "text")
+        .select("doc_id", "lang", "target_mass", "raw_mass")
+        .orderBy("doc_id")
+    }),
+
+    // --- dedup: URL canonicalization + keep-canonical (the C4/RefinedWeb
+    //     URL-level dedup). URLs synthesized deterministically with case /
+    //     www / trailing-slash / query / fragment noise so the canonical
+    //     chain is exercised on every row; one survivor per canonical URL. ---
+    "q_url_dedup" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents").withColumn("url",
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".Ex.org/Page/"),
+          (col("doc_id") % 120).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("#Section-2")).otherwise(lit(""))))
+      Dedup.urlDedup(docs, "doc_id", "url")
+        .select("doc_id", "url_canon")
+        .orderBy("doc_id")
+    }),
+
     // --- sampling: shuffle-free deterministic per-language rates (md5
     //     draw < per-stratum hex threshold; thresholds shared textually
     //     with the oracle CASE expression) ---
@@ -1108,6 +1153,64 @@ object SparkEntry {
           "cont AS (SELECT DISTINCT doc_id FROM g WHERE gram IN (SELECT gram FROM bench)) " +
           "SELECT doc_id, lang, source FROM documents " +
           "WHERE doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id"),
+      // independent recomputation: grams regenerated from scratch, coverage
+      // via correlated NOT EXISTS (a different plan shape from the engine's
+      // semi-join + array lambdas), kept text via ordered string_agg
+      "q_dup_spans" ->
+        ("WITH w AS (SELECT doc_id, " +
+          "LIST_FILTER(regexp_split_to_array(text, '[ \\n\\t]'), x -> LENGTH(x) > 0) AS ws FROM documents), " +
+          "g AS (SELECT doc_id, i AS s, array_to_string(list_slice(ws, i, i + 7), ' ') AS gram " +
+          "FROM w, LATERAL UNNEST(range(1, LEN(ws) - 6)) AS t(i)), " +
+          "d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1), " +
+          "ds AS (SELECT doc_id, s FROM g WHERE gram IN (SELECT gram FROM d)), " +
+          "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams FROM ds GROUP BY doc_id), " +
+          "wi AS (SELECT doc_id, i, ws[i] AS word FROM w, LATERAL UNNEST(range(1, LEN(ws) + 1)) AS t(i)), " +
+          "keep AS (SELECT wi.doc_id, wi.i, wi.word FROM wi WHERE NOT EXISTS " +
+          "(SELECT 1 FROM ds WHERE ds.doc_id = wi.doc_id AND ds.s <= wi.i AND wi.i < ds.s + 8)), " +
+          "k AS (SELECT doc_id, COUNT(*) AS n_kept, " +
+          "string_agg(word, ' ' ORDER BY i) AS text_kept FROM keep GROUP BY doc_id) " +
+          "SELECT w.doc_id, COALESCE(agg.n_dup_grams, 0) AS n_dup_grams, " +
+          "CAST(LEN(w.ws) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_covered_words, " +
+          "COALESCE(k.text_kept, '') AS text_kept " +
+          "FROM w LEFT JOIN agg USING (doc_id) LEFT JOIN k USING (doc_id) ORDER BY doc_id"),
+      // bucket counts recomputed in SQL from scratch; the decision products
+      // run in HUGEINT where the engine uses decimal(38,0) — same integers
+      "q_importance" ->
+        ("WITH w AS (SELECT doc_id, lang, " +
+          "LIST_FILTER(regexp_split_to_array(text, '[ \\n\\t]'), x -> LENGTH(x) > 0) AS ws FROM documents), " +
+          "g AS (SELECT doc_id, lang, u.g AS gram FROM w, UNNEST(ws) AS u(g) " +
+          "UNION ALL SELECT doc_id, lang, array_to_string(list_slice(ws, i, i + 1), ' ') AS gram " +
+          "FROM w, LATERAL UNNEST(range(1, LEN(ws))) AS t(i)), " +
+          "b AS (SELECT doc_id, lang, SUBSTRING(MD5(gram), 1, 2) AS bk FROM g), " +
+          "rc AS (SELECT bk, COUNT(*) AS c FROM b GROUP BY bk), " +
+          "tc AS (SELECT bk, COUNT(*) AS c FROM b WHERE lang = 'en' GROUP BY bk), " +
+          "tot AS (SELECT (SELECT COUNT(*) FROM b) AS r_tot, " +
+          "(SELECT COUNT(*) FROM b WHERE lang = 'en') AS t_tot), " +
+          "sc AS (SELECT b.doc_id, CAST(SUM(COALESCE(tc.c, 0)) AS BIGINT) AS target_mass, " +
+          "CAST(SUM(rc.c) AS BIGINT) AS raw_mass " +
+          "FROM b JOIN rc USING (bk) LEFT JOIN tc USING (bk) GROUP BY b.doc_id) " +
+          "SELECT sc.doc_id, d.lang, sc.target_mass, sc.raw_mass " +
+          "FROM sc JOIN documents d USING (doc_id), tot " +
+          "WHERE sc.raw_mass > 0 AND " +
+          "CAST(sc.target_mass AS HUGEINT) * tot.r_tot >= CAST(sc.raw_mass AS HUGEINT) * tot.t_tot " +
+          "ORDER BY doc_id"),
+      // the regexp chain is textually identical to Dedup.canonicalUrl's
+      // (bracket classes + anchors only); survivor = min doc_id per
+      // canonical URL via a window, vs the engine's min_by aggregate
+      "q_url_dedup" ->
+        ("WITH u AS (SELECT doc_id, " +
+          "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) || " +
+          "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || " +
+          "source || '.Ex.org/Page/' || CAST(doc_id % 120 AS VARCHAR) || " +
+          "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 11 = 0 THEN '#Section-2' ELSE '' END) AS url FROM documents), " +
+          "c AS (SELECT doc_id, " +
+          "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+          "lower(url), '#.*', ''), '[?].*', ''), '^https?://', ''), '^www[.]', ''), '/$', '') AS url_canon FROM u) " +
+          "SELECT doc_id, url_canon FROM (SELECT doc_id, url_canon, " +
+          "MIN(doc_id) OVER (PARTITION BY url_canon) AS m FROM c) t " +
+          "WHERE doc_id = m ORDER BY doc_id"),
       "q_sample_hash" -> {
         val cases = SampleRates.map { case (k, r) =>
           s"WHEN '$k' THEN '${graft.ops.Sampling.thresholdHex(r)}'"

@@ -351,6 +351,81 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Exact duplicated-span detection + removal — the Spark-native shape of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) ExactSubstr dedup: find every word n-gram
+    * that occurs MORE THAN ONCE in the whole corpus (across documents or
+    * repeated within one), mark the words any duplicated gram covers, and
+    * emit the document with those spans removed. The paper builds one giant
+    * suffix array on a single machine; the distributed re-expression is a
+    * sliding n-gram join — a fixed window instead of arbitrary-length
+    * suffixes (n plays the paper's min-match-length role: any duplicated
+    * substring of >= n words is found EXACTLY, via its constituent grams,
+    * and overlapping duplicated grams merge into maximal spans for free
+    * because coverage is per word index).
+    *
+    * Adds to each input row: `n_dup_grams` (this doc's duplicated-gram
+    * starts), `n_covered_words`, and `text_kept` (the surviving words
+    * re-joined with single spaces — the training-ready residue).
+    *
+    * Plan shape at scale: the gram frame carries ONLY (id, start, gram) —
+    * document bodies never ride the gram shuffle; duplicated grams come
+    * from one partial-aggregated count and re-attach by a LEFT SEMI
+    * equi-join on the gram (two shuffles keyed by the n-word gram string;
+    * a boilerplate hot gram collapses map-side in the count and falls to
+    * AQE skew splitting in the semi join). Per-document duplicated-start
+    * lists are bounded by the document's own word count — the same
+    * row-sized-state contract as holding the text column itself — and the
+    * span removal is pure map-side array arithmetic (no UDF). */
+  def dupSpanDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    require(n >= 1, s"dupSpanDedup: n must be >= 1, got $n")
+    val words = filter(split(col(textCol), "[ \\n\\t]"), w => length(w) > 0)
+    val grams = df.select(col(idCol).as("_id"), explode(
+        when(size(words) >= n,
+          transform(sequence(lit(1), size(words) - lit(n - 1)), i =>
+            struct(i.as("s"), array_join(slice(words, i, lit(n)), " ").as("g"))))
+          .otherwise(array().cast("array<struct<s:int,g:string>>"))).as("sg"))
+      .select(col("_id"), col("sg.s").as("_start"), col("sg.g").as("_gram"))
+    val dupGrams = grams.groupBy("_gram")
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 1).select("_gram")
+    val perDoc = grams.join(dupGrams, Seq("_gram"), "left_semi")
+      .groupBy("_id")
+      .agg(sort_array(collect_list("_start")).as("_starts"),
+        count(lit(1)).as("_ndup"))
+    // a word index i (1-based) is covered iff some duplicated gram starting
+    // at s spans it: s <= i < s + n — overlap merging is implicit
+    df.join(perDoc, col(idCol) === col("_id"), "left").drop("_id")
+      .withColumn("_starts", coalesce(col("_starts"), array().cast("array<int>")))
+      .withColumn("n_dup_grams", coalesce(col("_ndup"), lit(0L)))
+      .withColumn("_kept", filter(words, (w, i0) =>
+        !exists(col("_starts"), s => s <= i0 + lit(1) && i0 + lit(1) < s + lit(n))))
+      .withColumn("n_covered_words", (size(words) - size(col("_kept"))).cast("long"))
+      .withColumn("text_kept", array_join(col("_kept"), " "))
+      .drop("_starts", "_ndup", "_kept")
+  }
+
+  /** URL canonicalization — the key every URL-level web-corpus dedup
+    * (C4, RefinedWeb, Dolma) groups by before picking a survivor:
+    * lowercase, strip the fragment, the query string, the scheme, a
+    * leading `www.`, and a trailing slash. Pure codegen regexp chain in
+    * the Java∩RE2 dialect-safe subset (anchors + classes only), so the
+    * DuckDB oracle canonicalizes bit-identically; each pattern can match
+    * at most once, so Java's replace-all and DuckDB's replace-first
+    * agree by construction. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url), "#.*", ""), "[?].*", ""), "^https?://", ""), "^www[.]", ""),
+      "/$", "")
+
+  /** URL-level dedup: keep one row (the minimum-id member) per canonical
+    * URL. Composition: [[canonicalUrl]] + [[keepCanonical]], so the plan is
+    * the same one-pass min_by aggregate — no join, no window. The canonical
+    * URL is kept on the output as `url_canon`. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    keepCanonical(
+      df.withColumn("url_canon", canonicalUrl(col(urlCol))), idCol, "url_canon")
+
   /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap rule): drop
     * every corpus row whose text shares ANY word n-gram with the benchmark
     * set. Corpus docs shorter than n words carry no n-gram and always

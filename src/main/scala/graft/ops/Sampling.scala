@@ -140,6 +140,72 @@ object Sampling {
       .select(col(keyCol), col("offset"), col("shard"))
   }
 
+  /** Hashed-n-gram feature bucket for importance resampling: the first two
+    * hex chars of md5(gram) — 256 buckets as STRINGS, so both engines
+    * bucket bit-identically with no hex parsing (the [[hashDraw]] rule). */
+  def gramBucket(gram: Column): Column = substring(md5(gram), 1, 2)
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169 —
+    * public method): score every corpus document by how much its hashed
+    * n-gram feature mass looks like a TARGET domain vs the raw corpus, and
+    * keep the documents above a threshold. Features are word unigrams +
+    * bigrams hashed into 256 md5 buckets (the paper's hashed n-gram
+    * generative model); this re-expression replaces the paper's
+    * log-likelihood ratio + Gumbel top-k with an INTEGER-EXACT decision —
+    * documented divergence, same discipline as Hex7 vs libh3:
+    *
+    *   target_mass = Σ_grams(doc) t[bucket(g)]   (t = target bucket counts)
+    *   raw_mass    = Σ_grams(doc) r[bucket(g)]   (r = corpus bucket counts)
+    *   keep  ⇔  (target_mass / T) ≥ (num/den) · (raw_mass / R)
+    *
+    * evaluated as `target_mass·R·den ≥ raw_mass·T·num` in decimal(38,0) —
+    * no floats, no logs, no RNG: bit-stable across runs, engines and
+    * partitionings, and every ratio is a per-doc average bucket-mass ratio
+    * between the two distributions (ρ ≥ num/den keeps documents that lean
+    * target). Zero-gram documents have no defined ratio and are dropped.
+    *
+    * Scale shape: the MODEL is two 256-row aggregates (one over the corpus
+    * grams, one over the target's — computed once, collected, and embedded
+    * as constant literal maps), so scoring is a SINGLE MAP-SIDE SCAN with
+    * zero shuffle: `aggregate()` over the doc's gram array against
+    * `typedlit` maps, whole-stage codegen end to end. The target set is
+    * small by nature (a domain sample); the corpus pass is one
+    * partial-aggregated count by bucket string. Counts are exact BIGINTs;
+    * the decision products live in decimal(38,0), which holds to ~1e12
+    * grams per side per doc — far past any real corpus. */
+  def importanceResample(df: DataFrame, target: DataFrame,
+                         idCol: String, textCol: String,
+                         thresholdNum: Long = 1L, thresholdDen: Long = 1L): DataFrame = {
+    require(thresholdNum >= 0 && thresholdDen > 0,
+      s"importanceResample: threshold must be a non-negative rational, got $thresholdNum/$thresholdDen")
+    def grams(c: Column): Column =
+      concat(graft.ops.TextOps.wordNgrams(c, 1), graft.ops.TextOps.wordNgrams(c, 2))
+    def bucketCounts(d: DataFrame): Map[String, Long] =
+      d.select(explode(grams(col(textCol))).as("g"))
+        .groupBy(gramBucket(col("g")).as("bk")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = bucketCounts(target)
+    val r = bucketCounts(df)
+    val tTot = t.values.sum
+    val rTot = r.values.sum
+    require(rTot > 0 && tTot > 0,
+      "importanceResample: corpus and target must each contain at least one gram")
+    // constant literal maps (typedlit => ONE Literal, not a per-row
+    // CreateMap of 512 children); absent buckets coalesce to 0
+    val tMap = typedlit(t)
+    val rMap = typedlit(r)
+    def mass(m: Column): Column =
+      aggregate(grams(col(textCol)), lit(0L),
+        (acc, g) => acc + coalesce(element_at(m, gramBucket(g)), lit(0L)))
+    val dec = "decimal(38,0)"
+    df.withColumn("target_mass", mass(tMap))
+      .withColumn("raw_mass", mass(rMap))
+      .where(col("raw_mass") > 0L &&
+        col("target_mass").cast(dec) * lit(rTot).cast(dec) * lit(thresholdDen).cast(dec) >=
+          col("raw_mass").cast(dec) * lit(tTot).cast(dec) * lit(thresholdNum).cast(dec))
+  }
+
   /** Exactly-n-per-stratum deterministic sample: the n rows with the LOWEST
     * md5 draws in each stratum, ties broken by the key itself. */
   def sampleExact(df: DataFrame, keyCol: String, stratumCol: String,
