@@ -554,4 +554,86 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     // and within-group pairs were actually found
     assert(got.nonEmpty)
   }
+
+  test("dupSpanDedup: cross-doc + within-doc spans removed, overlaps merge, short docs intact") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share the 4-gram "c d e f" plus one extra word each side
+      (1L, "a b c d e f g h"),
+      (2L, "x c d e f g y z"),
+      (3L, "p q r s t u v w"),           // unique: untouched
+      (4L, "m m m m m m m m"),           // self-repeating: 5 dup 4-gram starts
+      (5L, "one two three")              // < n words: no grams, untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanDedup(docs, "doc_id", "text", n = 4)
+      .select("doc_id", "n_dup_grams", "n_covered_words", "text_kept")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // doc 1: shared grams "c d e f","d e f g" start at 3,4 -> words 3..7 covered
+    assert(got(0) == ((1L, 2L, 5L, "a b h")))
+    // doc 2: starts 2,3 -> words 2..6 covered
+    assert(got(1) == ((2L, 2L, 5L, "x y z")))
+    assert(got(2) == ((3L, 0L, 0L, "p q r s t u v w")))
+    // doc 4: "m m m m" occurs at starts 1..5 (>1 within ONE doc) -> all covered
+    assert(got(3) == ((4L, 5L, 8L, "")))
+    assert(got(4) == ((5L, 0L, 0L, "one two three")))
+    // partition-invariant (the gram join and coverage are key-driven)
+    val again = Dedup.dupSpanDedup(docs.repartition(7), "doc_id", "text", n = 4)
+      .select("doc_id", "n_dup_grams", "n_covered_words", "text_kept")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
+  test("canonicalUrl / urlDedup: scheme, www, query, fragment, slash, case collapse") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val variants = Seq(
+      (1L, "HTTPS://WWW.Example.org/A/B/"),
+      (2L, "http://example.org/a/b?utm=x"),
+      (3L, "https://example.org/a/b#frag"),
+      (4L, "example.org/a/b"),
+      (5L, "http://other.org/c"))
+    val got = variants.toDF("doc_id", "url")
+      .select(Dedup.canonicalUrl(col("url")).as("c")).as[String].collect().toSeq
+    assert(got == Seq("example.org/a/b", "example.org/a/b", "example.org/a/b",
+      "example.org/a/b", "other.org/c"))
+    // survivor = min id per canonical group; url_canon retained
+    val kept = Dedup.urlDedup(variants.toDF("doc_id", "url"), "doc_id", "url")
+      .select("doc_id", "url_canon").as[(Long, String)].collect().toSeq.sorted
+    assert(kept == Seq((1L, "example.org/a/b"), (5L, "other.org/c")))
+    // fragment strips before query: '?' inside a fragment never survives
+    val fq = Seq(Tuple1("http://a.net/p#f?notquery")).toDF("url")
+      .select(Dedup.canonicalUrl(col("url")).as("c")).as[String].head()
+    assert(fq == "a.net/p")
+  }
+
+  test("importanceResample: integer mass-ratio decision, threshold scaling, zero-gram drop") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // corpus: 6 en-ish docs over one vocab, 6 xx docs over a disjoint vocab
+    val docs = (
+      (1L to 6L).map(i => (i, "en", s"alpha beta gamma delta token$i")) ++
+      (7L to 12L).map(i => (i, "xx", s"zulu yankee xray whisky token$i"))
+    ).toDF("doc_id", "lang", "text")
+    val target = docs.where(col("lang") === "en")
+    val kept = Sampling.importanceResample(docs, target, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // every en doc leans target; disjoint-vocab xx docs fall below ratio 1
+    assert((1L to 6L).toSet.subsetOf(kept))
+    assert(kept.intersect((7L to 12L).toSet).isEmpty)
+    // deterministic and partition-invariant (model is collected once)
+    val again = Sampling.importanceResample(
+      docs.repartition(5), target, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+    // threshold 0/den keeps every doc with raw mass > 0
+    val all = Sampling.importanceResample(docs, target, "doc_id", "text",
+      thresholdNum = 0L).count()
+    assert(all == 12L)
+    // a blank doc has no grams -> dropped even at threshold 0
+    val withBlank = docs.union(Seq((13L, "xx", "  ")).toDF("doc_id", "lang", "text"))
+    val blankKept = Sampling.importanceResample(withBlank, target, "doc_id", "text",
+      thresholdNum = 0L).select("doc_id").as[Long].collect().toSet
+    assert(!blankKept.contains(13L) && blankKept.size == 12)
+  }
 }

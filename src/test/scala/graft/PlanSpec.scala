@@ -177,4 +177,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]") ||
       p.contains("EqualTo(o_orderstatus,F)"), s"pushdown missing:\n${p.take(1200)}")
   }
+
+  test("importance-resample scoring is one shuffle-free scan (model = literal maps)") {
+    import org.apache.spark.sql.functions.col
+    graft.model.Tables.registerBase(spark, sfDir)
+    val docs = spark.table("documents")
+    val scored = graft.ops.Sampling.importanceResample(
+      docs, docs.where(col("lang") === "en"), "doc_id", "text")
+    val p = scored.queryExecution.executedPlan.toString
+    // the two 256-bucket model aggregations were collected at build time;
+    // the RETURNED frame must be a pure map-side filter over the doc scan
+    assert(!p.contains("Exchange"), s"scoring scan must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "scoring must stay in codegen expressions")
+  }
+
+  test("dup-span gram side carries no document bodies through the shuffle") {
+    val q = SparkEntry.queries("q_dup_spans")(spark, sfDir)
+    val ex = q.queryExecution.executedPlan.toString
+    // the gram count + semi join shuffle on the gram key; the text column
+    // must only appear in map-side projections (scan/project), never in an
+    // Exchange's output schema
+    val exchanges = ex.split("\n").filter(_.trim.startsWith("+- Exchange"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document bodies riding a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
