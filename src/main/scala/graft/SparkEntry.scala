@@ -756,6 +756,19 @@ object SparkEntry {
         .select(col("id"), col("path_id"))
         .orderBy("id")),
 
+    // --- §2.4 distance-bounded self-join: all image pairs within 150 m
+    //     inside the London hot rectangle (the skew fixture; the jitter
+    //     lattice's minimum pair spacing is 62.8 m, so 150 m is dense) —
+    //     geotag near-dup candidates; golden oracle = lat-sorted plane sweep ---
+    "q_dist_pairs" -> ((s, dir) => {
+      val d = graft.ops.DistanceJoin
+      val pts = images(s, dir)
+        .where(col("lat").between(d.GateLatLo, d.GateLatHi) &&
+          col("lng").between(d.GateLngLo, d.GateLngHi))
+        .select(col("image_id").as("id"), col("lat"), col("lng"))
+      d.withinDistancePairs(pts, d.GateRadiusMeters).orderBy("id_a", "id_b")
+    }),
+
     // --- §2.8 elevation: IDW over spot heights within 3 km ---
     "q_elevation" -> ((s, dir) => {
       val imgs = images(s, dir)
@@ -1319,6 +1332,7 @@ object SparkEntry {
       "q_ann_ivf" -> g("q_ann_ivf", "query_id, rank"),
       "q_semdedup" -> g("q_semdedup", "id_a, id_b"),
       "q_connect" -> g("q_connect", "id"),
+      "q_dist_pairs" -> g("q_dist_pairs", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),
       "q_fingerprint" -> g("q_fingerprint", "doc_id"),
