@@ -769,6 +769,23 @@ object SparkEntry {
       d.withinDistancePairs(pts, d.GateRadiusMeters).orderBy("id_a", "id_b")
     }),
 
+    // --- §2.4 two-table distance join: for each "query" photo (id %
+    //     GateJoinMod == 0, the exploded small side) every OTHER photo within
+    //     150 m — the b6 "features within d of each feature in this set"
+    //     shape, disjoint sides so the two-table path is what's exercised ---
+    "q_dist_join" -> ((s, dir) => {
+      val d = graft.ops.DistanceJoin
+      val pts = images(s, dir)
+        .where(col("lat").between(d.GateLatLo, d.GateLatHi) &&
+          col("lng").between(d.GateLngLo, d.GateLngHi))
+        .select(col("image_id").as("id"), col("lat"), col("lng"))
+      d.withinDistanceJoin(
+          pts.where(col("id") % d.GateJoinMod === 0),
+          pts.where(col("id") % d.GateJoinMod =!= 0),
+          d.GateRadiusMeters)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- §2.8 elevation: IDW over spot heights within 3 km ---
     "q_elevation" -> ((s, dir) => {
       val imgs = images(s, dir)
@@ -1333,6 +1350,7 @@ object SparkEntry {
       "q_semdedup" -> g("q_semdedup", "id_a, id_b"),
       "q_connect" -> g("q_connect", "id"),
       "q_dist_pairs" -> g("q_dist_pairs", "id_a, id_b"),
+      "q_dist_join" -> g("q_dist_join", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),
       "q_fingerprint" -> g("q_fingerprint", "doc_id"),

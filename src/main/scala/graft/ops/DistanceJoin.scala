@@ -50,6 +50,15 @@ object DistanceJoin {
   val GateLngLo = -0.15; val GateLngHi = -0.10
   val GateRadiusMeters = 150.0
 
+  /** q_dist_join gate fixture: the same rectangle split into DISJOINT sides
+    * by id — left (the exploded, smaller side) = id % GateJoinMod == 0,
+    * right = the rest — so the two-table path is exercised with no
+    * self-pairs and a ~1:9 size asymmetry (the intended usage: explode the
+    * small side). 150, not 10: every synthetic London hot-cap point has
+    * id % 15 == 0 (Synth's orderkey%5=0 x %3=0 placement), so mod must be a
+    * multiple of 15 to cut WITHIN that population — 150 keeps every 10th. */
+  val GateJoinMod = 150L
+
   /** Coarsest S2 level whose min cell width >= 2*`angleRad` (cap diameter),
     * clamped to [0, 16] — 16 is the indexed cell16 floor. */
   def levelForRadius(angleRad: Double): Int = {
@@ -61,26 +70,48 @@ object DistanceJoin {
   /** All pairs (id_a < id_b) with great-circle distance <= radiusMeters.
     * Input: (id LONG, lat DOUBLE, lng DOUBLE). Output: (id_a, id_b, dist_m).
     */
-  def withinDistancePairs(points: DataFrame, radiusMeters: Double): DataFrame = {
+  def withinDistancePairs(points: DataFrame, radiusMeters: Double): DataFrame =
+    joinImpl(points, points, radiusMeters)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "dist_m")
+
+  /** Two-table form: every (left, right) pair with great-circle distance
+    * <= radiusMeters — the reference's "find features within d of each
+    * feature in this set" evaluated set-at-a-time. Directed output, one row
+    * per qualifying (left, right): (id_a = left id, id_b = right id,
+    * dist_m). Self-pairs are NOT removed (left and right may be unrelated
+    * tables); callers joining a table to itself filter `id_a =!= id_b`.
+    * Scale shape identical to the self-join: the LEFT side explodes its
+    * O(1)-cell cap covering, the RIGHT side keys by its own scalar level-L
+    * cell, so put the larger table on the right to explode the smaller one.
+    */
+  def withinDistanceJoin(left: DataFrame, right: DataFrame,
+                         radiusMeters: Double): DataFrame =
+    joinImpl(left, right, radiusMeters).select("id_a", "id_b", "dist_m")
+
+  /** Shared kernel: covering-explode (left) ⋈ own-cell (right) equi-join,
+    * exact haversine refine in the projection. Exactly-once per directed
+    * pair: the right point's level-L cell is unique and a covering is a
+    * set, so (l, r) meets on at most one cell — no distinct needed. */
+  private def joinImpl(left: DataFrame, right: DataFrame,
+                       radiusMeters: Double): DataFrame = {
     require(radiusMeters > 0, "radiusMeters must be positive")
     val angle = radiusMeters / Geo.EarthRadiusMeters
     val lvl = levelForRadius(angle)
     // covering side: level-L cells the cap may touch (sound, set-valued)
     val covUdf = udf((lat: Double, lng: Double) =>
       S2.coveringAtLevel(S2.Cap(Geo.toXYZ(lat, lng), angle), lvl))
-    val probe = points
+    val probe = left
       .select(col("id").as("id_a"), col("lat").as("lat_a"), col("lng").as("lng_a"),
         explode(covUdf(col("lat"), col("lng"))).as("cell"))
     // keyed side: the point's own level-L cell — scalar codegen parent
-    val build = points
+    val build = right
       .select(col("id").as("id_b"), col("lat").as("lat_b"), col("lng").as("lng_b"),
         S2Expressions.s2Ancestors(
           S2Expressions.s2Cell16(col("lat"), col("lng")), Array(lvl)).getItem(0).as("cell"))
     probe.join(build, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
       .withColumn("dist_m",
         Udfs.haversineMeters(col("lat_a"), col("lng_a"), col("lat_b"), col("lng_b")))
       .where(col("dist_m") <= lit(radiusMeters))
-      .select("id_a", "id_b", "dist_m")
   }
 }

@@ -86,14 +86,75 @@ class DistanceJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def runJoin(radius: Double, l: Array[(Long, Double, Double)],
+                      r: Array[(Long, Double, Double)]): Set[(Long, Long)] = {
+    import spark.implicits._
+    DistanceJoin.withinDistanceJoin(
+      l.toSeq.toDF("id", "lat", "lng"), r.toSeq.toDF("id", "lat", "lng"), radius)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+  }
+
+  private def bruteJoin(radius: Double, l: Array[(Long, Double, Double)],
+                        r: Array[(Long, Double, Double)]): Set[(Long, Long)] =
+    (for {
+      a <- l; b <- r
+      if Golden.haversineColumn(a._2, a._3, b._2, b._3) <= radius
+    } yield (a._1, b._1)).toSet
+
+  test("two-table join equals brute force (disjoint id split, 150/1000 m)") {
+    val pts = points().filter(p =>
+      p._2 >= DistanceJoin.GateLatLo && p._2 <= DistanceJoin.GateLatHi &&
+        p._3 >= DistanceJoin.GateLngLo && p._3 <= DistanceJoin.GateLngHi)
+    val (l, r) = pts.partition(_._1 % DistanceJoin.GateJoinMod == 0)
+    assert(l.length > 5 && r.length > 2 * l.length,
+      s"fixture degenerate: ${l.length}/${r.length}")
+    for (rad <- Seq(150.0, 1000.0)) {
+      val got = runJoin(rad, l, r)
+      val want = bruteJoin(rad, l, r)
+      assert(got === want, s"radius $rad: got ${got.size}, want ${want.size}")
+      assert(want.nonEmpty, s"radius $rad produced no pairs — fixture degenerate")
+    }
+  }
+
+  test("two-table join with overlapping tables keeps directed + self pairs") {
+    val pts = points().filter(p =>
+      p._2 >= DistanceJoin.GateLatLo && p._2 <= DistanceJoin.GateLatHi &&
+        p._3 >= DistanceJoin.GateLngLo && p._3 <= DistanceJoin.GateLngHi)
+    val got = runJoin(150.0, pts, pts)
+    // documented contract: same table on both sides → every self pair at
+    // distance 0, and both directions of every undirected pair
+    assert(pts.forall(p => got.contains((p._1, p._1))))
+    val undirected = run(150.0, pts)
+    assert(got.filter(p => p._1 != p._2) ===
+      undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+  }
+
+  test("two-table golden sweep equals brute force (independent recomputation)") {
+    val imgs = Golden.loadImages(spark, sfDir)
+    val d = DistanceJoin
+    val g = Golden.distJoinG(imgs, d.GateLatLo, d.GateLatHi, d.GateLngLo,
+      d.GateLngHi, d.GateRadiusMeters, d.GateJoinMod)
+      .map(p => (p._1, p._2)).toSet
+    val pts = points().filter(p =>
+      p._2 >= d.GateLatLo && p._2 <= d.GateLatHi &&
+        p._3 >= d.GateLngLo && p._3 <= d.GateLngHi)
+    val (l, r) = pts.partition(_._1 % d.GateJoinMod == 0)
+    assert(g === bruteJoin(d.GateRadiusMeters, l, r))
+  }
+
   test("plan: equi-join, no cartesian/BNLJ, and the pair emit needs no distinct") {
     import spark.implicits._
     val pts = points().take(500).toSeq.toDF("id", "lat", "lng")
-    val plan = DistanceJoin.withinDistancePairs(pts, 60.0)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("HashAggregate"),
-      "unexpected aggregate (distinct?) in the pair plan:\n" + plan)
+    for (plan <- Seq(
+      DistanceJoin.withinDistancePairs(pts, 60.0)
+        .queryExecution.executedPlan.toString,
+      DistanceJoin.withinDistanceJoin(
+          pts.where(col("id") % 10 === 0), pts.where(col("id") % 10 =!= 0), 60.0)
+        .queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("HashAggregate"),
+        "unexpected aggregate (distinct?) in the pair plan:\n" + plan)
+    }
   }
 }
