@@ -786,6 +786,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- §2.4 temporal as-of join: each event picks up the most recent
+    //     "state" snapshot (every 10th event) of its user at or before its
+    //     timestamp — union + keyed window, ONE shuffle, no join node;
+    //     oracle = DuckDB's native ASOF LEFT JOIN (independent engine) ---
+    "q_asof" -> ((s, _) => {
+      val ev = s.table("events")
+      val state = ev.where(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("state_event_id"), col("value").as("state_value"))
+      graft.ops.AsOf.asofJoin(
+          ev.select("event_id", "user_id", "ts"), state,
+          keys = Seq("user_id"), tsCol = "ts",
+          payload = Seq("state_event_id", "state_value"))
+        .select("event_id", "state_event_id", "state_value")
+        .orderBy("event_id")
+    }),
+
     // --- §2.8 elevation: IDW over spot heights within 3 km ---
     "q_elevation" -> ((s, dir) => {
       val imgs = images(s, dir)
@@ -1317,6 +1334,16 @@ object SparkEntry {
           "s AS (SELECT user_id, sec, SUM(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
           "SELECT user_id, MIN(sec) AS start_s, MAX(sec) AS end_s, COUNT(*) AS n_events " +
           "FROM s GROUP BY user_id, sid ORDER BY user_id, start_s"),
+      // DuckDB's NATIVE ASOF LEFT JOIN — a fully independent engine for the
+      // point-in-time semantics (the Spark side is a union + keyed window,
+      // a completely different formulation)
+      "q_asof" ->
+        ("WITH r AS (SELECT user_id, ts, event_id AS state_event_id, value AS state_value " +
+          "FROM events WHERE event_id % 10 = 0), " +
+          "l AS (SELECT event_id, user_id, ts FROM events) " +
+          "SELECT l.event_id, r.state_event_id, r.state_value " +
+          "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts " +
+          "ORDER BY l.event_id"),
       "q_events_window" ->
         ("SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS bucket, event_type, " +
           "COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users FROM events " +
