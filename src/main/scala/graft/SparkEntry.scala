@@ -790,7 +790,8 @@ object SparkEntry {
     //     "state" snapshot (every 10th event) of its user at or before its
     //     timestamp — union + keyed window, ONE shuffle, no join node;
     //     oracle = DuckDB's native ASOF LEFT JOIN (independent engine) ---
-    "q_asof" -> ((s, _) => {
+    "q_asof" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
       val ev = s.table("events")
       val state = ev.where(col("event_id") % 10 === 0)
         .select(col("user_id"), col("ts"),
@@ -799,6 +800,25 @@ object SparkEntry {
           ev.select("event_id", "user_id", "ts"), state,
           keys = Seq("user_id"), tsCol = "ts",
           payload = Seq("state_event_id", "state_value"))
+        .select("event_id", "state_event_id", "state_value")
+        .orderBy("event_id")
+    }),
+
+    // --- §2.4 as-of with staleness tolerance: same attach, but a state
+    //     older than ~2.9 days is unusable (nulled). Staleness is monotonic
+    //     in age, so resolve-then-null (engine) == filter-then-argmax
+    //     (oracle's LATERAL top-1) ---
+    "q_asof_tol" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val ev = s.table("events")
+      val state = ev.where(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("state_event_id"), col("value").as("state_value"))
+      graft.ops.AsOf.asofJoin(
+          ev.select("event_id", "user_id", "ts"), state,
+          keys = Seq("user_id"), tsCol = "ts",
+          payload = Seq("state_event_id", "state_value"),
+          toleranceSeconds = Some(250000.0))
         .select("event_id", "state_event_id", "state_value")
         .orderBy("event_id")
     }),
@@ -1343,6 +1363,20 @@ object SparkEntry {
           "l AS (SELECT event_id, user_id, ts FROM events) " +
           "SELECT l.event_id, r.state_event_id, r.state_value " +
           "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts " +
+          "ORDER BY l.event_id"),
+      // tolerance form: a THIRD independent formulation (correlated LATERAL
+      // top-1) — staleness filter inside the subquery; monotonicity makes it
+      // equivalent to the engine's resolve-then-null
+      "q_asof_tol" ->
+        ("WITH r AS (SELECT user_id, ts, event_id AS state_event_id, value AS state_value " +
+          "FROM events WHERE event_id % 10 = 0), " +
+          "l AS (SELECT event_id, user_id, ts FROM events) " +
+          "SELECT l.event_id, m.state_event_id, m.state_value " +
+          "FROM l LEFT JOIN LATERAL (" +
+          "SELECT state_event_id, state_value FROM r " +
+          "WHERE r.user_id = l.user_id AND r.ts <= l.ts " +
+          "AND EPOCH(l.ts) - EPOCH(r.ts) <= 250000 " +
+          "ORDER BY r.ts DESC LIMIT 1) m ON TRUE " +
           "ORDER BY l.event_id"),
       "q_events_window" ->
         ("SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS bucket, event_type, " +

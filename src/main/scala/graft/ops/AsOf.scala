@@ -78,8 +78,15 @@ object AsOf {
       .withColumn(matchCol, last(col(matchCol), ignoreNulls = true).over(w))
       .where(col(sideCol) === 1)
 
+    // TIMESTAMP_NTZ has no direct double cast; route through TIMESTAMP
+    // (both sides shift by the same session offset, so differences are exact)
+    import org.apache.spark.sql.types.NumericType
+    def secs(c: org.apache.spark.sql.Column) = left.schema(tsCol).dataType match {
+      case _: NumericType => c.cast("double")
+      case _              => c.cast("timestamp").cast("double")
+    }
     val tooStale = toleranceSeconds.map { tol =>
-      col(tsCol).cast("double") - col(matchCol).getField("_rts").cast("double") > tol
+      secs(col(tsCol)) - secs(col(matchCol).getField("_rts")) > tol
     }.getOrElse(lit(false))
     resolved
       .withColumn(matchCol, when(col(matchCol).isNotNull && !tooStale, col(matchCol)))

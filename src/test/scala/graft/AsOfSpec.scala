@@ -73,6 +73,34 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("collides"))
   }
 
+  test("random worlds equal in-memory brute force (incl. ts ties + tolerance)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      // coarse ts grid (0..19) forces plenty of left-right and right-right ties
+      val lefts = Seq.tabulate(120)(i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(20).toDouble))
+      val rights = Seq.tabulate(40)(j =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(20).toDouble, 1000L + j))
+      val tol = if (trial % 2 == 0) Some(4.0) else None
+
+      import spark.implicits._
+      val l = lefts.toDF("event_id", "key", "ts")
+      val r = rights.toDF("key", "ts", "state_id")
+      val got = AsOf.asofJoin(l, r, Seq("key"), "ts", Seq("state_id"),
+          toleranceSeconds = tol)
+        .collect().map(row => row.getLong(0) -> Option(row.get(3)).map(_.asInstanceOf[Long])).toMap
+
+      val want = lefts.map { case (eid, k, ts) =>
+        val cand = rights.filter(rr => rr._1 == k && rr._2 <= ts &&
+          tol.forall(t => ts - rr._2 <= t))
+        // contract: most recent wins; at equal ts the largest payload tuple
+        eid -> (if (cand.isEmpty) None
+                else Some(cand.maxBy(rr => (rr._2, rr._3))._3))
+      }.toMap
+      assert(got === want, s"trial $trial (tol=$tol)")
+    }
+  }
+
   test("plan is ONE exchange + window — no join node") {
     val left = leftDf(Seq((1L, 1.0), (2L, 2.0)))
     val right = df(Seq((1L, 0.5, "a"))).withColumnRenamed("tag", "state")
