@@ -786,6 +786,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- density clustering: DBSCAN over the London hot rectangle (the
+    //     skew fixture) — pair join + degree groupBy + star-contraction
+    //     components + border min-attach, all keyed equi-joins; golden
+    //     oracle = plane-sweep adjacency + driver-side BFS (independent) ---
+    "q_dbscan" -> ((s, dir) => {
+      val c = graft.ops.Cluster
+      val pts = images(s, dir)
+        .where(col("lat").between(c.GateLatLo, c.GateLatHi) &&
+          col("lng").between(c.GateLngLo, c.GateLngHi))
+        .select(col("image_id").as("id"), col("lat"), col("lng"))
+      c.dbscan(pts, c.GateEpsMeters, c.GateMinPts).orderBy("id")
+    }),
+
     // --- §2.4 temporal as-of join: each event picks up the most recent
     //     "state" snapshot (every 10th event) of its user at or before its
     //     timestamp — union + keyed window, ONE shuffle, no join node;
@@ -1411,6 +1424,7 @@ object SparkEntry {
       "q_semdedup" -> g("q_semdedup", "id_a, id_b"),
       "q_connect" -> g("q_connect", "id"),
       "q_dist_pairs" -> g("q_dist_pairs", "id_a, id_b"),
+      "q_dbscan" -> g("q_dbscan", "id"),
       "q_dist_join" -> g("q_dist_join", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),
