@@ -786,6 +786,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- spatio-temporal co-visit join: pairs within 150 m AND 600 s over
+    //     the London rectangle — (cell x time-bucket) composite-key equi-join;
+    //     ts is exact integer arithmetic shared with the oracle; golden
+    //     oracle = the plane sweep with the time filter (independent) ---
+    "q_covisit" -> ((s, dir) => {
+      val c = graft.ops.CoVisit
+      val d = graft.ops.DistanceJoin
+      val pts = images(s, dir)
+        .where(col("lat").between(d.GateLatLo, d.GateLatHi) &&
+          col("lng").between(d.GateLngLo, d.GateLngHi))
+        .select(col("image_id").as("id"), col("lat"), col("lng"),
+          expr("(image_id * 40507) % 86400").as("ts"))
+      c.covisitPairs(pts, c.GateRadiusMeters, c.GateWindowSeconds)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- density clustering: DBSCAN over the London hot rectangle (the
     //     skew fixture) — pair join + degree groupBy + star-contraction
     //     components + border min-attach, all keyed equi-joins; golden
@@ -1425,6 +1441,7 @@ object SparkEntry {
       "q_connect" -> g("q_connect", "id"),
       "q_dist_pairs" -> g("q_dist_pairs", "id_a, id_b"),
       "q_dbscan" -> g("q_dbscan", "id"),
+      "q_covisit" -> g("q_covisit", "id_a, id_b"),
       "q_dist_join" -> g("q_dist_join", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),
