@@ -786,6 +786,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- stay-point detection: per-user greedy dwell extraction (Li et al.
+    //     GIS'08) over deterministic trajectories synthesized from the
+    //     events table (Synth.trajLat/trajLng, 2-day dwell/travel blocks);
+    //     ONE groupBy-user shuffle + sorted scan; golden = an independent
+    //     recursive recomputation of the same published greedy spec ---
+    "q_staypoints" -> ((s, dir) => {
+      graft.model.Tables.registerBase(s, dir)
+      val latU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.trajLat(u, e, sec))
+      val lngU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.trajLng(u, e, sec))
+      val ev = s.table("events").select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").cast("long").as("sec"))
+        .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+        .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+      graft.ops.Trajectory.stayPoints(ev,
+          graft.ops.Trajectory.GateRadiusMeters,
+          graft.ops.Trajectory.GateMinDurationSeconds)
+        .orderBy("user_id", "start_s")
+    }),
+
     // --- spatio-temporal co-visit join: pairs within 150 m AND 600 s over
     //     the London rectangle — (cell x time-bucket) composite-key equi-join;
     //     ts is exact integer arithmetic shared with the oracle; golden
@@ -1442,6 +1461,7 @@ object SparkEntry {
       "q_dist_pairs" -> g("q_dist_pairs", "id_a, id_b"),
       "q_dbscan" -> g("q_dbscan", "id"),
       "q_covisit" -> g("q_covisit", "id_a, id_b"),
+      "q_staypoints" -> g("q_staypoints", "user_id, start_s"),
       "q_dist_join" -> g("q_dist_join", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),

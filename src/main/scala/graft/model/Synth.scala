@@ -88,6 +88,45 @@ object Synth {
     imagesSelect // identical text; the `orders` view supplies the columns
 
   // =====================================================================
+  // Trajectories — deterministic per-event locations over the events table
+  // (the stay-point fixture: q_staypoints)
+  // =====================================================================
+
+  /** Trajectory block width: events are ~8.6 h apart per user (TESTDATA),
+    * so 2-day blocks hold ~5-6 points — enough to form a stay. */
+  val TrajBlockSeconds = 172800L
+
+  def trajBlock(sec: Long): Long = Math.floorDiv(sec, TrajBlockSeconds)
+
+  /** Deterministic trajectory location for an event: the user's home plus a
+    * per-block anchor; blocks with block % 3 != 2 are DWELL blocks (±11 m
+    * jitter around the anchor — a stay point once the user's events span
+    * the min duration), every third block is TRAVEL (±2.2 km scatter —
+    * breaks stays and never reaches the 100 m gate radius). Pure exact
+    * arithmetic (integer mul/mod, one double division per term), shared by
+    * the engine's UDF and the golden — the imagesSelect discipline in
+    * kernel form. */
+  def trajLat(userId: Long, eventId: Long, sec: Long): Double = {
+    val home = (((userId * 7919L) % 12000L) - 6000L) / 100.0
+    val b = trajBlock(sec)
+    val anchor = ((((b * 48271L + userId * 131L) % 2000L) - 1000L)) / 50000.0
+    val off =
+      if (b % 3L != 2L) (((eventId * 40507L) % 200L) - 100L) / 1000000.0
+      else (((eventId * 48271L) % 4000L) - 2000L) / 100000.0
+    home + anchor + off
+  }
+
+  def trajLng(userId: Long, eventId: Long, sec: Long): Double = {
+    val home = (((userId * 104729L) % 30000L) - 15000L) / 100.0
+    val b = trajBlock(sec)
+    val anchor = ((((b * 69621L + userId * 137L) % 2000L) - 1000L)) / 50000.0
+    val off =
+      if (b % 3L != 2L) (((eventId * 69621L) % 200L) - 100L) / 1000000.0
+      else (((eventId * 40507L) % 4000L) - 2000L) / 100000.0
+    home + anchor + off
+  }
+
+  // =====================================================================
   // Regions — the polygon side of the containment join (FIXTURES.md §2)
   // =====================================================================
 

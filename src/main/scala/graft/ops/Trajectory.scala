@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.core.Geo
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stay-point detection over per-user trajectories — the classic dwell
+  * extractor (Li et al., "Mining user similarity based on location history",
+  * GIS'08; the GeoLife preprocessing step): a maximal run of consecutive
+  * points all within `radiusMeters` of the run's FIRST point (the anchor)
+  * whose time span reaches `minDurationSeconds` becomes one stay point.
+  * The reference's graph/containment operators consume places; this is the
+  * operator that turns raw geotagged event streams INTO places — and for an
+  * image corpus, "the photographer stood here for an hour" is the burst
+  * grouping a dedup/diversity pass keys on.
+  *
+  * Greedy anchor-scan semantics (deterministic — the published algorithm,
+  * with the total order pinned to (sec, event_id)):
+  *   i = 0; while i < n:
+  *     grow j while dist(p_i, p_j) <= r;
+  *     if sec_{j-1} - sec_i >= minDur: emit [i, j); i = j   else i += 1
+  * Emitted columns: (user_id, start_s, end_s, n_points, c_lat, c_lng) with
+  * the centroid the arithmetic mean in scan order (bit-deterministic).
+  *
+  * Scale shape (the 100 TB contract): ONE groupBy-user shuffle, then a
+  * single in-memory pass per user — the `EventStream.sessionize` memory
+  * contract: a user's points for the pass are sorted in memory (the scan
+  * needs random access back to the anchor, so it is not windowable with
+  * O(1) state). Trajectories are human-scale (years of events fit in MBs);
+  * a pathological key OOMs the task loudly rather than silently spilling
+  * wrong answers.
+  */
+object Trajectory {
+
+  final case class TrajPoint(user_id: Long, event_id: Long, sec: Long,
+                             lat: Double, lng: Double)
+  final case class StayPoint(user_id: Long, start_s: Long, end_s: Long,
+                             n_points: Int, c_lat: Double, c_lng: Double)
+
+  /** q_staypoints gate: 100 m dwell radius, 1-day minimum duration over the
+    * 2-day-block synthetic trajectories (Synth.trajLat/trajLng). */
+  val GateRadiusMeters = 100.0
+  val GateMinDurationSeconds = 86400L
+
+  /** Input: (user_id LONG, event_id LONG, sec LONG, lat, lng DOUBLE). */
+  def stayPoints(points: DataFrame, radiusMeters: Double,
+                 minDurationSeconds: Long): DataFrame = {
+    require(radiusMeters > 0 && minDurationSeconds > 0,
+      "radius and duration must be positive")
+    import points.sparkSession.implicits._
+    val ds = points.select(col("user_id").cast("long"), col("event_id").cast("long"),
+      col("sec").cast("long"), col("lat").cast("double"), col("lng").cast("double"))
+      .as[TrajPoint]
+    ds.groupByKey(_.user_id).flatMapGroups { (uid: Long, it: Iterator[TrajPoint]) =>
+      val pts = it.toArray.sortBy(p => (p.sec, p.event_id))
+      scan(uid, pts, radiusMeters, minDurationSeconds).iterator
+    }.toDF()
+  }
+
+  /** The greedy anchor scan over one user's (sec, event_id)-sorted points. */
+  private[graft] def scan(uid: Long, pts: Array[TrajPoint], r: Double,
+                          minDur: Long): Seq[StayPoint] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[StayPoint]
+    var i = 0
+    while (i < pts.length) {
+      var j = i + 1
+      while (j < pts.length &&
+        Geo.haversineMeters(pts(i).lat, pts(i).lng, pts(j).lat, pts(j).lng) <= r) j += 1
+      if (j - i > 1 && pts(j - 1).sec - pts(i).sec >= minDur) {
+        val n = j - i
+        var sl = 0.0; var sg = 0.0
+        var k = i
+        while (k < j) { sl += pts(k).lat; sg += pts(k).lng; k += 1 }
+        out += StayPoint(uid, pts(i).sec, pts(j - 1).sec, n, sl / n, sg / n)
+        i = j
+      } else i += 1
+    }
+    out.toSeq
+  }
+}
