@@ -786,6 +786,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- heatmap: KDE-smoothed tile density at z12 (integer triangular
+    //     kernel, k=2) — aggregate-first then offset-explode on the small
+    //     tile table; pure-SQL oracle (same mercator text as q_tiles_points,
+    //     integer convolution in SQL) ---
+    "q_heatmap" -> ((s, dir) =>
+      Tiling.smoothedDensity(images(s, dir), 12, 2)
+        .orderBy("x", "y")),
+
     // --- stay-point detection: per-user greedy dwell extraction (Li et al.
     //     GIS'08) over deterministic trajectories synthesized from the
     //     events table (Synth.trajLat/trajLng, 2-day dwell/travel blocks);
@@ -1169,6 +1177,20 @@ object SparkEntry {
           "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
           "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images) " +
           s"SELECT * FROM ($tileZooms) u ORDER BY image_id, z"),
+      // same mercator text as q_tiles_points (shared-arithmetic discipline);
+      // the convolution itself is exact integers: triangular weights, pmod
+      // x-wrap, y clamp, CAST around DuckDB's HUGEINT sum
+      "q_heatmap" ->
+        (s"$W, base AS (SELECT " +
+          "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x, " +
+          "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y FROM images), " +
+          "c AS (SELECT x, y, COUNT(*) AS n FROM base GROUP BY 1, 2), " +
+          "o AS (SELECT a.dx, b.dy, CAST((3 - ABS(a.dx)) * (3 - ABS(b.dy)) AS BIGINT) AS w " +
+          "FROM (VALUES (-2), (-1), (0), (1), (2)) a(dx), (VALUES (-2), (-1), (0), (1), (2)) b(dy)) " +
+          "SELECT CAST(12 AS INT) AS z, ((c.x + o.dx) % 4096 + 4096) % 4096 AS x, " +
+          "c.y + o.dy AS y, CAST(SUM(c.n * o.w) AS BIGINT) AS density " +
+          "FROM c, o WHERE c.y + o.dy >= 0 AND c.y + o.dy < 4096 " +
+          "GROUP BY 2, 3 ORDER BY x, y"),
       "q_dedup_exact" ->
         ("WITH k AS (SELECT doc_id, MD5(SUBSTRING(text, 1, 20)) AS key FROM documents), " +
           "g AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY key) AS canonical_id, " +

@@ -52,6 +52,38 @@ object Tiling {
       .groupBy("z", "x", "y").agg(count(lit(1)).as("n_features"))
   }
 
+  /** KDE-smoothed per-tile density at one zoom — the heatmap layer over the
+    * tile manifest (the raster side of the reference's raster<->vector
+    * surface, tiles.go + renderer/, turned into an analytic aggregate): per
+    * tile counts convolved with an integer TRIANGULAR kernel of half-width
+    * k, weight (k+1-|dx|)*(k+1-|dy|) — integer weights keep the whole
+    * operator exact (no float kernel to reconcile with the oracle).
+    *
+    * Scale shape: aggregate FIRST (map-side-combining count per tile — the
+    * only pass over the raw points), then explode the (2k+1)^2 offsets on
+    * the aggregated tile table only, then one more keyed aggregation.
+    * Fan-out rides the small table; the raw table shuffles once, keyed by
+    * tile. x wraps across the antimeridian (pmod 2^z); y clamps at the
+    * poles (rows dropped outside [0, 2^z)). */
+  def smoothedDensity(images: DataFrame, zoom: Int, k: Int): DataFrame = {
+    require(zoom >= 1 && zoom <= 15, s"zoom $zoom outside [1, 15]")
+    require(k >= 0, "kernel half-width must be >= 0")
+    val n = 1L << zoom
+    val counts = pointManifest(images, zoom, zoom)
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+    val offsets = for { dx <- -k to k; dy <- -k to k } yield struct(
+      lit(dx).as("dx"), lit(dy).as("dy"),
+      lit((k + 1 - math.abs(dx)).toLong * (k + 1 - math.abs(dy))).as("w"))
+    counts
+      .withColumn("o", explode(array(offsets: _*)))
+      .select(pmod(col("x") + col("o.dx"), lit(n)).as("x"),
+        (col("y") + col("o.dy")).as("y"),
+        (col("n") * col("o.w")).as("wn"))
+      .where(col("y") >= 0 && col("y") < n)
+      .groupBy("x", "y").agg(sum("wn").as("density"))
+      .select(lit(zoom).as("z"), col("x"), col("y"), col("density"))
+  }
+
   /** MVT sink: encode each tile's point features as a Mapbox Vector Tile
     * blob (graft.sources.Mvt) — the reference's HTTP serving path re-shaped
     * as a batch job (SURVEY.md §3.3): features -> tile assignment ->
