@@ -786,6 +786,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- geofence ENTER/EXIT transitions: urban trajectories straddling the
+    //     3 km hot-cap region shells; pruned containment probe -> one window
+    //     lag per user -> membership set-difference; golden = no-prune
+    //     all-region brute force with its own transition scan ---
+    "q_geofence_trans" -> ((s, dir) => {
+      graft.model.Tables.registerBase(s, dir)
+      val latU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLat(u, e, sec))
+      val lngU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLng(u, e, sec))
+      val ev = s.table("events").select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").cast("long").as("sec"))
+        .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+        .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+      graft.ops.GeoFence.transitions(ev, graft.model.Synth.regions)
+        .orderBy("user_id", "sec", "event_id", "region_id", "kind")
+    }),
+
+    // --- geo-diversity cap: at most 5 images per z15 tile (lowest-md5
+    //     survivors — cap over-photographed geographies before mixing);
+    //     pure-SQL oracle via the shared mercator + md5-rank text ---
+    "q_geo_cap" -> ((s, dir) =>
+      graft.ops.Sampling.capPerTile(images(s, dir), 15, 5)
+        .orderBy("image_id")),
+
     // --- heatmap: KDE-smoothed tile density at z12 (integer triangular
     //     kernel, k=2) — aggregate-first then offset-explode on the small
     //     tile table; pure-SQL oracle (same mercator text as q_tiles_points,
@@ -1177,6 +1200,15 @@ object SparkEntry {
           "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
           "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images) " +
           s"SELECT * FROM ($tileZooms) u ORDER BY image_id, z"),
+      // mercator + md5-rank, both shared-text disciplines (q_tiles_points /
+      // q_sample_hash); the quota filter itself is exact integers
+      "q_geo_cap" ->
+        (s"$W, base AS (SELECT image_id, " +
+          "CAST(FLOOR(16384 + 16384 * RADIANS(lng) / PI()) AS BIGINT) AS x, " +
+          "CAST(FLOOR(16384 - 16384 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y FROM images), " +
+          "r AS (SELECT image_id, x, y, ROW_NUMBER() OVER (PARTITION BY x, y " +
+          "ORDER BY SUBSTRING(MD5(CAST(image_id AS VARCHAR)), 1, 8), image_id) AS rk FROM base) " +
+          "SELECT image_id, x, y FROM r WHERE rk <= 5 ORDER BY image_id"),
       // same mercator text as q_tiles_points (shared-arithmetic discipline);
       // the convolution itself is exact integers: triangular weights, pmod
       // x-wrap, y clamp, CAST around DuckDB's HUGEINT sum
@@ -1484,6 +1516,7 @@ object SparkEntry {
       "q_dbscan" -> g("q_dbscan", "id"),
       "q_covisit" -> g("q_covisit", "id_a, id_b"),
       "q_staypoints" -> g("q_staypoints", "user_id, start_s"),
+      "q_geofence_trans" -> g("q_geofence_trans", "user_id, sec, event_id, region_id, kind"),
       "q_dist_join" -> g("q_dist_join", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),

@@ -126,6 +126,33 @@ object Synth {
     home + anchor + off
   }
 
+  /** URBAN trajectory variant (the q_geofence_trans fixture): homes sit ~1 km
+    * from a hot center and block anchors wander ±2.8 km — straddling the
+    * 3 km urban region shells (regions 0-2), so per-block anchor moves and
+    * travel scatter cross the fence both ways. Same exact-arithmetic
+    * discipline and block structure as trajLat/trajLng. */
+  def urbanTrajLat(userId: Long, eventId: Long, sec: Long): Double = {
+    val cLat = hotCenters((userId % 3).toInt)._1
+    val b = trajBlock(sec)
+    val home = (((userId * 131L) % 200L) - 100L) / 100000.0
+    val anchor = ((((b * 48271L + userId * 131L) % 5000L) - 2500L)) / 100000.0
+    val off =
+      if (b % 3L != 2L) (((eventId * 40507L) % 200L) - 100L) / 1000000.0
+      else (((eventId * 48271L) % 5000L) - 2500L) / 100000.0
+    cLat + home + anchor + off
+  }
+
+  def urbanTrajLng(userId: Long, eventId: Long, sec: Long): Double = {
+    val cLng = hotCenters((userId % 3).toInt)._2
+    val b = trajBlock(sec)
+    val home = (((userId * 137L) % 200L) - 100L) / 62000.0
+    val anchor = ((((b * 69621L + userId * 137L) % 5000L) - 2500L)) / 62000.0
+    val off =
+      if (b % 3L != 2L) (((eventId * 69621L) % 200L) - 100L) / 620000.0
+      else (((eventId * 40507L) % 5000L) - 2500L) / 62000.0
+    cLng + home + anchor + off
+  }
+
   // =====================================================================
   // Regions — the polygon side of the containment join (FIXTURES.md §2)
   // =====================================================================

@@ -218,4 +218,29 @@ object Sampling {
       .where(col(rk) <= n)
       .drop(rk)
   }
+
+  /** GEO-diversity cap: keep at most `quota` images per zoom-`zoom` map tile
+    * — the "don't let one city dominate the training set" operator (cap
+    * over-photographed geographies before mixing; the spatial twin of the
+    * per-language carve-out above). Deterministic: the survivors per tile
+    * are the lowest md5 draws (hashDraw, the engine↔oracle-shared ranking),
+    * id tiebreak. Exactly [[sampleExact]] with the stratum = the image's
+    * (x, y) tile at `zoom` (Tiling.pointManifest's Mercator math, the
+    * q_tiles_points discipline), so the sampleExact contract carries over:
+    * right for bounded strata — a single tile's rows sort in one task
+    * (quota selection needs a global per-tile rank); at planetary scale
+    * pick a zoom whose tiles bound the per-tile row count, or pre-thin
+    * pathological tiles with the rate form. Output: (image_id, x, y) of
+    * the survivors; join back by image_id for payloads. */
+  def capPerTile(images: DataFrame, zoom: Int, quota: Int): DataFrame = {
+    require(quota > 0, s"capPerTile: quota must be positive, got $quota")
+    val m = graft.ops.Tiling.pointManifest(images, zoom, zoom)
+      .select("image_id", "x", "y")
+    val rk = "__graft_sample_rk"
+    val w = Window.partitionBy("x", "y")
+      .orderBy(hashDraw(col("image_id")), col("image_id"))
+    m.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= quota)
+      .drop(rk)
+  }
 }
