@@ -357,15 +357,20 @@ object Knn {
     // image side once for all rounds. Bucket stats are read ONCE per call.
     val imgs = images.map(probeProjection)
     val storeStats = storeDir.map(d => graft.lineage.CellStore.stats(spark, d))
-    // initialRadius <= 0 -> auto from density: aim for ~16*k candidates per
+    // initialRadius <= 0 -> auto from density: aim for ~48*k candidates per
     // round-1 cap so virtually every query resolves immediately — the d2
     // stop rule needs kth * (1 + 1/cos) <= r, i.e. ~(1+1/cos)^2 * k ~ 6-8k
-    // candidates even at high latitudes; 16k leaves margin for local
-    // density dips. The count is one cheap job over the cached projection
-    // (for the store, a pure metadata read of the bucket stats);
-    // correctness is radius-invariant (OpsSpec), this only tunes round
-    // counts across densities (a fixed 2 deg was right at sf0.1 but cost an
-    // extra full round at sf0.01).
+    // candidates even at high latitudes. 16k resolved 98% of the uniform
+    // batch in round 1 but left the low-density tail (~1.7k of 10^4 at
+    // sf0.01) paying a second full round whose cost is mostly fixed (job
+    // launch + covering + window) — 48k resolves the tail too and measures
+    // FASTER end-to-end (2 rounds 1.2+0.9 s -> 1 round ~1.3 s warm): per-
+    // query candidates stay tiny (~150 rows at k=3) and the top-k partial
+    // aggregate absorbs the 3x fan-in map-side. The count is one cheap job
+    // over the cached projection (for the store, a pure metadata read of
+    // the bucket stats); correctness is radius-invariant (OpsSpec), this
+    // only tunes round counts across densities (a fixed 2 deg was right at
+    // sf0.1 but cost an extra full round at sf0.01).
     val initialRadius =
       if (initialRadius0 > 0) initialRadius0
       else {
@@ -373,7 +378,7 @@ object Knn {
           case Some(st) => st.map(_.rows).sum
           case None => imgs.get.count()
         })
-        val deg = math.min(60.0, math.sqrt(16.0 * k * 41253.0 / (math.Pi * n)))
+        val deg = math.min(60.0, math.sqrt(48.0 * k * 41253.0 / (math.Pi * n)))
         if (meters) deg * 111320.0 else deg
       }
     val tracker = new Tracker
