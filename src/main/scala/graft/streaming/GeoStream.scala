@@ -92,4 +92,74 @@ object GeoStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"),
         col("z"), col("x"), col("y"), col("n"))
+
+  // ---- stateful: streaming geofence ENTER/EXIT transitions ----------------
+
+  final case class FencePing(user_id: Long, event_id: Long,
+                             ts: java.sql.Timestamp, lat: Double, lng: Double)
+  // public: GroupState encoders generate accessor code that cannot see
+  // private members (Janino compile failure observed)
+  final case class FenceBuf(ms: Long, event_id: Long,
+                            lat: Double, lng: Double)
+  final case class FenceState(member: Seq[Int], buf: Seq[FenceBuf])
+  final case class FenceTransition(user_id: Long, event_id: Long, sec: Long,
+                                   region_id: String, kind: String)
+
+  /** Streaming form of `GeoFence.transitions` (whose batch body is
+    * oracle-gated by q_geofence_trans): per-user enter/exit events, correct
+    * under OUT-OF-ORDER arrival within the watermark delay. Events buffer in
+    * GroupState and are processed — sorted by (ts, event_id), diffed against
+    * the retained membership set — only once the watermark passes their
+    * event time, so no later arrival can reorder an emitted transition;
+    * rows later than the watermark are dropped by Spark upstream (the
+    * standard stateful contract). A buffered remainder arms an event-time
+    * timeout clamped above the current watermark (the sessionizeStreaming
+    * lesson, ADVICE r02), so quiet users still flush when the feed's
+    * watermark advances past their buffered rows.
+    *
+    * Membership uses the SAME exact even-odd ray-cast kernel as the batch
+    * probe's refine (Geo.containsPlanarRings), evaluated against every
+    * region per event — fence sets are small (the broadcast-index prune is
+    * the BULK path's optimization; per-event O(|regions|) is the honest
+    * streaming cost). State per user = membership ordinals + the
+    * watermark-bounded buffer; membership persists for the user's lifetime
+    * (a fence you are inside must be remembered to emit its exit).
+    *
+    * Callers must set `.withWatermark("ts", delay)` upstream. */
+  def transitionsStreaming(pings: org.apache.spark.sql.Dataset[FencePing],
+                           regions: Array[Synth.Region]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import pings.sparkSession.implicits._
+    def membership(lat: Double, lng: Double): Seq[Int] =
+      regions.indices.filter(i =>
+        graft.core.Geo.containsPlanarRings(lat, lng, regions(i).rings))
+    def fn(uid: Long, evs: Iterator[FencePing],
+           state: GroupState[FenceState]): Iterator[FenceTransition] = {
+      val st0 = state.getOption.getOrElse(FenceState(Nil, Nil))
+      val buf = st0.buf ++ evs.map(e =>
+        FenceBuf(e.ts.getTime, e.event_id, e.lat, e.lng))
+      val w = state.getCurrentWatermarkMs()
+      val (ready, rest) = buf.partition(_.ms < w)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FenceTransition]
+      var member = st0.member
+      ready.sortBy(b => (b.ms, b.event_id)).foreach { b =>
+        val cur = membership(b.lat, b.lng)
+        (cur.diff(member)).foreach(i => out +=
+          FenceTransition(uid, b.event_id, b.ms / 1000, regions(i).regionId, "enter"))
+        (member.diff(cur)).foreach(i => out +=
+          FenceTransition(uid, b.event_id, b.ms / 1000, regions(i).regionId, "exit"))
+        member = cur
+      }
+      state.update(FenceState(member, rest))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(math.max(w + 1, rest.map(_.ms).min + 1))
+      out.iterator
+    }
+    pings.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, evs: Iterator[FencePing], state: GroupState[FenceState]) =>
+          fn(uid, evs, state))
+      .toDF()
+  }
 }

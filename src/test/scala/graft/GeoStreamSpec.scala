@@ -185,4 +185,53 @@ class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         "windowed totals must equal the batch manifest row count")
     } finally q.stop()
   }
+
+  test("streaming geofence transitions equal the oracle-gated batch form under out-of-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = (london._1 + 0.015, london._2)   // inside reg-0000's shell
+    val out = (london._1 + 0.05, london._2)   // outside
+    // user 1's true timeline: out, in, in, out, in -> enter@2, exit@4, enter@5
+    val evs = Seq((1L, 1L, 1000L, out), (1L, 2L, 2000L, in), (1L, 3L, 3000L, in),
+      (1L, 4L, 4000L, out), (1L, 5L, 5000L, in))
+    def fp(u: Long, e: Long, sec: Long, p: (Double, Double)) =
+      GeoStream.FencePing(u, e, new java.sql.Timestamp(sec * 1000L), p._1, p._2)
+    val ms = MemoryStream[GeoStream.FencePing]
+    val q = GeoStream.transitionsStreaming(
+        ms.toDS().withWatermark("ts", "600 seconds").as[GeoStream.FencePing],
+        Synth.regions)
+      .writeStream.format("memory").queryName("fence_trans_out")
+      .outputMode("append").start()
+    try {
+      // arrival order scrambled WITHIN the watermark delay, split across
+      // micro-batches; the buffered scan must still process in event order
+      ms.addData(fp(1, 2, 2000, in), fp(1, 1, 1000, out))
+      q.processAllAvailable()
+      ms.addData(fp(1, 4, 4000, out), fp(1, 3, 3000, in))
+      q.processAllAvailable()
+      ms.addData(fp(1, 5, 5000, in))
+      q.processAllAvailable()
+      // sentinel user pushes the global watermark far past every real event
+      // (twice: the watermark computed in batch N applies in batch N+1)
+      ms.addData(fp(99, 100, 10_000_000L, out))
+      q.processAllAvailable()
+      ms.addData(fp(99, 101, 20_000_000L, out))
+      q.processAllAvailable()
+      val got = spark.table("fence_trans_out")
+        .where($"user_id" === 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+      // batch oracle: the q_geofence_trans-gated operator on the IN-ORDER rows
+      val batch = graft.ops.GeoFence.transitions(
+          evs.map { case (u, e, s, p) => (u, e, s, p._1, p._2) }
+            .toDF("user_id", "event_id", "sec", "lat", "lng"),
+          Synth.regions)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+      assert(got === batch, s"stream $got != batch $batch")
+      assert(got.contains((1L, 2L, 2000L, "reg-0000", "enter")) &&
+        got.contains((1L, 4L, 4000L, "reg-0000", "exit")) &&
+        got.contains((1L, 5L, 5000L, "reg-0000", "enter")), got.toString)
+    } finally q.stop()
+  }
 }
