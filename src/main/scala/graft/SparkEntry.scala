@@ -836,6 +836,20 @@ object SparkEntry {
         .orderBy("user_id", "start_s")
     }),
 
+    // --- per-user odometer over the same synthetic trajectories: leg sums
+    //     in scan order (bit-deterministic under any partitioning); golden
+    //     = functional fold, shared haversine kernel ---
+    "q_odometer" -> ((s, dir) => {
+      graft.model.Tables.registerBase(s, dir)
+      val latU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.trajLat(u, e, sec))
+      val lngU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.trajLng(u, e, sec))
+      val ev = s.table("events").select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").cast("long").as("sec"))
+        .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+        .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+      graft.ops.Trajectory.trackStats(ev).orderBy("user_id")
+    }),
+
     // --- spatio-temporal co-visit join: pairs within 150 m AND 600 s over
     //     the London rectangle — (cell x time-bucket) composite-key equi-join;
     //     ts is exact integer arithmetic shared with the oracle; golden
@@ -1517,6 +1531,7 @@ object SparkEntry {
       "q_covisit" -> g("q_covisit", "id_a, id_b"),
       "q_staypoints" -> g("q_staypoints", "user_id, start_s"),
       "q_geofence_trans" -> g("q_geofence_trans", "user_id, sec, event_id, region_id, kind"),
+      "q_odometer" -> g("q_odometer", "user_id"),
       "q_dist_join" -> g("q_dist_join", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),

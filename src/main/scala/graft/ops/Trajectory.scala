@@ -57,6 +57,41 @@ object Trajectory {
     }.toDF()
   }
 
+  final case class TrackStats(user_id: Long, n_points: Long, total_m: Double,
+                              max_leg_m: Double, net_m: Double)
+
+  /** Per-user odometer over the (sec, event_id)-ordered trajectory: leg
+    * count+1, total great-circle track length, longest single leg, and net
+    * displacement (first->last) — the trip-level summary a travel/diversity
+    * analysis keys on (e.g. "stationary user vs world traveler" strata).
+    * Same ONE-shuffle groupBy-user + sorted single pass as [[stayPoints]];
+    * the float sums accumulate in scan order, so results are
+    * bit-deterministic under any partitioning (the golden sums in the same
+    * order with the shared kernel). */
+  def trackStats(points: DataFrame): DataFrame = {
+    import points.sparkSession.implicits._
+    val ds = points.select(col("user_id").cast("long"), col("event_id").cast("long"),
+      col("sec").cast("long"), col("lat").cast("double"), col("lng").cast("double"))
+      .as[TrajPoint]
+    ds.groupByKey(_.user_id).mapGroups { (uid: Long, it: Iterator[TrajPoint]) =>
+      val pts = it.toArray.sortBy(p => (p.sec, p.event_id))
+      var total = 0.0; var maxLeg = 0.0
+      var i = 1
+      while (i < pts.length) {
+        val leg = Geo.haversineMeters(pts(i - 1).lat, pts(i - 1).lng,
+          pts(i).lat, pts(i).lng)
+        total += leg
+        if (leg > maxLeg) maxLeg = leg
+        i += 1
+      }
+      val net =
+        if (pts.length < 2) 0.0
+        else Geo.haversineMeters(pts(0).lat, pts(0).lng,
+          pts(pts.length - 1).lat, pts(pts.length - 1).lng)
+      TrackStats(uid, pts.length.toLong, total, maxLeg, net)
+    }.toDF()
+  }
+
   /** The greedy anchor scan over one user's (sec, event_id)-sorted points. */
   private[graft] def scan(uid: Long, pts: Array[TrajPoint], r: Double,
                           minDur: Long): Seq[StayPoint] = {

@@ -84,6 +84,33 @@ class TrajectorySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got1.head._5 === (at(5) + at(0) + at(10)) / 3)
   }
 
+  test("odometer equals the fold golden; singleton and leg semantics") {
+    val evs = Golden.loadEvents(spark, sfDir)
+    val want = Golden.trackStatsG(evs)
+    val pts = evs.map(e => (e.userId, e.eventId, e.sec,
+      graft.model.Synth.trajLat(e.userId, e.eventId, e.sec),
+      graft.model.Synth.trajLng(e.userId, e.eventId, e.sec))).toSeq
+    import spark.implicits._
+    val got = Trajectory.trackStats(
+        pts.toDF("user_id", "event_id", "sec", "lat", "lng"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(got === want)
+    assert(want.forall(s => s._3 >= s._5), "total must dominate net displacement")
+    assert(want.exists(s => s._3 > 0), "fixture degenerate: nobody moved")
+    // singleton user: zero legs, zero everything but the count
+    val single = Trajectory.trackStats(
+        Seq((9L, 1L, 5L, 10.0, 20.0)).toDF("user_id", "event_id", "sec", "lat", "lng"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(single.toSeq === Seq((1L, 0.0, 0.0, 0.0)))
+    // out-of-order input sums identically (sorted scan order)
+    val shuffled = Trajectory.trackStats(
+        pts.reverse.toDF("user_id", "event_id", "sec", "lat", "lng"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(shuffled === want)
+  }
+
   test("haversine kernel shared with the engine scan (float policy pin)") {
     // Geo.haversineMeters is the kernel both scan and golden call; pin one
     // value so an accidental swap to the Column-mirroring variant is caught
