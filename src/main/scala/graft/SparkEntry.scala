@@ -809,6 +809,13 @@ object SparkEntry {
       graft.ops.Sampling.capPerTile(images(s, dir), 15, 5)
         .orderBy("image_id")),
 
+    // --- zonal raster: exact region∩tile spherical areas at z8 — covering
+    //     candidates + map-side clip (shared q_clip kernels); golden = the
+    //     same kernels over an INDEPENDENT bbox-range candidate set ---
+    "q_zonal_area" -> ((s, _) =>
+      Tiling.rasterizeArea(Tables.regions(s), 8)
+        .orderBy("region_id", "z", "x", "y")),
+
     // --- heatmap: KDE-smoothed tile density at z12 (integer triangular
     //     kernel, k=2) — aggregate-first then offset-explode on the small
     //     tile table; pure-SQL oracle (same mercator text as q_tiles_points,
@@ -1532,6 +1539,7 @@ object SparkEntry {
       "q_staypoints" -> g("q_staypoints", "user_id, start_s"),
       "q_geofence_trans" -> g("q_geofence_trans", "user_id, sec, event_id, region_id, kind"),
       "q_odometer" -> g("q_odometer", "user_id"),
+      "q_zonal_area" -> g("q_zonal_area", "region_id, z, x, y"),
       "q_dist_join" -> g("q_dist_join", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),

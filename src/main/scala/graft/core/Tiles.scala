@@ -23,6 +23,18 @@ object Tiles {
     (x, y)
   }
 
+  /** (latLo, latHi, lngLo, lngHi) of a tile in degrees — the inverse of
+    * `project` (lng linear, lat inverse-Mercator gudermannian). ONE shared
+    * definition for the rasterize-area engine path and its golden, so the
+    * window literals cannot drift (the imagesSelect discipline). */
+  def tileBoundsDeg(z: Int, x: Long, y: Long): (Double, Double, Double, Double) = {
+    val n = (1L << z).toDouble
+    def lat(yy: Double): Double =
+      math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * yy / n))))
+    def lng(xx: Double): Double = xx / n * 360.0 - 180.0
+    (lat((y + 1).toDouble), lat(y.toDouble), lng(x.toDouble), lng((x + 1).toDouble))
+  }
+
   def tileFromLatLng(latDeg: Double, lngDeg: Double, zoom: Int): (Long, Long) = {
     // Mercator blows up at the poles: without the clamp a |lat| > ~85.05
     // point yields y < 0 (or >= 2^z), and the packed TileID's z/x/y bit

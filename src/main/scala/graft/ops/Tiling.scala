@@ -52,6 +52,47 @@ object Tiling {
       .groupBy("z", "x", "y").agg(count(lit(1)).as("n_features"))
   }
 
+  /** EXACT per-tile rasterized polygon area — the raster side of the
+    * raster<->vector surface as a zonal-statistics operator: for every
+    * (region, tile) the spherical area (m²) of region ∩ tile, the weight
+    * table an area-weighted zonal aggregate joins against (population
+    * density, per-tile coverage fractions, cartogram shading). Semantics:
+    * planar lat/lng ring edges (the ray-cast containment convention used
+    * engine-wide) clipped to the tile's lat/lng window — shell ring area
+    * minus hole ring areas (even-odd, matching the containment probe).
+    *
+    * Scale shape: candidates come from `coveringManifest` (the region's S2
+    * covering re-tiled — a SOUND SUPERSET of the intersecting tiles; empty
+    * clips drop on the area > 0 filter), the ring payload rides a broadcast
+    * of the small region table, and the clip+area kernel (Sutherland-
+    * Hodgman against a convex window + L'Huilier spherical excess —
+    * `Geo.clipRingToRect`/`sphericalAreaM2`, the q_clip kernels) runs
+    * map-side per candidate row. No shuffle of anything large; fan-out =
+    * tiles per region at the zoom. */
+  def rasterizeArea(regions: DataFrame, zoom: Int): DataFrame = {
+    val areaUdf = udf((ringsLat: Seq[Seq[Double]], ringsLng: Seq[Seq[Double]],
+                       z: Int, x: Long, y: Long) => {
+      val (latLo, latHi, lngLo, lngHi) = graft.core.Tiles.tileBoundsDeg(z, x, y)
+      var area = 0.0
+      var r = 0
+      while (r < ringsLat.length) {
+        val (cl, cg) = graft.core.Geo.clipRingToRect(
+          ringsLat(r).toArray, ringsLng(r).toArray, latLo, latHi, lngLo, lngHi)
+        val a = if (cl.length >= 3) graft.core.Geo.sphericalAreaM2(cl, cg) else 0.0
+        area += (if (r == 0) a else -a) // shell minus holes (even-odd)
+        r += 1
+      }
+      area
+    })
+    coveringManifest(regions, zoom, zoom)
+      .join(broadcast(regions.select(col("region_id"),
+        col("rings_lat"), col("rings_lng"))), Seq("region_id"))
+      .withColumn("area_m2",
+        areaUdf(col("rings_lat"), col("rings_lng"), col("z"), col("x"), col("y")))
+      .where(col("area_m2") > 0)
+      .select("region_id", "z", "x", "y", "area_m2")
+  }
+
   /** KDE-smoothed per-tile density at one zoom — the heatmap layer over the
     * tile manifest (the raster side of the reference's raster<->vector
     * surface, tiles.go + renderer/, turned into an analytic aggregate): per

@@ -1,0 +1,65 @@
+package graft
+
+import graft.core.{Geo, Tiles}
+import graft.model.{Synth, Tables}
+import graft.ops.Tiling
+import graft.oracle.Golden
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Per-tile rasterized region areas: engine (covering candidates) vs golden
+  * (bbox-range candidates), plus mass conservation over the tile partition. */
+class RasterizeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("rasterize-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(zoom: Int): Seq[(String, Int, Long, Long, Double)] =
+    Tiling.rasterizeArea(Tables.regions(spark), zoom)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._3, t._4)).toSeq
+
+  test("engine equals the bbox-range golden at two zooms (independent candidates)") {
+    for (z <- Seq(7, 8)) {
+      val got = run(z)
+      val want = Golden.rasterizeAreaG(z)
+      assert(got === want, s"zoom $z: got ${got.size} rows, want ${want.size}")
+      assert(want.size > Synth.regions.length,
+        s"zoom $z: every region should span >1 tile on average")
+      // at z8 the big rural regions must shatter into many tiles
+      if (z == 8) assert(want.groupBy(_._1).values.map(_.size).max > 10)
+    }
+  }
+
+  test("mass conservation: tile pieces sum to the whole region's area") {
+    val byRegion = run(8).groupBy(_._1).view.mapValues(_.map(_._5).sum)
+    Synth.regions.foreach { reg =>
+      val whole = reg.rings.zipWithIndex.map { case ((rl, rg), i) =>
+        val a = Geo.sphericalAreaM2(rl, rg)
+        if (i == 0) a else -a
+      }.sum
+      val tiled = byRegion.getOrElse(reg.regionId, 0.0)
+      // pieces partition the planar polygon; internal tile edges introduce
+      // only planar-vs-spherical edge slack, tiny at z8 tile sizes
+      assert(math.abs(tiled - whole) <= 1e-4 * whole,
+        s"${reg.regionId}: tiled $tiled vs whole $whole")
+    }
+  }
+
+  test("tile bounds invert the projection (shared-kernel pin)") {
+    for (z <- Seq(4, 8, 12); x <- Seq(0L, 3L); y <- Seq(1L, 2L)) {
+      val (latLo, latHi, lngLo, lngHi) = Tiles.tileBoundsDeg(z, x, y)
+      assert(latLo < latHi && lngLo < lngHi)
+      // center of the box projects back into tile (x, y)
+      val (px, py) = Tiles.tileFromLatLng((latLo + latHi) / 2, (lngLo + lngHi) / 2, z)
+      assert((px, py) === (x, y), s"z=$z x=$x y=$y -> ($px, $py)")
+    }
+  }
+}
