@@ -254,6 +254,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- dedup: incremental new-vs-corpus (day-2 ingestion) — broadcast
+    //     Bloom prune + exact anti-join confirm on the Bloom-positive slice;
+    //     corpus = 3/4 of the docs, batch = the doc_id%4==0 slice; oracle =
+    //     plain NOT EXISTS anti-join on the same content key ---
+    "q_bloom_dedup" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents").withColumn("prefix", substring(col("text"), 1, 20))
+      Dedup.newAgainstCorpus(
+          docs.where(col("doc_id") % 4 =!= 0),
+          docs.where(col("doc_id") % 4 === 0), "prefix")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // --- dedup: MinHash+LSH banding + exact n-gram Jaccard refine ---
     "q_minhash_lsh" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -824,6 +837,26 @@ object SparkEntry {
       Tiling.smoothedDensity(images(s, dir), 12, 2)
         .orderBy("x", "y")),
 
+    // --- Getis-Ord Gi* hot spots at z12 over the occupied tiles —
+    //     aggregate-first 3x3 neighbour equi-join + broadcast global stats;
+    //     the float z-score is ONE shared expression text (Tiling.GiStarZSql)
+    //     over exact integer aggregates, guards are exact integers ---
+    "q_hotspot" -> ((s, dir) =>
+      Tiling.giStar(images(s, dir), 12).orderBy("x", "y")),
+
+    // --- OD flow matrix at z6: per-user (sec, event_id)-ordered tile
+    //     transitions (user/ts synthesized from image_id with exact integer
+    //     SQL shared with the oracle, same ts text as q_covisit); ONE
+    //     user-keyed window shuffle + ONE pair-keyed agg shuffle ---
+    "q_od_matrix" -> ((s, dir) =>
+      graft.ops.Trajectory.odMatrix(
+          images(s, dir).select(
+            (col("image_id") % 997).as("user_id"),
+            col("image_id").as("event_id"),
+            expr("(image_id * 40507) % 86400").as("sec"),
+            col("lat"), col("lng")), 6)
+        .orderBy("from_x", "from_y", "to_x", "to_y")),
+
     // --- stay-point detection: per-user greedy dwell extraction (Li et al.
     //     GIS'08) over deterministic trajectories synthesized from the
     //     events table (Synth.trajLat/trajLng, 2-day dwell/travel blocks);
@@ -1244,6 +1277,42 @@ object SparkEntry {
           "c.y + o.dy AS y, CAST(SUM(c.n * o.w) AS BIGINT) AS density " +
           "FROM c, o WHERE c.y + o.dy >= 0 AND c.y + o.dy < 4096 " +
           "GROUP BY 2, 3 ORDER BY x, y"),
+      // same content key text as q_dedup_exact; the Bloom filter is a pure
+      // prune, so the oracle is the exact anti-join semantics
+      "q_bloom_dedup" ->
+        ("WITH c AS (SELECT MD5(SUBSTRING(text, 1, 20)) AS key FROM documents WHERE doc_id % 4 <> 0), " +
+          "b AS (SELECT doc_id, MD5(SUBSTRING(text, 1, 20)) AS key FROM documents WHERE doc_id % 4 = 0) " +
+          "SELECT doc_id FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.key = b.key) ORDER BY doc_id"),
+      // same mercator text as q_heatmap; integer aggregates + the ONE shared
+      // float z-score expression (Tiling.GiStarZSql) on both engines;
+      // divide-by-zero rows excluded by exact integer guards
+      "q_hotspot" ->
+        (s"$W, base AS (SELECT " +
+          "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x, " +
+          "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y FROM images), " +
+          "c AS (SELECT x, y, COUNT(*) AS n FROM base GROUP BY 1, 2), " +
+          "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(n) AS BIGINT) AS s1, " +
+          "CAST(SUM(n * n) AS BIGINT) AS s2 FROM c), " +
+          "o AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)), " +
+          "nb AS (SELECT ((c.x + o.dx) % 4096 + 4096) % 4096 AS x, c.y + o.dy AS y, c.n AS nj FROM c, o), " +
+          "gi AS (SELECT c.x, c.y, CAST(SUM(nb.nj) AS BIGINT) AS gi, CAST(COUNT(*) AS BIGINT) AS wi " +
+          "FROM c JOIN nb USING (x, y) GROUP BY 1, 2) " +
+          s"SELECT CAST(12 AS INT) AS z, x, y, ${graft.ops.Tiling.GiStarZSql} AS gi_z " +
+          "FROM gi, g WHERE nn > 1 AND wi < nn AND s2 * nn > s1 * s1 ORDER BY x, y"),
+      // z6 mercator (same text family as q_tiles_points), exact-integer
+      // user/ts synthesis (same ts text as q_covisit), LAG window transitions
+      "q_od_matrix" ->
+        (s"$W, base AS (SELECT image_id % 997 AS user_id, image_id AS event_id, " +
+          "(image_id * 40507) % 86400 AS sec, " +
+          "CAST(FLOOR(32 + 32 * RADIANS(lng) / PI()) AS BIGINT) AS x, " +
+          "CAST(FLOOR(32 - 32 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y FROM images), " +
+          "t AS (SELECT user_id, x, y, " +
+          "LAG(x) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS from_x, " +
+          "LAG(y) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS from_y FROM base) " +
+          "SELECT from_x, from_y, x AS to_x, y AS to_y, COUNT(*) AS n_moves, " +
+          "COUNT(DISTINCT user_id) AS n_users " +
+          "FROM t WHERE from_x IS NOT NULL AND (from_x <> x OR from_y <> y) " +
+          "GROUP BY 1, 2, 3, 4 ORDER BY from_x, from_y, to_x, to_y"),
       "q_dedup_exact" ->
         ("WITH k AS (SELECT doc_id, MD5(SUBSTRING(text, 1, 20)) AS key FROM documents), " +
           "g AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY key) AS canonical_id, " +

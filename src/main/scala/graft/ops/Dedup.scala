@@ -78,6 +78,41 @@ object Dedup {
       .select(cols.map(c => col(s"_row.`$c`").as(c)): _*)
   }
 
+  /** Incremental corpus dedup: rows of `batch` whose content key does NOT
+    * already exist in `corpus` — the day-2 ingestion primitive (dedupe a new
+    * crawl slice against an existing 100 TB corpus without re-shuffling the
+    * corpus for every slice).
+    *
+    * Scale shape: ONE aggregate scan of the corpus keys builds a Bloom
+    * filter (sized by a cheap columnar count) that is broadcast to the
+    * batch. Definite-negatives — the vast majority of genuinely new rows —
+    * short-circuit with NO join at all; only Bloom-POSITIVES (true dups plus
+    * the filter's false positives, an `fpp` fraction of the new rows) are
+    * confirmed by an exact LEFT ANTI equi-join against the corpus keys. The
+    * result is EXACT regardless of `fpp`: a false positive only costs a row
+    * riding the confirm join, never a wrong answer. At design scale the
+    * confirm join's corpus side prunes to matching key buckets (the corpus
+    * is stored key-bucketed, same discipline as CellStore).
+    *
+    * Batch-INTERNAL duplicates are deliberately passed through — compose
+    * with [[keepCanonical]] when the slice itself needs deduping. NULL
+    * content maps to the shared sentinel key ([[dedupKey]]), so a null-text
+    * batch row is "new" iff the corpus has no null-text row. */
+  def newAgainstCorpus(corpus: DataFrame, batch: DataFrame, keyCol: String,
+                       fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp $fpp outside (0, 1)")
+    val ck = corpus.select(dedupKey(col(keyCol)).as(DedupKeyCol))
+    val nKeys = math.max(1L, ck.count())
+    val bloom = ck.stat.bloomFilter(DedupKeyCol, nKeys, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => bc.value.mightContainString(k))
+    val keyed = batch.withColumn(DedupKeyCol, dedupKey(col(keyCol)))
+    val definiteNew = keyed.where(!mightContain(col(DedupKeyCol)))
+    val confirmed = keyed.where(mightContain(col(DedupKeyCol)))
+      .join(ck, Seq(DedupKeyCol), "left_anti")
+    definiteNew.unionByName(confirmed).drop(DedupKeyCol)
+  }
+
   /** MinHash + LSH banded candidate pairs with exact n-gram Jaccard refine.
     *
     * shingle (word 3-gram) -> 64-perm minhash -> `bands` band keys -> equi-

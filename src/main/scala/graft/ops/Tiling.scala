@@ -125,6 +125,60 @@ object Tiling {
       .select(lit(zoom).as("z"), col("x"), col("y"), col("density"))
   }
 
+  /** The Gi* z-score float expression over the integer aggregates
+    * (gi, wi, nn, s1, s2) — ONE text, parsed by BOTH Spark (`expr`) and the
+    * DuckDB oracle, so the float arithmetic is bit-identical by
+    * construction (the shared-arithmetic-text discipline): every operand is
+    * an exact integer and every double op (CAST, /, *, -, SQRT) is
+    * IEEE-correctly-rounded in both engines. xbar = s1/nn is inlined
+    * twice rather than bound, keeping the op ORDER identical. */
+  private[graft] val GiStarZSql: String =
+    "(CAST(gi AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)) * CAST(wi AS DOUBLE)) / " +
+      "(SQRT(CAST(s2 AS DOUBLE) / CAST(nn AS DOUBLE) - " +
+      "(CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE))) * " +
+      "SQRT((CAST(nn AS DOUBLE) * CAST(wi AS DOUBLE) - CAST(wi AS DOUBLE) * CAST(wi AS DOUBLE)) / " +
+      "(CAST(nn AS DOUBLE) - CAST(1 AS DOUBLE))))"
+
+  /** Getis-Ord Gi* hot-spot z-scores over the per-tile point counts at one
+    * zoom — the classic local spatial statistic (Getis & Ord 1992; the
+    * "where are the statistically significant photo hot spots" layer on top
+    * of the tile manifest). Universe = the OCCUPIED tiles (documented
+    * contract: empty tiles are not observations — the statistic ranks
+    * occupied tiles against each other, the standard practice for point
+    * data on a mostly-empty global grid); weights are binary over the 3x3
+    * Moore neighbourhood INCLUDING self (that is Gi*, vs Gi). For occupied
+    * tile i:  z_i = (G_i - xbar*W_i) / (S * sqrt((nn*W_i - W_i^2)/(nn-1)))
+    * with G_i the neighbourhood count sum, W_i the occupied-neighbour count,
+    * xbar/S the global mean/stddev over the nn occupied tiles.
+    *
+    * Scale shape: ONE aggregation over the raw points (map-side combine,
+    * keyed by tile), then everything else rides the small aggregated tile
+    * table: a 9-offset explode + self-equi-join (antimeridian x-wrap, same
+    * as smoothedDensity) and a broadcast 1-row global-stats cross join. The
+    * raw table shuffles exactly once. Rows whose variance terms would
+    * divide by zero (all-equal counts, nn==1, or W_i==nn) are filtered by
+    * EXACT integer guards shared with the oracle. */
+  def giStar(images: DataFrame, zoom: Int): DataFrame = {
+    require(zoom >= 1 && zoom <= 15, s"zoom $zoom outside [1, 15]")
+    val side = 1L << zoom
+    val c = pointManifest(images, zoom, zoom)
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+    val g = c.agg(count(lit(1)).as("nn"), sum("n").as("s1"),
+      sum(col("n") * col("n")).as("s2"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield struct(
+      lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val nb = c.withColumn("o", explode(array(offsets: _*)))
+      .select(pmod(col("x") + col("o.dx"), lit(side)).as("x"),
+        (col("y") + col("o.dy")).as("y"), col("n").as("nj"))
+    // join back to the occupied keys: off-grid y and empty neighbours drop
+    val gi = c.select("x", "y").join(nb, Seq("x", "y"))
+      .groupBy("x", "y").agg(sum("nj").as("gi"), count(lit(1)).as("wi"))
+    gi.crossJoin(broadcast(g))
+      .where(col("nn") > 1 && col("wi") < col("nn") &&
+        col("s2") * col("nn") > col("s1") * col("s1"))
+      .select(lit(zoom).as("z"), col("x"), col("y"), expr(GiStarZSql).as("gi_z"))
+  }
+
   /** MVT sink: encode each tile's point features as a Mapbox Vector Tile
     * blob (graft.sources.Mvt) — the reference's HTTP serving path re-shaped
     * as a batch job (SURVEY.md §3.3): features -> tile assignment ->

@@ -92,6 +92,39 @@ object Trajectory {
     }.toDF()
   }
 
+  /** Origin→destination flow matrix between map tiles: consecutive fixes of
+    * each user's (sec, event_id)-ordered trajectory that CHANGE tile at
+    * `zoom` become one directed (from, to) movement; flows aggregate the
+    * movement count and the distinct movers — the OD matrix every
+    * mobility/urban-analytics stack derives from raw geotagged streams
+    * (and, for an image corpus, "photographers moving tile A → tile B", the
+    * geographic-diversity signal a sampler can rebalance on).
+    *
+    * Scale shape: tile assignment is the same native codegen expression as
+    * the tile manifests (no shuffle), then ONE window shuffle keyed by user
+    * (lag over the per-user sort — users are independent, so the window
+    * never sees a global sort) and ONE aggregation shuffle keyed by the
+    * (from, to) tile pair with map-side partial counts. Same-tile dwells are
+    * dropped BEFORE the aggregation, so the shuffle carries only genuine
+    * movements. */
+  def odMatrix(points: DataFrame, zoom: Int): DataFrame = {
+    require(zoom >= 1 && zoom <= 15, s"zoom $zoom outside [1, 15]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    points
+      .withColumn("tid", element_at(
+        graft.functions.S2Expressions.tileChain(col("lat"), col("lng"), zoom, zoom), 1))
+      .select(col("user_id"), col("sec"), col("event_id"),
+        expr(s"tid & (shiftleft(1L, $zoom) - 1)").as("x"),
+        expr(s"shiftrightunsigned(tid, $zoom) & (shiftleft(1L, $zoom) - 1)").as("y"))
+      .withColumn("from_x", lag("x", 1).over(w))
+      .withColumn("from_y", lag("y", 1).over(w))
+      .where(col("from_x").isNotNull &&
+        (col("from_x") =!= col("x") || col("from_y") =!= col("y")))
+      .groupBy(col("from_x"), col("from_y"), col("x").as("to_x"), col("y").as("to_y"))
+      .agg(count(lit(1)).as("n_moves"), countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** The greedy anchor scan over one user's (sec, event_id)-sorted points. */
   private[graft] def scan(uid: Long, pts: Array[TrajPoint], r: Double,
                           minDur: Long): Seq[StayPoint] = {

@@ -1,0 +1,115 @@
+package graft
+
+import graft.core.Tiles
+import graft.ops.{Dedup, Tiling, Trajectory}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Spatial-analytics + incremental-dedup operators (round-3 additions):
+  * Bloom new-vs-corpus, OD flow matrix, Getis-Ord Gi*. */
+class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("analytics-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("newAgainstCorpus = exact anti-join semantics, any fpp, nulls kept") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    // batch: dup-of-corpus (alpha), new (gamma), batch-internal dup (delta x2),
+    // null text (corpus HAS a null row -> not new)
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "delta"),
+      (13L, "delta"), (14L, null.asInstanceOf[String])).toDF("id", "text")
+    for (fpp <- Seq(0.5, 0.01)) { // high fpp forces the confirm-join path
+      val got = Dedup.newAgainstCorpus(corpus, batch, "text", fpp)
+        .select("id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(11L, 12L, 13L))
+    }
+    // corpus WITHOUT a null row: the null-text batch row is new
+    val got2 = Dedup.newAgainstCorpus(corpus.where(col("text").isNotNull),
+      batch, "text").select("id").as[Long].collect().sorted
+    assert(got2.toSeq == Seq(11L, 12L, 13L, 14L))
+  }
+
+  test("odMatrix counts tile-changing transitions per user in (sec, id) order") {
+    import spark.implicits._
+    val zoom = 8
+    // three well-separated anchors -> three distinct z8 tiles
+    val a = (51.5, -0.1); val b = (48.85, 2.35); val c = (40.7, -74.0)
+    val pts = Seq(
+      // user 1: a -> b -> b (dwell, dropped) -> c
+      (1L, 1L, 100L, a._1, a._2), (1L, 2L, 200L, b._1, b._2),
+      (1L, 3L, 300L, b._1 + 1e-4, b._2 + 1e-4), (1L, 4L, 400L, c._1, c._2),
+      // user 2: stays in a (no transitions)
+      (2L, 5L, 100L, a._1, a._2), (2L, 6L, 200L, a._1 + 1e-4, a._2),
+      // user 3: a -> b, out-of-order ingestion (sec decides, not row order)
+      (3L, 8L, 900L, b._1, b._2), (3L, 7L, 800L, a._1, a._2)
+    ).toDF("user_id", "event_id", "sec", "lat", "lng")
+    val got = Trajectory.odMatrix(pts, zoom)
+      .orderBy("from_x", "from_y", "to_x", "to_y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val ta = Tiles.tileFromLatLng(a._1, a._2, zoom)
+    val tb = Tiles.tileFromLatLng(b._1, b._2, zoom)
+    val tc = Tiles.tileFromLatLng(c._1, c._2, zoom)
+    val want = Seq(
+      (ta._1, ta._2, tb._1, tb._2, 2L, 2L), // u1 and u3
+      (tb._1, tb._2, tc._1, tc._2, 1L, 1L)  // u1 only
+    ).sortBy(t => (t._1, t._2, t._3, t._4))
+    assert(got == want)
+  }
+
+  test("giStar equals the naive Gi* recomputation (same op order)") {
+    import spark.implicits._
+    val zoom = 10
+    // a hot 2x2 cluster + scattered singles, built from real lat/lngs
+    val anchors = Seq(
+      (51.50, -0.12, 40), (51.50, 0.24, 30), (51.15, -0.12, 20), (51.15, 0.24, 10),
+      (-33.86, 151.2, 5), (35.68, 139.7, 3), (40.7, -74.0, 1))
+    val pts = anchors.zipWithIndex.flatMap { case ((la, lg, n), k) =>
+      (0 until n).map(i => (k * 1000L + i, la + i * 1e-6, lg + i * 1e-6))
+    }.toDF("image_id", "lat", "lng")
+    val got = Tiling.giStar(pts, zoom)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+
+    // naive: counts via the shared tile kernel, stats via the documented
+    // formula in the SAME op order as Tiling.GiStarZSql
+    val counts = pts.collect().map(r =>
+        Tiles.tileFromLatLng(r.getDouble(1), r.getDouble(2), zoom))
+      .groupBy(identity).map { case (t, v) => (t, v.length.toLong) }
+    val nn = counts.size.toLong
+    val s1 = counts.values.sum
+    val s2 = counts.values.map(v => v * v).sum
+    val side = 1L << zoom
+    val want = counts.keys.flatMap { case (x, y) =>
+      val nbs = for {
+        dx <- -1 to 1; dy <- -1 to 1
+        k = (((x + dx) % side + side) % side, y + dy)
+        v <- counts.get(k)
+      } yield v
+      val gi = nbs.sum; val wi = nbs.size.toLong
+      if (wi < nn && s2 * nn > s1 * s1) {
+        val xbar = s1.toDouble / nn.toDouble
+        val z = (gi.toDouble - xbar * wi.toDouble) /
+          (math.sqrt(s2.toDouble / nn.toDouble - xbar * xbar) *
+            math.sqrt((nn.toDouble * wi.toDouble - wi.toDouble * wi.toDouble) /
+              (nn.toDouble - 1.0)))
+        Some(((x, y), z))
+      } else None
+    }.toMap
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want)
+      assert(math.abs(got(k) - v) <= 1e-12 * math.max(1.0, math.abs(v)),
+        s"tile $k: got ${got(k)} want $v")
+    // the hot cluster's tiles must be the extreme positive z-scores
+    val hot = Tiles.tileFromLatLng(51.50, -0.12, zoom)
+    assert(got(hot) == got.values.max)
+  }
+}
