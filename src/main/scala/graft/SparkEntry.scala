@@ -48,6 +48,10 @@ object SparkEntry {
   /** The images CTE prefix shared by every oracle query. */
   private val W = s"WITH images AS (${Synth.imagesSelect})"
 
+  /** Fixed query terms for the q_bm25 gate — ONE definition, used by both
+    * the engine query and the golden recomputation. */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "window", "customer")
+
   /** Per-language keep rates for the q_sample_hash gate; the oracle CASE
     * expression is generated from this SAME map via Sampling.thresholdHex,
     * so the threshold literals cannot drift between engines. */
@@ -252,6 +256,16 @@ object SparkEntry {
           s.table("documents").withColumn("prefix", substring(col("text"), 1, 20)),
           "doc_id", "prefix")
         .orderBy("doc_id")
+    }),
+
+    // --- BM25 keyword retrieval (Okapi, Lucene idf) over the documents:
+    //     term-filtered explode before any shuffle, broadcast df/global
+    //     stats, TakeOrderedAndProject top-k; golden = driver hash-map
+    //     recomputation (StrictMath.log kernel, documented op order) ---
+    "q_bm25" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      TextOps.bm25TopK(s.table("documents"), "doc_id", "text", Bm25Terms, 25)
+        .orderBy("rank")
     }),
 
     // --- dedup: incremental new-vs-corpus (day-2 ingestion) — broadcast
@@ -856,6 +870,42 @@ object SparkEntry {
             expr("(image_id * 40507) % 86400").as("sec"),
             col("lat"), col("lng")), 6)
         .orderBy("from_x", "from_y", "to_x", "to_y")),
+
+    // --- HMM Viterbi map matching: per-user fix sequences (urban
+    //     trajectories straddling the hot-cap path networks) snapped onto
+    //     Synth.paths within 500 m — sound covering candidate join + one
+    //     groupBy-user DP; golden = brute-force candidates + functional
+    //     trace-carrying fold DP (shared distance kernel + cost op order) ---
+    "q_map_match" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val latU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLat(u, e, sec))
+      val lngU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLng(u, e, sec))
+      val ev = s.table("events").select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").cast("long").as("sec"))
+        .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+        .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+        .withColumn("cell16", graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
+      graft.ops.MapMatch.viterbiMatch(ev, Tables.paths(s), 500.0, 50.0, 2.0)
+        .orderBy("user_id", "event_id")
+    }),
+
+    // --- trajectory-pair Hausdorff join: user_id%3==0 urban trajectories
+    //     within symmetric discrete Hausdorff 2.5 km — per-user cap-covering
+    //     cell equi-join candidates + exact max-of-min refine (selection-only
+    //     floats, order-independent); golden = brute-force all pairs with a
+    //     sound first-fix prune ---
+    "q_traj_hausdorff" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val latU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLat(u, e, sec))
+      val lngU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLng(u, e, sec))
+      val ev = s.table("events").where(col("user_id") % 3 === 0)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").cast("long").as("sec"))
+        .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+        .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+      graft.ops.TrajSim.hausdorffPairs(ev, 2500.0)
+        .orderBy("user_a", "user_b")
+    }),
 
     // --- stay-point detection: per-user greedy dwell extraction (Li et al.
     //     GIS'08) over deterministic trajectories synthesized from the
@@ -1609,6 +1659,9 @@ object SparkEntry {
       "q_geofence_trans" -> g("q_geofence_trans", "user_id, sec, event_id, region_id, kind"),
       "q_odometer" -> g("q_odometer", "user_id"),
       "q_zonal_area" -> g("q_zonal_area", "region_id, z, x, y"),
+      "q_bm25" -> g("q_bm25", "rank"),
+      "q_map_match" -> g("q_map_match", "user_id, event_id"),
+      "q_traj_hausdorff" -> g("q_traj_hausdorff", "user_a, user_b"),
       "q_dist_join" -> g("q_dist_join", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),

@@ -249,7 +249,24 @@ object Polyline {
     * @return (id, path_id, dist_m) one row per point with a match. */
   def nearestPathJoin(points: DataFrame, paths: DataFrame,
                       maxDistMeters: Double, level: Int = 12,
-                      broadcastPaths: Boolean = true): DataFrame = {
+                      broadcastPaths: Boolean = true): DataFrame =
+    pathCandidates(points, paths, maxDistMeters, level, broadcastPaths)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("dist_m"), col("path_id"))))
+      .where(col("rn") === 1)
+      .select(col("id"), col("path_id"), col("dist_m"))
+
+  /** ALL (point, path) pairs within `maxDistMeters` — the shared sound
+    * candidate join under [[nearestPathJoin]] (min per point) and
+    * [[graft.ops.MapMatch]] (full per-point candidate sets for the Viterbi
+    * DP). Exactly-once per pair by construction: each probe point carries
+    * ONE level-`level` cell and each path's covering is deduplicated, so the
+    * equi-join can produce at most one row per (point, path). Output: every
+    * input point column plus (path_id, dist_m); points/paths beyond the
+    * radius produce no row. */
+  private[graft] def pathCandidates(points: DataFrame, paths: DataFrame,
+                                    maxDistMeters: Double, level: Int,
+                                    broadcastPaths: Boolean): DataFrame = {
     val edgeM = (math.Pi / 2.0) * Geo.EarthRadiusMeters / (1L << level)
     val stepM = edgeM / 2.0
     val reachM = maxDistMeters + stepM / 2.0 + 0.02 * maxDistMeters + 1.0
@@ -284,10 +301,7 @@ object Polyline {
         else pathCells.hint("shuffle_hash"), "pcell")
       .withColumn("dist_m", distToPolyline(col("lat"), col("lng"), col("lats"), col("lngs")))
       .where(col("dist_m") <= maxDistMeters)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("dist_m"), col("path_id"))))
-      .where(col("rn") === 1)
-      .select(col("id"), col("path_id"), col("dist_m"))
+      .drop("pcell", "lats", "lngs")
   }
 
   /** Nearest point of the polyline to (lat,lng): (lat', lng', meters) —

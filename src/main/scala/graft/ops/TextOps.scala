@@ -60,6 +60,59 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  /** BM25 (Okapi; Lucene's +1-inside-log idf) relevance of every document
+    * against a FIXED query term set, top-k by score — the keyword-retrieval
+    * primitive a corpus pipeline uses for targeted slicing ("pull the 10k
+    * docs most about X") and for decontamination-style probe queries.
+    *
+    *   idf(t)     = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    *   s(d, t)    = idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b*dl/avgdl))
+    *   score(d)   = Σ_t s(d, t)   (terms summed in SORTED order, absent = 0)
+    *
+    * Scale shape: ONE pass over the raw text (split + explode), with the
+    * term filter applied before any shuffle — only (id, term) hits for the
+    * |terms| query terms ride the groupBy; df and the global (N, Σdl) stats
+    * are tiny broadcast sides; the final top-k is TakeOrderedAndProject
+    * (bounded heap, no global sort). The rank window runs AFTER the limit,
+    * over topK rows only.
+    *
+    * Float policy: tf/df/dl/N/Σdl are exact integers; the score expression
+    * is evaluated in ONE documented op order on both engines, and the
+    * ln kernel is shared with the golden (Spark's `log` = StrictMath.log).
+    * Docs containing NO query term score 0 and are excluded. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be non-empty and distinct")
+    require(topK > 0, "topK must be positive")
+    val ts = terms.sorted
+    val toks = docs.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), " "), t => length(t) > 0).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val g = toks.agg(count(lit(1)).as("nn"), sum("dl").as("sumdl"))
+    val tf = toks
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(ts: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(g))
+      .withColumn("idf", log(lit(1.0) +
+        (col("nn").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("s", col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") /
+            (col("sumdl").cast("double") / col("nn").cast("double")))))
+    val pivoted = scored.groupBy("id").pivot("term", ts).agg(first("s"))
+    val total = ts.map(t => coalesce(col(s"`$t`"), lit(0.0))).reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    pivoted.select(col("id").as(idCol), total.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col(idCol))).cast("int"))
+  }
+
   /** Karp-Rabin rolling-hash document fingerprint (core kernel). */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", Udfs.fingerprint(col(textCol)))

@@ -66,6 +66,114 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("bm25TopK equals the driver recomputation bit-for-bit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark fast spark join window"),
+      (2L, "the table scan merge batch stream window window"),
+      (3L, "vector vector vector small hash"),
+      (4L, "spark window vector customer"),
+      (5L, "the a of and or but"), // no query terms -> excluded
+      (6L, "customer customer spark")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "vector", "window", "customer")
+    val got = graft.ops.TextOps.bm25TopK(docs, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      .sortBy(_._3)
+    val want = graft.oracle.Golden.bm25G(
+      docs.collect().map(r => (r.getLong(0), r.getString(1))), terms, 10)
+    assert(got.map(_._1) == want.map(_._1))
+    // bit-exact float agreement (the oracle hash compare relies on this)
+    got.zip(want).foreach { case ((gi, gs, gr), (wi, ws, wr)) =>
+      assert(gi == wi && gr == wr)
+      assert(java.lang.Double.doubleToLongBits(gs) ==
+        java.lang.Double.doubleToLongBits(ws), s"doc $gi: $gs vs $ws")
+    }
+    // doc 5 (no query terms) excluded; all others present
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 6L))
+  }
+
+  test("viterbi DP: switch cost holds the matched path through noise") {
+    import graft.ops.MapMatch
+    import graft.ops.MapMatch.CandRow
+    def step(eid: Long, cands: (String, Double)*): (Long, Array[CandRow]) =
+      (eid, cands.map { case (p, d) => CandRow(1L, eid, eid, p, d) }.toArray)
+    // fix 2 is marginally closer to B, but switching A->B->A costs 2*switch:
+    // staying on A wins
+    val steps = Array(
+      step(1L, ("A", 10.0), ("B", 120.0)),
+      step(2L, ("A", 60.0), ("B", 50.0)),
+      step(3L, ("A", 10.0), ("B", 120.0)))
+    val got = MapMatch.viterbi(steps, sigmaMeters = 50.0, switchCost = 2.0)
+    assert(got.map(_._2) == Seq("A", "A", "A"))
+    // with free switching the pointwise nearest wins
+    val free = MapMatch.viterbi(steps, sigmaMeters = 50.0, switchCost = 0.0)
+    assert(free.map(_._2) == Seq("A", "B", "A"))
+    // tie on every cost -> smallest path_id at each step
+    val tie = Array(step(1L, ("B", 10.0), ("C", 10.0), ("A", 10.0)))
+    assert(MapMatch.viterbi(tie, 50.0, 2.0).map(_._2) == Seq("A"))
+  }
+
+  test("viterbiMatch equals the golden brute-force+fold recomputation") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    graft.model.Tables.registerBase(spark, sfDir)
+    val latU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLat(u, e, sec))
+    val lngU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLng(u, e, sec))
+    val ev = spark.table("events").select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("sec"))
+      .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+      .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+      .withColumn("cell16", graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
+    val got = graft.ops.MapMatch.viterbiMatch(
+        ev, graft.model.Tables.paths(spark), 500.0, 50.0, 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = graft.oracle.Golden.mapMatchG(
+        graft.oracle.Golden.loadEvents(spark, sfDir), 500.0, 50.0, 2.0)
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty, "fixture must produce matches")
+    assert(got == want)
+    // multiple users and both matched/unmatched fixes present
+    assert(got.map(_._1).distinct.size > 3)
+  }
+
+  test("hausdorffMeters kernel: identity, symmetry, hand case") {
+    import graft.ops.TrajSim.hausdorffMeters
+    val aLat = Array(51.50, 51.51); val aLng = Array(-0.12, -0.11)
+    val bLat = Array(51.50, 51.52); val bLng = Array(-0.12, -0.11)
+    assert(hausdorffMeters(aLat, aLng, aLat, aLng) == 0.0)
+    assert(hausdorffMeters(aLat, aLng, bLat, bLng) ==
+      hausdorffMeters(bLat, bLng, aLat, aLng))
+    // singleton vs singleton = plain haversine
+    val d = hausdorffMeters(Array(51.5), Array(-0.1), Array(51.5), Array(0.1))
+    assert(math.abs(d - graft.core.Geo.haversineMeters(51.5, -0.1, 51.5, 0.1)) == 0.0)
+  }
+
+  test("hausdorffPairs equals the golden brute force (all users, sf0.001)") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    graft.model.Tables.registerBase(spark, sfDir)
+    val latU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLat(u, e, sec))
+    val lngU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.urbanTrajLng(u, e, sec))
+    val ev = spark.table("events").select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("sec"))
+      .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+      .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+    for (dM <- Seq(1500.0, 2500.0, 4000.0)) {
+      val got = graft.ops.TrajSim.hausdorffPairs(ev, dM)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val want = graft.oracle.Golden.trajHausdorffG(
+        graft.oracle.Golden.loadEvents(spark, sfDir), dM)
+        .sortBy(t => (t._1, t._2))
+      assert(got == want, s"D=$dM")
+    }
+    // the widest radius must produce pairs on this fixture
+    assert(graft.oracle.Golden.trajHausdorffG(
+      graft.oracle.Golden.loadEvents(spark, sfDir), 4000.0).nonEmpty)
+  }
+
   test("giStar equals the naive Gi* recomputation (same op order)") {
     import spark.implicits._
     val zoom = 10
