@@ -71,8 +71,8 @@ object TextOps {
     *
     * Scale shape: ONE pass over the raw text (split + explode), with the
     * term filter applied before any shuffle — only (id, term) hits for the
-    * |terms| query terms ride the groupBy; df and the global (N, Σdl) stats
-    * are tiny broadcast sides; the final top-k is TakeOrderedAndProject
+    * |terms| query terms ride the groupBy; df and the 1-row global (N, Σdl)
+    * stats are tiny broadcast sides; the final top-k is TakeOrderedAndProject
     * (bounded heap, no global sort). The rank window runs AFTER the limit,
     * over topK rows only.
     *
@@ -89,6 +89,9 @@ object TextOps {
     val toks = docs.select(col(idCol).as("id"),
         filter(split(lower(col(textCol)), " "), t => length(t) > 0).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
+    // 1-row keyless-aggregate stats attach (PlanSpec's allowlisted
+    // stats-attach class — see Tiling.giStar): lazy single-pass, vs a
+    // driver-side literal inline that would scan the corpus twice
     val g = toks.agg(count(lit(1)).as("nn"), sum("dl").as("sumdl"))
     val tf = toks
       .select(col("id"), col("dl"), explode(col("toks")).as("term"))

@@ -154,7 +154,8 @@ object Tiling {
     * Scale shape: ONE aggregation over the raw points (map-side combine,
     * keyed by tile), then everything else rides the small aggregated tile
     * table: a 9-offset explode + self-equi-join (antimeridian x-wrap, same
-    * as smoothedDensity) and a broadcast 1-row global-stats cross join. The
+    * as smoothedDensity) and a broadcast 1-row global-stats attach (keyless
+    * aggregate — provably one row; see the stats-attach note below). The
     * raw table shuffles exactly once. Rows whose variance terms would
     * divide by zero (all-equal counts, nn==1, or W_i==nn) are filtered by
     * EXACT integer guards shared with the oracle. */
@@ -173,6 +174,12 @@ object Tiling {
     // join back to the occupied keys: off-grid y and empty neighbours drop
     val gi = c.select("x", "y").join(nb, Seq("x", "y"))
       .groupBy("x", "y").agg(sum("nj").as("gi"), count(lit(1)).as("wi"))
+    // the 1-row keyless-aggregate attach: BroadcastNestedLoopJoin with a
+    // PROVABLY single-row build side (aggregate with no grouping keys).
+    // Deliberately NOT resolved driver-side as literals — that shape runs a
+    // second full aggregation job over the input (two raw scans at 100 TB)
+    // and makes the operator eager; PlanSpec allowlists this attach class
+    // explicitly (stats-attach, distinct from the all-pairs baselines).
     gi.crossJoin(broadcast(g))
       .where(col("nn") > 1 && col("wi") < col("nn") &&
         col("s2") * col("nn") > col("s1") * col("s1"))
