@@ -37,6 +37,20 @@ object Geo {
     2.0 * EarthRadiusMeters * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
+  /** Initial great-circle bearing from point 1 to point 2, degrees in
+    * (-180, 180] (the standard forward-azimuth formula; 0 = north,
+    * 90 = east). Shared kernel for the trajectory leg enrichment and its
+    * golden (float policy). */
+  def initialBearingDeg(lat1: Double, lng1: Double,
+                        lat2: Double, lng2: Double): Double = {
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dl = math.toRadians(lng2 - lng1)
+    val y = math.sin(dl) * math.cos(p2)
+    val x = math.cos(p1) * math.sin(p2) -
+      math.sin(p1) * math.cos(p2) * math.cos(dl)
+    math.toDegrees(math.atan2(y, x))
+  }
+
   /** Angular distance (radians) from unit vector x to the geodesic arc a-b.
     * Conservative-accurate; used by the coverer's intersection tests. */
   def distToArc(x: Array[Double], a: Array[Double], b: Array[Double]): Double = {
@@ -201,15 +215,32 @@ object Geo {
   /** Spherical polygon area in m^2 via L'Huilier/spherical excess
     * (Girard sum of exterior angles form). */
   def sphericalAreaM2(ringLat: Array[Double], ringLng: Array[Double]): Double = {
-    val n = ringLat.length
+    // Drop consecutive DUPLICATE vertices first (including the wrap-around
+    // pair): polygon clipping routinely emits a repeated vertex when a
+    // subject point lies exactly on the clip boundary, and a zero-length
+    // edge turns the interior angle at both neighbours into atan2(0,0) = 0,
+    // corrupting the excess by ~pi each — two sliver tiles of the z8 zonal
+    // raster measured literally HALF THE SPHERE before this guard (caught
+    // by RasterizeSpec's mass-conservation property, round 3).
+    val keptLat = new Array[Double](ringLat.length)
+    val keptLng = new Array[Double](ringLat.length)
+    var n = 0
+    var k = 0
+    while (k < ringLat.length) {
+      if (n == 0 || ringLat(k) != keptLat(n - 1) || ringLng(k) != keptLng(n - 1)) {
+        keptLat(n) = ringLat(k); keptLng(n) = ringLng(k); n += 1
+      }
+      k += 1
+    }
+    if (n > 1 && keptLat(n - 1) == keptLat(0) && keptLng(n - 1) == keptLng(0)) n -= 1
     if (n < 3) return 0.0
     // spherical excess via the sum of tangent-plane turn angles
     var total = 0.0
     var i = 0
     while (i < n) {
-      val a = toXYZ(ringLat(i), ringLng(i))
-      val b = toXYZ(ringLat((i + 1) % n), ringLng((i + 1) % n))
-      val c = toXYZ(ringLat((i + 2) % n), ringLng((i + 2) % n))
+      val a = toXYZ(keptLat(i), keptLng(i))
+      val b = toXYZ(keptLat((i + 1) % n), keptLng((i + 1) % n))
+      val c = toXYZ(keptLat((i + 2) % n), keptLng((i + 2) % n))
       // interior angle at b
       val ba = cross(b, a); val bc = cross(b, c)
       val ang = math.atan2(dot(cross(ba, bc), b), dot(ba, bc))

@@ -46,9 +46,15 @@ class RasterizeSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (i == 0) a else -a
       }.sum
       val tiled = byRegion.getOrElse(reg.regionId, 0.0)
-      // pieces partition the planar polygon; internal tile edges introduce
-      // only planar-vs-spherical edge slack, tiny at z8 tile sizes
-      assert(math.abs(tiled - whole) <= 1e-4 * whole,
+      // pieces partition the planar polygon; the slack is NOT zero because
+      // clipping inserts vertices along the original ring's lat/lng-straight
+      // segments, and sphericalAreaM2 treats each segment as a geodesic —
+      // re-discretizing a long straight-in-lat/lng edge changes the
+      // spherical polygon. The big rural fixtures (hundreds of km per
+      // segment) measure up to ~6e-4 relative (reg-0003 at z8); 2e-3 bounds
+      // the approximation while still catching double-counted or dropped
+      // tile pieces (which shift area by whole tile fractions, >>2e-3)
+      assert(math.abs(tiled - whole) <= 2e-3 * whole,
         s"${reg.regionId}: tiled $tiled vs whole $whole")
     }
   }
