@@ -889,6 +889,33 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // --- per-leg trajectory kinematics: duration/length/speed/bearing/turn
+    //     for every consecutive fix pair (teleport + burst-pan quality
+    //     signals); ONE groupBy-user shuffle; golden = functional
+    //     sliding-pair recomputation, shared haversine/bearing kernels ---
+    "q_traj_legs" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val latU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.trajLat(u, e, sec))
+      val lngU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.trajLng(u, e, sec))
+      val ev = s.table("events").select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").cast("long").as("sec"))
+        .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+        .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+      graft.ops.Trajectory.legs(ev).orderBy("user_id", "sec", "event_id")
+    }),
+
+    // --- geohash index histogram: the third public spatial index (string-
+    //     prefix pruning) next to S2 and Hex7 — precision-7 encode, count
+    //     per 5-char prefix; golden = independent two-track bit
+    //     construction of the same public spec ---
+    "q_geohash" -> ((s, dir) => {
+      val gh = udf((la: Double, lo: Double) => graft.core.Geohash.encode(la, lo, 7))
+      images(s, dir)
+        .select(substring(gh(col("lat"), col("lng")), 1, 5).as("gh5"))
+        .groupBy("gh5").agg(count(lit(1)).as("n"))
+        .orderBy("gh5")
+    }),
+
     // --- trajectory-pair Hausdorff join: user_id%3==0 urban trajectories
     //     within symmetric discrete Hausdorff 2.5 km — per-user cap-covering
     //     cell equi-join candidates + exact max-of-min refine (selection-only
@@ -1662,6 +1689,8 @@ object SparkEntry {
       "q_bm25" -> g("q_bm25", "rank"),
       "q_map_match" -> g("q_map_match", "user_id, event_id"),
       "q_traj_hausdorff" -> g("q_traj_hausdorff", "user_a, user_b"),
+      "q_traj_legs" -> g("q_traj_legs", "user_id, sec, event_id"),
+      "q_geohash" -> g("q_geohash", "gh5"),
       "q_dist_join" -> g("q_dist_join", "id_a, id_b"),
       "q_crossing" -> g("q_crossing", "path_id, region_id"),
       "q_elevation" -> g("q_elevation", "id"),

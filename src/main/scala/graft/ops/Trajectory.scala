@@ -92,6 +92,54 @@ object Trajectory {
     }.toDF()
   }
 
+  final case class Leg(user_id: Long, event_id: Long, sec: Long, dt_s: Long,
+                       dist_m: Double, speed_mps: Option[Double],
+                       bearing_deg: Double, turn_deg: Option[Double])
+
+  /** Per-leg trajectory enrichment: every consecutive-fix pair of a user's
+    * (sec, event_id)-ordered trajectory becomes one leg carrying duration,
+    * great-circle length, speed, initial bearing, and the signed turn angle
+    * vs the previous leg — the kinematic features a mobility/quality
+    * pipeline filters on (teleporting EXIF timestamps = impossible speeds;
+    * burst pans = tight turn sequences). Leg rows key on the leg's END fix.
+    *
+    * Same ONE-shuffle groupBy-user + sorted scan as [[trackStats]]. Float
+    * policy: dist/bearing are the shared kernels (Geo.haversineMeters /
+    * Geo.initialBearingDeg); speed = dist_m / dt_s (NULL when dt_s == 0 —
+    * tied timestamps, rather than an Infinity that DuckDB would render
+    * differently); turn = bearing - prev_bearing normalized into (-180, 180]
+    * by exact CASE adds (no float modulo — Java and C fmod disagree on
+    * negatives), NULL for each user's first leg. */
+  def legs(points: DataFrame): DataFrame = {
+    import points.sparkSession.implicits._
+    val ds = points.select(col("user_id").cast("long"), col("event_id").cast("long"),
+      col("sec").cast("long"), col("lat").cast("double"), col("lng").cast("double"))
+      .as[TrajPoint]
+    ds.groupByKey(_.user_id).flatMapGroups { (uid: Long, it: Iterator[TrajPoint]) =>
+      val pts = it.toArray.sortBy(p => (p.sec, p.event_id))
+      val out = new Array[Leg](math.max(0, pts.length - 1))
+      var prevBearing = Double.NaN
+      var i = 1
+      while (i < pts.length) {
+        val a = pts(i - 1); val b = pts(i)
+        val dist = Geo.haversineMeters(a.lat, a.lng, b.lat, b.lng)
+        val brg = Geo.initialBearingDeg(a.lat, a.lng, b.lat, b.lng)
+        val dt = b.sec - a.sec
+        val speed = if (dt > 0) Some(dist / dt.toDouble) else None
+        val turn =
+          if (i == 1) None
+          else {
+            val d = brg - prevBearing
+            Some(if (d > 180.0) d - 360.0 else if (d <= -180.0) d + 360.0 else d)
+          }
+        out(i - 1) = Leg(uid, b.event_id, b.sec, dt, dist, speed, brg, turn)
+        prevBearing = brg
+        i += 1
+      }
+      out.iterator
+    }.toDF()
+  }
+
   /** Origin→destination flow matrix between map tiles: consecutive fixes of
     * each user's (sec, event_id)-ordered trajectory that CHANGE tile at
     * `zoom` become one directed (from, to) movement; flows aggregate the

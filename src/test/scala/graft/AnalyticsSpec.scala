@@ -174,6 +174,69 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.oracle.Golden.loadEvents(spark, sfDir), 4000.0).nonEmpty)
   }
 
+  test("geohash: public-spec vectors, bounds roundtrip, golden agreement") {
+    import graft.core.Geohash
+    // the canonical spec example and the classic decode example
+    assert(Geohash.encode(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    assert(Geohash.encode(42.605, -5.603, 5) == "ezs42")
+    assert(Geohash.encode(0.0, 0.0, 6) == "s00000")
+    for (gh <- Seq("u4pru", "ezs42", "9q8yy", "r3gx2")) {
+      val (latLo, latHi, lngLo, lngHi) = Geohash.bounds(gh)
+      assert(Geohash.encode((latLo + latHi) / 2, (lngLo + lngHi) / 2, gh.length) == gh)
+    }
+    // kernel encode == the golden's independent two-track construction
+    val pts = Seq((51.5074, -0.1278), (-33.86, 151.21), (85.0, 179.9),
+      (-89.9, -179.9), (0.0, 0.0), (42.605, -5.603))
+    val viaGolden = graft.oracle.Golden.geohashG(
+      pts.zipWithIndex.map { case ((la, lo), i) =>
+        graft.oracle.Golden.Img(i.toLong, la, lo) }.toArray, 7, 7)
+    val viaKernel = pts.map { case (la, lo) => Geohash.encode(la, lo, 7) }
+      .groupBy(identity).toSeq.map { case (g, v) => (g, v.size.toLong) }
+      .sortBy(_._1)
+    assert(viaGolden == viaKernel)
+  }
+
+  test("trajectory legs: hand kinematics and golden agreement at sf0.001") {
+    import spark.implicits._
+    import graft.core.Geo
+    // hand fixture: due-east leg then due-north leg -> turn ~ -90 (left)
+    val pts = Seq(
+      (1L, 1L, 0L, 0.0, 0.0), (1L, 2L, 100L, 0.0, 0.1), (1L, 3L, 300L, 0.1, 0.1),
+      (2L, 4L, 0L, 10.0, 10.0), (2L, 5L, 0L, 10.0, 10.1) // tied sec -> null speed
+    ).toDF("user_id", "event_id", "sec", "lat", "lng")
+    val got = graft.ops.Trajectory.legs(pts)
+      .orderBy("user_id", "sec", "event_id").collect()
+    assert(got.length == 3)
+    val leg1 = got(0); val leg2 = got(1); val leg3 = got(2)
+    assert(leg1.getLong(3) == 100L && !leg1.isNullAt(5)) // dt, speed present
+    assert(math.abs(leg1.getDouble(6) - 90.0) < 1e-6)    // east
+    assert(leg1.isNullAt(7))                             // first leg: no turn
+    assert(math.abs(leg2.getDouble(6) - 0.0) < 1e-6)     // north
+    assert(math.abs(leg2.getDouble(7) + 90.0) < 1e-6)    // left turn
+    assert(leg3.isNullAt(5) && leg3.getLong(3) == 0L)    // tied sec
+    // engine == golden over the gate fixture
+    val sfDir = "/root/testdata/sf0.001"
+    graft.model.Tables.registerBase(spark, sfDir)
+    val latU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.trajLat(u, e, sec))
+    val lngU = udf((u: Long, e: Long, sec: Long) => graft.model.Synth.trajLng(u, e, sec))
+    val ev = spark.table("events").select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("sec"))
+      .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+      .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+    val eng = graft.ops.Trajectory.legs(ev).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val gold = graft.oracle.Golden.trajLegsG(
+        graft.oracle.Golden.loadEvents(spark, sfDir))
+      .sortBy(t => (t._1, t._3, t._2))
+    assert(eng == gold)
+    // kernel pin: bearing north/east conventions
+    assert(math.abs(Geo.initialBearingDeg(0, 0, 1, 0) - 0.0) < 1e-9)
+    assert(math.abs(Geo.initialBearingDeg(0, 0, 0, 1) - 90.0) < 1e-9)
+  }
+
   test("giStar equals the naive Gi* recomputation (same op order)") {
     import spark.implicits._
     val zoom = 10
