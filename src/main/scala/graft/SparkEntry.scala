@@ -741,6 +741,16 @@ object SparkEntry {
         .orderBy("origin", "building_id")
     }),
 
+    // --- §2.4+§2.5 isochrone: flood to the cutoff, then reachable-area
+    //     (hull) + count over the reached nodes with coordinates — the b6
+    //     accessibility-demo composition (graph.go:106-153 + 202-216) ---
+    "q_isochrone" -> ((s, dir) => {
+      Reachability.isochrone(s, graphEdges(s, dir), Seq(1L, 8L, 15L),
+          cutoff = 18.0,
+          images(s, dir).select(col("image_id").as("node"), col("lat"), col("lng")))
+        .orderBy("origin")
+    }),
+
     // --- §2.2 IntersectsPolyline: cell-pruned crossing join of paths
     //     against region shells (spatial.go:425-514 approximate semantics) ---
     "q_crossing" -> ((s, _) => {
@@ -1714,6 +1724,7 @@ object SparkEntry {
       "q_mvt_tiles" -> g("q_mvt_tiles", "z, x, y"),
       "q_reachable" -> g("q_reachable", "node"),
       "q_closest" -> g("q_closest", "origin"),
+      "q_isochrone" -> g("q_isochrone", "origin"),
       "q_building_access" -> g("q_building_access", "origin, building_id"),
       "q_paths_to_reach" -> g("q_paths_to_reach", "src, dst"),
       "q_s2_covering" -> g("q_s2_covering", "region_id, token"),

@@ -126,6 +126,12 @@ object Geometry {
     df.groupBy(col(groupCol))
       .agg(hullAreaUdaf(col(latCol), col(lngCol)).as("hull_area_m2"))
 
+  /** The bounded hull-area aggregator as a bare aggregate Column, for
+    * callers that fold it into their own groupBy alongside other aggregates
+    * (e.g. [[Reachability.isochrone]]'s count + hull in one aggregation). */
+  def hullAreaAgg(latCol: Column, lngCol: Column): Column =
+    hullAreaUdaf(latCol, lngCol)
+
   /** collect_list reference form of hullAreaM2 — test-only cross-check for
     * the bounded aggregator (kept OUT of gated query paths: the unbounded
     * per-group collect is exactly the scale-killer the aggregator avoids). */

@@ -174,6 +174,29 @@ object Reachability {
       .join(buildings, Seq("node"))
       .groupBy("origin", "building_id").agg(min("dist").as("dist"))
 
+  /** Isochrone / catchment polygon — the composition b6's accessibility
+    * demos run (flood to a cost cutoff, then `reachable-area` over the
+    * reached features: api/functions/graph.go:106-153 + 202-216): per
+    * origin, the convex-hull area of every reached node that has a
+    * location, plus the reached-with-location count.
+    *
+    * Scale shape: the flood is the shared min-plus fixpoint (lineage-
+    * truncated); the hull runs through the BOUNDED compacting aggregator
+    * (partial aggregation, 256-point buffers), so a metro-sized catchment
+    * with 10^8 reached nodes never collects per group. One aggregation
+    * computes count and hull together — no second shuffle.
+    *
+    * @param coords (node LONG, lat, lng); reached nodes absent from it are
+    *               excluded from BOTH the count and the hull (inner join).
+    * @return (origin, n_nodes LONG, hull_area_m2 DOUBLE). */
+  def isochrone(spark: SparkSession, edges: DataFrame, origins: Seq[Long],
+                cutoff: Double, coords: DataFrame): DataFrame =
+    reachableMulti(spark, edges, origins, cutoff)
+      .join(coords.select(col("node"), col("lat"), col("lng")), Seq("node"))
+      .groupBy("origin")
+      .agg(count(lit(1)).as("n_nodes"),
+        Geometry.hullAreaAgg(col("lat"), col("lng")).as("hull_area_m2"))
+
   /** `paths-to-reach` (reference api/functions/graph.go:155-200: for every
     * reached node, walk its shortest path back to the origin and count each
     * edge's usage): re-expressed distributed —

@@ -55,6 +55,27 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map((1L, 7L) -> 2.0, (1L, 9L) -> 1.0))
   }
 
+  test("isochrone: per-origin reached-count + hull area; degenerate hulls are 0") {
+    import spark.implicits._
+    // square 0.01-degree coords for nodes 1..4; node 4 has no coordinates
+    val coords = Seq((1L, 0.0, 0.0), (2L, 0.01, 0.0), (3L, 0.01, 0.01))
+      .toDF("node", "lat", "lng")
+    val got = Reachability.isochrone(spark, edges, Seq(1L, 4L), cutoff = 10.0, coords)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // origin 1 reaches {1,2,3,4}; 4 is dropped (no coords) -> 3-point hull
+    assert(got(1L)._1 == 3L)
+    val la = Array(0.0, 0.01, 0.01); val lo = Array(0.0, 0.0, 0.01)
+    val idx = graft.core.Geo.convexHull(la, lo)
+    val want = graft.core.Geo.sphericalAreaM2(idx.map(la(_)), idx.map(lo(_)))
+    assert(got(1L)._2 == want)
+    // origin 4 reaches the same node set -> identical hull
+    assert(got(4L) == got(1L))
+    // cutoff 1.5 from origin 4: reaches {4, 3} -> one located node, area 0
+    val small = Reachability.isochrone(spark, edges, Seq(4L), cutoff = 1.5, coords)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(small.toSeq == Seq((4L, 1L, 0.0)))
+  }
+
   test("pathsToReach: per-edge usage counts of the shortest-path tree") {
     val got = Reachability.pathsToReach(spark, edges, origin = 1L, cutoff = 10.0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
