@@ -565,6 +565,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- sampling: WEIGHTED reservoir per language (Efraimidis-Spirakis
+    //     -ln(u)/w keys from md5 draws — "sample proportional to document
+    //     length" with no RNG; golden shares the JVM-log key kernel) ---
+    "q_sample_reservoir" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      graft.ops.Sampling.sampleWeighted(
+          s.table("documents").withColumn("w", col("n_chars") + lit(1L)),
+          "doc_id", "lang", "w", k = 7)
+        .select("lang", "doc_id", "rank")
+        .orderBy("lang", "rank")
+    }),
+
     // --- sampling: deterministic fractional UPSAMPLING (corpus mixing —
     //     per-language weights; expected multiplicity = weight, no RNG) ---
     "q_upsample" -> ((s, dir) => {
@@ -1725,6 +1737,7 @@ object SparkEntry {
       "q_reachable" -> g("q_reachable", "node"),
       "q_closest" -> g("q_closest", "origin"),
       "q_isochrone" -> g("q_isochrone", "origin"),
+      "q_sample_reservoir" -> g("q_sample_reservoir", "lang, rank"),
       "q_building_access" -> g("q_building_access", "origin, building_id"),
       "q_paths_to_reach" -> g("q_paths_to_reach", "src, dst"),
       "q_s2_covering" -> g("q_s2_covering", "region_id, token"),

@@ -206,6 +206,46 @@ object Sampling {
           col("raw_mass").cast(dec) * lit(tTot).cast(dec) * lit(thresholdNum).cast(dec))
   }
 
+  /** A deterministic uniform (0,1) draw for a key with 52 bits of md5
+    * entropy, exactly representable in a double: the first 13 hex chars as
+    * an integer v, mapped to (v + 0.5) / 2^52. Shared by the weighted
+    * reservoir sampler and its golden (same JVM ops → bit-identical). */
+  def uniformDraw(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("double")
+      + lit(0.5)) / lit(4503599627370496.0)
+
+  /** Deterministic weighted reservoir sampling per stratum — Efraimidis–
+    * Spirakis A-ES ("Weighted random sampling with a reservoir", Inf. Proc.
+    * Letters 2006, public method): a weight-w item survives a k-slot
+    * reservoir with the probability of having one of the k LARGEST
+    * u^(1/w) keys, here ranked equivalently by the SMALLEST -ln(u)/w.
+    * u comes from [[uniformDraw]] (md5, not RNG), so the sample — like
+    * every sampler here — is byte-stable across runs, partitionings,
+    * retries and engines; "sample a corpus proportional to document
+    * length" must not re-roll on a 100 TB re-run.
+    *
+    * Scale shape: the E-S key is pure map-side Column arithmetic over the
+    * scan; selection is one per-stratum top-k window — right for bounded
+    * strata (per-language reservoirs), the same contract as [[sampleExact]].
+    * Weights must be STRICTLY positive (a zero weight has no defined key);
+    * enforced loudly, packShards-style, via an assert_true filter that
+    * column pruning cannot drop.
+    *
+    * @return the survivors with their `rank` (1..k, by ascending E-S key). */
+  def sampleWeighted(df: DataFrame, keyCol: String, stratumCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sampleWeighted: k must be positive, got $k")
+    val contract = assert_true(
+      col(keyCol).isNotNull && col(weightCol).cast("double") > 0.0,
+      lit(s"sampleWeighted: NULL $keyCol or non-positive $weightCol " +
+        "(the Efraimidis-Spirakis key -ln(u)/w needs w > 0)"))
+    val esKey = (-log(uniformDraw(col(keyCol)))) / col(weightCol).cast("double")
+    val w = Window.partitionBy(stratumCol).orderBy(esKey, col(keyCol))
+    df.where(contract.isNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Exactly-n-per-stratum deterministic sample: the n rows with the LOWEST
     * md5 draws in each stratum, ties broken by the key itself. */
   def sampleExact(df: DataFrame, keyCol: String, stratumCol: String,

@@ -355,6 +355,32 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.sampleExact(tiny, "id", "stratum", 10).count() == 2L)
   }
 
+  test("sampleWeighted: E-S reservoir — weight-monotone, repartition-stable, loud on w<=0") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    // two strata; weights rise with id so big ids should dominate the sample
+    val df = (1L to 400L).map(i => (i, s"s${i % 2}", if (i <= 200) 1L else 1000L))
+      .toDF("id", "stratum", "w")
+    val got = Sampling.sampleWeighted(df, "id", "stratum", "w", k = 10)
+    val rows = got.select("stratum", "id", "rank")
+      .as[(String, Long, Int)].collect()
+    assert(rows.length == 20)
+    assert(rows.groupBy(_._1).forall { case (_, g) =>
+      g.map(_._3).sorted.toSeq == (1 to 10) })
+    // weight monotonicity: w=1000 ids (201..400) should own nearly every slot
+    assert(rows.count(_._2 > 200L) >= 18)
+    // deterministic under repartition
+    val again = Sampling.sampleWeighted(df.repartition(7), "id", "stratum", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == rows.map(_._2).toSet)
+    // zero weight fails LOUDLY (assert_true filter), not silently
+    val bad = (1L to 5L).map(i => (i, "x", i - 1L)).toDF("id", "stratum", "w")
+    val e = intercept[Exception] {
+      Sampling.sampleWeighted(bad, "id", "stratum", "w", 3).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("upsample: integer weights exact, fractional = floor + hash keep, zero drops") {
     import graft.ops.Sampling
     import spark.implicits._
