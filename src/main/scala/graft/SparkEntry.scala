@@ -227,6 +227,13 @@ object SparkEntry {
       Tiling.pointManifest(images(s, dir), 8, 12)
         .orderBy("image_id", "z")),
 
+    // --- §2.7 tile-count pyramid: ONE point pass at zMax, coarser zooms by
+    //     child->parent roll-up on the occupied-tile table (the overview
+    //     build; oracle = same mercator text + integer >> halving) ---
+    "q_tile_pyramid" -> ((s, dir) =>
+      Tiling.pyramidCounts(images(s, dir), 8, 12)
+        .orderBy("z", "x", "y")),
+
     // --- §2.7 region covering -> tile manifest (S2 math; rows-only check,
     //     pinned against reference tile math by ScalaTest goldens) ---
     "q_tiles_regions" -> ((s, _) =>
@@ -1353,6 +1360,22 @@ object SparkEntry {
           "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
           "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images) " +
           s"SELECT * FROM ($tileZooms) u ORDER BY image_id, z"),
+      // same mercator base text as q_tiles_points; roll-up = integer >>
+      // halving (exact — Mercator parents are pure coordinate halving);
+      // CAST around DuckDB's HUGEINT SUM
+      "q_tile_pyramid" ->
+        (s"$W, base AS (SELECT " +
+          "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
+          "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images), " +
+          "b AS (SELECT x12 AS x, y12 AS y, COUNT(*) AS n_features FROM base GROUP BY 1, 2) " +
+          "SELECT * FROM (" +
+          (8 to 12).map { z =>
+            val s2 = 12 - z
+            if (s2 == 0) s"SELECT CAST($z AS INT) AS z, x, y, n_features FROM b"
+            else s"SELECT CAST($z AS INT) AS z, x >> $s2 AS x, y >> $s2 AS y, " +
+              s"CAST(SUM(n_features) AS BIGINT) AS n_features FROM b GROUP BY 2, 3"
+          }.mkString(" UNION ALL ") +
+          ") u ORDER BY z, x, y"),
       // mercator + md5-rank, both shared-text disciplines (q_tiles_points /
       // q_sample_hash); the quota filter itself is exact integers
       "q_geo_cap" ->

@@ -125,6 +125,48 @@ object Tiling {
       .select(lit(zoom).as("z"), col("x"), col("y"), col("density"))
   }
 
+  /** Multi-zoom tile-count pyramid by CHILD->PARENT ROLL-UP — the overview
+    * build a tile server runs over write-once corpora (tiles.go:301-339's
+    * parent halving turned into an aggregation tree). `pointManifest` +
+    * `tileCounts` answers the same uncapped question by exploding every
+    * point into |zooms| rows and shuffling them all into the count
+    * aggregate; at fine zMax the map-side combine barely collapses anything
+    * (each map task sees mostly-distinct zMax tiles), so that shuffle
+    * carries ~points x |zooms| rows. The pyramid instead pays ONE pass over
+    * the points (the zMax histogram — the only full-data shuffle, keyed by
+    * tile) and derives every coarser zoom by re-aggregating the OCCUPIED
+    * zMax-tile table with x>>s, y>>s — exact, because Mercator tile parents
+    * are pure coordinate halving, and cheap, because the rolled-up input is
+    * bounded by min(|points|, 4^zMax) rows regardless of corpus size.
+    *
+    * The zMax histogram persists as an iteration snapshot (one per call,
+    * the engine-wide contract) so the per-level aggregations read memory,
+    * not the corpus; `EngineCaches.releaseIterationSnapshots()` frees it.
+    * Counts are uncapped (the 10k render cap of `tileCounts` is a
+    * per-feature rank, which cannot ride a roll-up; overview analytics want
+    * the true density anyway). Output: (z, x, y, n_features), one row per
+    * occupied tile per zoom in [zMin, zMax]. */
+  def pyramidCounts(images: DataFrame, zMin: Int, zMax: Int): DataFrame = {
+    require(zMin >= 1 && zMin <= zMax && zMax <= 15,
+      s"pyramidCounts zooms [$zMin, $zMax] outside [1, 15]")
+    val base = pointManifest(images, zMax, zMax)
+      .groupBy("x", "y").agg(count(lit(1)).as("n_features"))
+    val tracker = new Tracker
+    val (baseSnap, _, baseRdd) = tracker.materialize(base)
+    Tracker.registerSurvivor(baseRdd)
+    (zMin to zMax).map { z =>
+      val s = zMax - z
+      if (s == 0)
+        baseSnap.select(lit(z).as("z"), col("x"), col("y"), col("n_features"))
+      else
+        baseSnap
+          .groupBy(shiftrightunsigned(col("x"), s).as("x"),
+            shiftrightunsigned(col("y"), s).as("y"))
+          .agg(sum("n_features").as("n_features"))
+          .select(lit(z).as("z"), col("x"), col("y"), col("n_features"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The Gi* z-score float expression over the integer aggregates
     * (gi, wi, nn, s1, s2) — ONE text, parsed by BOTH Spark (`expr`) and the
     * DuckDB oracle, so the float arithmetic is bit-identical by

@@ -438,6 +438,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tile-count pyramid equals the explode-per-zoom uncapped recount") {
+    val imgs = Tables.images(spark, sfDir)
+    val before = graft.ops.Tracker.survivorCount
+    val got = Tiling.pyramidCounts(imgs, 8, 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the zMax histogram persists as exactly one iteration snapshot,
+    // released by the engine-wide hook
+    assert(graft.ops.Tracker.survivorCount == before + 1)
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+    val want = Tiling.pointManifest(imgs, 8, 12)
+      .groupBy("z", "x", "y").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_features"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("exact dedup groups by content key with min-id canonical") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "aaa"))
