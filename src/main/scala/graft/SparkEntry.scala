@@ -234,6 +234,17 @@ object SparkEntry {
       Tiling.pyramidCounts(images(s, dir), 8, 12)
         .orderBy("z", "x", "y")),
 
+    // --- §2.7 incremental overview maintenance: per-batch pyramids merged
+    //     by keyed count sum; the gate proves batch-split == whole-corpus
+    //     (the oracle is the SAME whole-corpus SQL as q_tile_pyramid) ---
+    "q_pyramid_merge" -> ((s, dir) => {
+      val imgs = images(s, dir)
+      Tiling.mergePyramids(
+          Tiling.pyramidCounts(imgs.where(col("image_id") % 2 === 0), 8, 12),
+          Tiling.pyramidCounts(imgs.where(col("image_id") % 2 === 1), 8, 12))
+        .orderBy("z", "x", "y")
+    }),
+
     // --- §2.7 region covering -> tile manifest (S2 math; rows-only check,
     //     pinned against reference tile math by ScalaTest goldens) ---
     "q_tiles_regions" -> ((s, _) =>
@@ -1297,6 +1308,23 @@ object SparkEntry {
          |CAST(FLOOR(y12 / CAST($div AS DOUBLE)) AS BIGINT) AS y FROM base""".stripMargin
     }.mkString(" UNION ALL ")
 
+    // same mercator base text as q_tiles_points; roll-up = integer >>
+    // halving (exact — Mercator parents are pure coordinate halving);
+    // CAST around DuckDB's HUGEINT SUM
+    val pyramidSql =
+      s"$W, base AS (SELECT " +
+        "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
+        "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images), " +
+        "b AS (SELECT x12 AS x, y12 AS y, COUNT(*) AS n_features FROM base GROUP BY 1, 2) " +
+        "SELECT * FROM (" +
+        (8 to 12).map { z =>
+          val s2 = 12 - z
+          if (s2 == 0) s"SELECT CAST($z AS INT) AS z, x, y, n_features FROM b"
+          else s"SELECT CAST($z AS INT) AS z, x >> $s2 AS x, y >> $s2 AS y, " +
+            s"CAST(SUM(n_features) AS BIGINT) AS n_features FROM b GROUP BY 2, 3"
+        }.mkString(" UNION ALL ") +
+        ") u ORDER BY z, x, y"
+
     // transitive closure over the phash+chain pair graph — shared by the
     // component-labeling and the cluster-canonical-survivor oracles (same
     // fixture, two different result shapes over the same `reach` relation)
@@ -1363,19 +1391,11 @@ object SparkEntry {
       // same mercator base text as q_tiles_points; roll-up = integer >>
       // halving (exact — Mercator parents are pure coordinate halving);
       // CAST around DuckDB's HUGEINT SUM
-      "q_tile_pyramid" ->
-        (s"$W, base AS (SELECT " +
-          "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
-          "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images), " +
-          "b AS (SELECT x12 AS x, y12 AS y, COUNT(*) AS n_features FROM base GROUP BY 1, 2) " +
-          "SELECT * FROM (" +
-          (8 to 12).map { z =>
-            val s2 = 12 - z
-            if (s2 == 0) s"SELECT CAST($z AS INT) AS z, x, y, n_features FROM b"
-            else s"SELECT CAST($z AS INT) AS z, x >> $s2 AS x, y >> $s2 AS y, " +
-              s"CAST(SUM(n_features) AS BIGINT) AS n_features FROM b GROUP BY 2, 3"
-          }.mkString(" UNION ALL ") +
-          ") u ORDER BY z, x, y"),
+      "q_tile_pyramid" -> pyramidSql,
+      // the merge gate's oracle is the SAME whole-corpus pyramid: count
+      // histograms form a commutative monoid, so batch-split + keyed-sum
+      // merge must reproduce it exactly
+      "q_pyramid_merge" -> pyramidSql,
       // mercator + md5-rank, both shared-text disciplines (q_tiles_points /
       // q_sample_hash); the quota filter itself is exact integers
       "q_geo_cap" ->

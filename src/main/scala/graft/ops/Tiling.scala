@@ -167,6 +167,22 @@ object Tiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Incremental pyramid maintenance: merge per-batch pyramids by summing
+    * counts per (z, x, y) — count histograms are a commutative monoid, so
+    * `pyramidCounts(a ∪ b) == mergePyramids(pyramidCounts(a),
+    * pyramidCounts(b))` exactly (gated: q_pyramid_merge). At corpus scale
+    * this is the overview-maintenance path: a new ingest batch builds its
+    * own (tiny, occupied-tiles-only) pyramid with ONE pass over the batch,
+    * and the stored overview updates with an aggregation over
+    * occupied-tile tables — the full corpus is never re-read. The merge is
+    * a plain keyed sum, so it also runs as a Structured Streaming
+    * aggregation or an Iceberg MERGE on the (z, x, y) key unchanged. */
+  def mergePyramids(pyramids: DataFrame*): DataFrame = {
+    require(pyramids.nonEmpty, "mergePyramids: no pyramids to merge")
+    pyramids.reduce(_ unionByName _)
+      .groupBy("z", "x", "y").agg(sum("n_features").as("n_features"))
+  }
+
   /** The Gi* z-score float expression over the integer aggregates
     * (gi, wi, nn, s1, s2) — ONE text, parsed by BOTH Spark (`expr`) and the
     * DuckDB oracle, so the float arithmetic is bit-identical by

@@ -454,6 +454,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("pyramid merge: 3-way batch split reproduces the whole-corpus pyramid") {
+    val imgs = Tables.images(spark, sfDir)
+    val whole = Tiling.pyramidCounts(imgs, 9, 11)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val parts = (0 to 2).map(i =>
+      Tiling.pyramidCounts(imgs.where(col("image_id") % 3 === i), 9, 11))
+    val merged = Tiling.mergePyramids(parts: _*)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+    assert(merged == whole)
+  }
+
   test("exact dedup groups by content key with min-id canonical") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "ccc"), (5L, "aaa"))
