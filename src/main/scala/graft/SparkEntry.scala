@@ -222,6 +222,28 @@ object SparkEntry {
       out
     }),
 
+    // --- §1.4 store MAINTENANCE: ingest-append (monoid stats merge, no
+    //     store re-read) + small-file compaction (Iceberg
+    //     rewrite_data_files analogue: one cell-sorted file per bucket,
+    //     validated against stats before the swap). The gate builds the
+    //     store as write + 2 appends, compacts (telemetry must show debt
+    //     paid), then answers the SAME pruned kNN as q_store_knn — the
+    //     oracle proves append+compact preserved content exactly ---
+    "q_store_compact" -> ((s, dir) => {
+      import graft.lineage.CellStore
+      val store = new java.io.File(
+        s"target/cellstore_compact_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+      val imgs = images(s, dir).select("image_id", "lat", "lng", "cell16")
+      CellStore.write(imgs.where(col("image_id") % 3 === 0), store)
+      CellStore.append(s, imgs.where(col("image_id") % 3 === 1), store)
+      CellStore.append(s, imgs.where(col("image_id") % 3 === 2), store)
+      val sm = CellStore.compact(s, store).agg(
+        sum("files_before").as("fb"), sum("files_after").as("fa")).collect().head
+      require(sm.getLong(1) < sm.getLong(0),
+        s"compact gate: no small-file debt paid (before=${sm.getLong(0)} after=${sm.getLong(1)})")
+      Knn.knnFromStore(s, store, Synth.knnQueries.toSeq, k = 10)
+    }),
+
     // --- §2.4/§2.7 tile-assignment join (point manifest, zooms 8..12) ---
     "q_tiles_points" -> ((s, dir) =>
       Tiling.pointManifest(images(s, dir), 8, 12)
@@ -1383,6 +1405,9 @@ object SparkEntry {
       "q_knn" -> s"$W SELECT * FROM ($knnSql) u ORDER BY query_id, rank",
       // identical semantics through the bucket-pruned store read
       "q_store_knn" -> s"$W SELECT * FROM ($knnSql) u ORDER BY query_id, rank",
+      // and through write + 2 appends + compaction: content preservation
+      // proves the monoid stats merge AND the rewrite row-for-row
+      "q_store_compact" -> s"$W SELECT * FROM ($knnSql) u ORDER BY query_id, rank",
       "q_tiles_points" ->
         (s"$W, base AS (SELECT image_id, " +
           "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +

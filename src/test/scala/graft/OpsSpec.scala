@@ -644,6 +644,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want && got.nonEmpty)
   }
 
+  test("cell store: append merges stats; compact pays file debt, preserves content + pruning") {
+    import graft.core.{Geo, S2}
+    import graft.lineage.CellStore
+    val dir = java.nio.file.Files.createTempDirectory("cellstore_c").toString
+    val images = Tables.images(spark, sfDir).select("image_id", "lat", "lng", "cell16")
+    CellStore.write(images.where(col("image_id") % 3 === 0), dir)
+    CellStore.append(spark, images.where(col("image_id") % 3 === 1), dir)
+    CellStore.append(spark, images.where(col("image_id") % 3 === 2), dir)
+    // merged stats equal a from-scratch recomputation (the monoid claim)
+    val refDir = java.nio.file.Files.createTempDirectory("cellstore_r").toString
+    CellStore.write(images, refDir)
+    assert(CellStore.stats(spark, dir).toSet == CellStore.stats(spark, refDir).toSet)
+
+    val summary = CellStore.compact(spark, dir).collect()
+    assert(summary.map(_.getLong(1)).sum > summary.map(_.getLong(2)).sum,
+      "compaction must reduce file count after 3 ingests")
+    assert(summary.forall(r => r.getLong(2) == 1L),
+      "one cell-sorted file per bucket after compaction")
+    // content preserved exactly (multiset by id)
+    val got = CellStore.readAll(spark, dir).select("image_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = images.select("image_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    // pruned reads still work against the untouched stats
+    val (cLat, cLng) = Synth.hotCenters(0)
+    val cov = S2.covering(S2.Cap(Geo.toXYZ(cLat, cLng), 100000.0 / Geo.EarthRadiusMeters))
+    val ranges = cov.map(c => (S2.rangeMin(c), S2.rangeMax(c))).toSeq
+    val (pruned, read) = CellStore.readRanges(spark, dir, ranges)
+    assert(read < CellStore.stats(spark, dir).size)
+    assert(pruned.count() > 0)
+  }
+
   test("media: frame sampling and feature extraction over the binary column") {
     import org.apache.spark.sql.functions.col
     val withBytes = Media.withPayload(
