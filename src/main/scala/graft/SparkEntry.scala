@@ -710,6 +710,16 @@ object SparkEntry {
           images(s, dir).select("image_id")))
         .orderBy("image_id")),
 
+    // --- multimodal x tiling: image-overview mosaic pyramid (per-tile
+    //     DECODED-pixel channel sums, map-side decode, roll-up across
+    //     zooms; golden = independent per-id pixel recomputation + the
+    //     mercator SQL-text tile formula + hash-map roll-up) ---
+    "q_mosaic" -> ((s, dir) =>
+      Media.mosaicPyramid(
+          Media.withPayload(images(s, dir).select("image_id", "lat", "lng")),
+          10, 12)
+        .orderBy("z", "x", "y")),
+
     // --- multimodal: frame sampling plumbing (video-shaped payloads) ---
     "q_media_frames" -> ((s, dir) =>
       Media.frameSampled(Media.withPayload(images(s, dir).select("image_id")), stride = 3)
@@ -1797,6 +1807,7 @@ object SparkEntry {
       "q_snap_edges" -> g("q_snap_edges", "region_id"),
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
+      "q_mosaic" -> g("q_mosaic", "z, x, y"),
       "q_minhash_lsh" -> g("q_minhash_lsh", "id_a, id_b"),
       "q_winnow" -> g("q_winnow", "doc_id, pos"),
       "q_winnow_pairs" -> g("q_winnow_pairs", "id_a, id_b"),

@@ -216,4 +216,46 @@ object Media {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Image-overview mosaic pyramid — the IMAGE-payload face of the tile
+    * pyramid (satellite/web-map overview builds: each coarse tile renders
+    * the aggregate color of the imagery beneath it). Per occupied tile at
+    * every zoom in [zMin, zMax]: image count + exact integer channel sums
+    * of the DECODED pixels (means derive as sum/count/(w*h); sums stay
+    * integer so the gate is bit-exact).
+    *
+    * Scale shape: the decode + channel-sum kernel runs MAP-SIDE next to
+    * the scan — the binary payload never rides a shuffle (the engine-wide
+    * media contract); the only full-data shuffle carries (x, y, 4 longs)
+    * partial sums into the zMax histogram, and every coarser zoom is the
+    * `Tiling.rollUpSums` child→parent re-sum over occupied tiles. */
+  def mosaicPyramid(withBytes: DataFrame, zMin: Int, zMax: Int): DataFrame = {
+    val sums = udf((bytes: Array[Byte]) => {
+      val (_, _, _, px) = decode(bytes)
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < px.length) {
+        val v = (px(i) & 0xff).toLong
+        (i % 3: @annotation.switch) match {
+          case 0 => r += v
+          case 1 => g += v
+          case _ => b += v
+        }
+        i += 1
+      }
+      (r, g, b)
+    })
+    val base = withBytes
+      .withColumn("tid", element_at(graft.functions.S2Expressions.tileChain(
+        col("lat"), col("lng"), zMax, zMax), 1))
+      .withColumn("s", sums(col("bytes")))
+      .select(expr(s"tid & (shiftleft(1L, $zMax) - 1)").as("x"),
+        expr(s"shiftrightunsigned(tid, $zMax) & (shiftleft(1L, $zMax) - 1)").as("y"),
+        col("s._1").as("r"), col("s._2").as("g"), col("s._3").as("b"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_images"), sum("r").as("sum_r"),
+        sum("g").as("sum_g"), sum("b").as("sum_b"))
+    Tiling.rollUpSums(base, zMin, zMax,
+      Seq("n_images", "sum_r", "sum_g", "sum_b"))
+  }
 }

@@ -151,19 +151,31 @@ object Tiling {
       s"pyramidCounts zooms [$zMin, $zMax] outside [1, 15]")
     val base = pointManifest(images, zMax, zMax)
       .groupBy("x", "y").agg(count(lit(1)).as("n_features"))
+    rollUpSums(base, zMin, zMax, Seq("n_features"))
+  }
+
+  /** Shared pyramid machinery: `base` holds one row per occupied zMax tile
+    * with (x, y) plus monoid sum columns; every zoom in [zMin, zMax] is the
+    * keyed re-sum under `x>>s, y>>s`. The base persists as exactly one
+    * iteration snapshot (EngineCaches contract) so the per-level
+    * aggregations read memory, not the corpus. */
+  private[ops] def rollUpSums(base: DataFrame, zMin: Int, zMax: Int,
+                              sumCols: Seq[String]): DataFrame = {
     val tracker = new Tracker
     val (baseSnap, _, baseRdd) = tracker.materialize(base)
     Tracker.registerSurvivor(baseRdd)
+    val out = Seq(col("z"), col("x"), col("y")) ++ sumCols.map(col)
     (zMin to zMax).map { z =>
       val s = zMax - z
       if (s == 0)
-        baseSnap.select(lit(z).as("z"), col("x"), col("y"), col("n_features"))
+        baseSnap.withColumn("z", lit(z)).select(out: _*)
       else
         baseSnap
           .groupBy(shiftrightunsigned(col("x"), s).as("x"),
             shiftrightunsigned(col("y"), s).as("y"))
-          .agg(sum("n_features").as("n_features"))
-          .select(lit(z).as("z"), col("x"), col("y"), col("n_features"))
+          .agg(sum(sumCols.head).as(sumCols.head),
+            sumCols.tail.map(c => sum(c).as(c)): _*)
+          .withColumn("z", lit(z)).select(out: _*)
     }.reduce(_ unionByName _)
   }
 

@@ -454,6 +454,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("mosaic pyramid: counts match the tile pyramid; channel sums roll up exactly") {
+    val imgs = Tables.images(spark, sfDir).select("image_id", "lat", "lng")
+    val mos = Media.mosaicPyramid(Media.withPayload(imgs), 10, 12)
+      .collect().map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val counts = Tiling.pyramidCounts(imgs, 10, 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+    assert(mos.keySet == counts.keySet)
+    assert(mos.forall { case (k, v) => v._1 == counts(k) })
+    // parent sums are exactly the sum of their z12 descendants
+    val z12 = mos.filter(_._1._1 == 12)
+    mos.filter(_._1._1 == 10).foreach { case ((_, x, y), v) =>
+      val kids = z12.filter { case ((_, cx, cy), _) => (cx >> 2) == x && (cy >> 2) == y }.values
+      assert(v == ((kids.map(_._1).sum, kids.map(_._2).sum, kids.map(_._3).sum, kids.map(_._4).sum)))
+    }
+  }
+
   test("pyramid merge: 3-way batch split reproduces the whole-corpus pyramid") {
     val imgs = Tables.images(spark, sfDir)
     val whole = Tiling.pyramidCounts(imgs, 9, 11)
