@@ -289,6 +289,12 @@ object SparkEntry {
         .groupBy("hex7_5").agg(count(lit(1)).as("n"))
         .orderBy("hex7_5")),
 
+    // --- H3-analogue neighborhood analytics: hex-bin density smoothed over
+    //     the k-ring disk (gridDisk), aggregate-first, integer weights ---
+    "q_hex_smooth" -> ((s, dir) =>
+      Tiling.hexSmoothedDensity(images(s, dir), 8, 2)
+        .orderBy("cell")),
+
     // --- dedup: exact (hash-groupBy on content key) ---
     "q_dedup_exact" -> ((s, dir) => {
       Tables.registerBase(s, dir)
@@ -1798,6 +1804,7 @@ object SparkEntry {
       "q_geojson" -> g("q_geojson", "feature_id"),
       "q_geometry" -> g("q_geometry", "region_id"),
       "q_hex7_cells" -> g("q_hex7_cells", "hex7_5"),
+      "q_hex_smooth" -> g("q_hex_smooth", "cell"),
       "q_hull_area" -> g("q_hull_area", "region_id"),
       "q_knn_meters" -> g("q_knn_meters", "query_id, rank"),
       "q_knn_batch" -> g("q_knn_batch", "query_id, rank"),

@@ -371,6 +371,25 @@ object Hex7 {
     }
   }
 
+  /** Hex k-ring (the H3 gridDisk analogue): BFS over `neighbors` up to k
+    * steps, returning (cell, ringDistance) with self at distance 0. BFS
+    * shortest-path distances are unique, so the output SET is deterministic
+    * regardless of expansion order. Face-seam clipping inherits from
+    * `neighbors` (documented divergence: seam cells have smaller disks). */
+  def kRing(id: Long, k: Int): Array[(Long, Int)] = {
+    require(k >= 0, "kRing: k must be >= 0")
+    val dist = scala.collection.mutable.LinkedHashMap(id -> 0)
+    var frontier: List[Long] = List(id)
+    var d = 0
+    while (d < k && frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(c => neighbors(c))
+        .filterNot(dist.contains).distinct
+      frontier.foreach(c => dist.update(c, d))
+    }
+    dist.iterator.map { case (c, dd) => (c, dd) }.toArray
+  }
+
   /** Hex edge length at `res` in face-plane units (gnomonic). */
   def edgeLen(res: Int): Double = S1 / math.pow(math.sqrt(7.0), res - 1)
 

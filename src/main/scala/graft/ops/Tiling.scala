@@ -125,6 +125,34 @@ object Tiling {
       .select(lit(zoom).as("z"), col("x"), col("y"), col("density"))
   }
 
+  /** Hex-grid density smoothing — `smoothedDensity`'s twin on the Hex7
+    * index (the H3 gridDisk/kRing neighborhood aggregate: hex binning +
+    * disk smoothing is the standard hex-analytics primitive). Per occupied
+    * hex at `res`, counts convolve over the k-ring with integer triangular
+    * weights (k+1-ringDistance) — exact, like the square-tile form. Cells
+    * that receive weight from an occupied neighbor appear even when empty
+    * themselves (same emission rule as `smoothedDensity`).
+    *
+    * Scale shape: aggregate FIRST (one map-side-combining count per hex —
+    * the only pass over the points), then the <=(3k²+3k+1)-cell disk
+    * explode rides the occupied-cell table, then one keyed re-sum. Disk
+    * membership comes from `Hex7.kRing` (BFS over the axial neighbors;
+    * face-seam cells have clipped disks, the documented Hex7 divergence). */
+  def hexSmoothedDensity(images: DataFrame, res: Int, k: Int): DataFrame = {
+    require(res >= 1 && res <= 15, s"hex res $res outside [1, 15]")
+    require(k >= 0, "disk radius must be >= 0")
+    val counts = images
+      .withColumn("cell", graft.functions.S2Expressions.hex7Cell(
+        col("lat"), col("lng"), res))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val disk = udf((cell: Long) =>
+      graft.core.Hex7.kRing(cell, k).map { case (c, d) => (c, (k + 1 - d).toLong) })
+    counts
+      .withColumn("o", explode(disk(col("cell"))))
+      .select(col("o._1").as("cell"), (col("n") * col("o._2")).as("wn"))
+      .groupBy("cell").agg(sum("wn").as("density"))
+  }
+
   /** Multi-zoom tile-count pyramid by CHILD->PARENT ROLL-UP — the overview
     * build a tile server runs over write-once corpora (tiles.go:301-339's
     * parent halving turned into an aggregation tree). `pointManifest` +

@@ -454,6 +454,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("hex k-ring disk smoothing equals brute-force hash-map convolution") {
+    import graft.core.Hex7
+    // interior disk sizes follow the centered-hexagonal sequence
+    val c = Hex7.fromLatLngDegrees(51.3, -0.2, 8)
+    assert(Hex7.kRing(c, 0).length == 1 && Hex7.kRing(c, 1).length == 7 &&
+      Hex7.kRing(c, 2).length == 19)
+    assert(Hex7.kRing(c, 2).count(_._2 == 2) == 12)
+    val imgs = Tables.images(spark, sfDir).select("lat", "lng")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+    imgs.foreach { case (la, ln) =>
+      val h = Hex7.fromLatLngDegrees(la, ln, 8)
+      counts(h) = counts.getOrElse(h, 0L) + 1L
+    }
+    val want = scala.collection.mutable.HashMap.empty[Long, Long]
+    counts.foreach { case (h, n) =>
+      Hex7.kRing(h, 2).foreach { case (c2, d) =>
+        want(c2) = want.getOrElse(c2, 0L) + n * (3 - d)
+      }
+    }
+    val got = Tiling.hexSmoothedDensity(Tables.images(spark, sfDir), 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want.toMap)
+  }
+
   test("mosaic pyramid: counts match the tile pyramid; channel sums roll up exactly") {
     val imgs = Tables.images(spark, sfDir).select("image_id", "lat", "lng")
     val mos = Media.mosaicPyramid(Media.withPayload(imgs), 10, 12)
