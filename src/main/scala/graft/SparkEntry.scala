@@ -716,6 +716,15 @@ object SparkEntry {
           images(s, dir).select("image_id")))
         .orderBy("image_id")),
 
+    // --- multimodal: COMPUTED perceptual hash (grayscale -> 8x8 -> 2D
+    //     DCT-II -> median-threshold AC bits) from the decoded payload —
+    //     the kernel behind the north star's "phash-derived anchor";
+    //     golden = independent pixel regeneration + the shared DCT kernel ---
+    "q_phash_dct" -> ((s, dir) =>
+      Media.computedPhash(Media.withPayload(images(s, dir).select("image_id")))
+        .select("image_id", "phash_dct")
+        .orderBy("image_id")),
+
     // --- multimodal x tiling: image-overview mosaic pyramid (per-tile
     //     DECODED-pixel channel sums, map-side decode, roll-up across
     //     zooms; golden = independent per-id pixel recomputation + the
@@ -1815,6 +1824,7 @@ object SparkEntry {
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
       "q_mosaic" -> g("q_mosaic", "z, x, y"),
+      "q_phash_dct" -> g("q_phash_dct", "image_id"),
       "q_minhash_lsh" -> g("q_minhash_lsh", "id_a, id_b"),
       "q_winnow" -> g("q_winnow", "doc_id, pos"),
       "q_winnow_pairs" -> g("q_winnow_pairs", "id_a, id_b"),

@@ -217,6 +217,74 @@ object Media {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** DCT perceptual hash COMPUTED from decoded pixels — the kernel behind
+    * the north star's "phash-derived anchor point": grayscale -> 8x8
+    * nearest-neighbor downsample (the `resized` rule) -> 2D DCT-II -> 63
+    * AC coefficients thresholded against their median (DC bit fixed 0) ->
+    * 64-bit hash. The classic pHash construction (public algorithm): low
+    * spatial frequencies survive re-encoding, so a lossy re-encode of the
+    * same image lands within a few Hamming bits while distinct images land
+    * ~32 apart — MediaSpec pins both properties on the GRFT fake's jpeg
+    * quantization. Deterministic: plain double arithmetic + an exact
+    * median-of-63 (sorted middle element), no platform-dependent ordering.
+    * Bit i (1..63) = 1 iff coefficient i (row-major, DC skipped) > median. */
+  def phashOfPixels(w: Int, h: Int, px: Array[Byte]): Long = {
+    val gray = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val sx = x * w / 8; val sy = y * h / 8
+        val o = (sy * w + sx) * 3
+        gray(y * 8 + x) =
+          ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    val dct = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            s += gray(yy * 8 + xx) *
+              math.cos((2 * xx + 1) * v * math.Pi / 16.0) *
+              math.cos((2 * yy + 1) * u * math.Pi / 16.0)
+            xx += 1
+          }
+          yy += 1
+        }
+        dct(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(dct, 1, 64)
+    val sortedAc = ac.clone(); java.util.Arrays.sort(sortedAc)
+    val median = sortedAc(31)
+    var hash = 0L
+    var i = 0
+    while (i < 63) {
+      if (ac(i) > median) hash |= 1L << (i + 1)
+      i += 1
+    }
+    hash
+  }
+
+  /** Column form: computed pHash of the binary payload. */
+  def computedPhash(withBytes: DataFrame): DataFrame = {
+    val ph = udf((bytes: Array[Byte]) => {
+      val (w, h, _, px) = decode(bytes)
+      phashOfPixels(w, h, px)
+    })
+    withBytes.withColumn("phash_dct", ph(col("bytes")))
+  }
+
   /** Image-overview mosaic pyramid — the IMAGE-payload face of the tile
     * pyramid (satellite/web-map overview builds: each coarse tile renders
     * the aggregate color of the imagery beneath it). Per occupied tile at

@@ -454,6 +454,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("computed DCT pHash: lossy re-encode stays close, distinct images far") {
+    import graft.core.Hashes
+    def pixels(id: Long, quantize: Boolean): (Int, Array[Byte]) = {
+      val w = if (id % 16 == 7) 16 else 8
+      val px = new Array[Byte](w * w * 3)
+      var i = 0
+      while (i < px.length) {
+        val v = ((Hashes.splitmix64(id * 1315423911L + i) >>> 56) & 0xff).toInt
+        px(i) = (if (quantize) v & ~3 else v).toByte
+        i += 1
+      }
+      (w, px)
+    }
+    val ids = (1L to 50L).filter(_ % 16 != 0) // png ids: lossless source
+    val lossyHam = ids.map { id =>
+      val (w, p0) = pixels(id, quantize = false)
+      val (_, p1) = pixels(id, quantize = true)
+      java.lang.Long.bitCount(
+        Media.phashOfPixels(w, w, p0) ^ Media.phashOfPixels(w, w, p1))
+    }
+    val distinctHam = ids.sliding(2).collect { case Seq(a, b) =>
+      val (wa, pa) = pixels(a, false); val (wb, pb) = pixels(b, false)
+      java.lang.Long.bitCount(
+        Media.phashOfPixels(wa, wa, pa) ^ Media.phashOfPixels(wb, wb, pb))
+    }.toSeq
+    assert(lossyHam.max <= 12, s"lossy re-encode drifted: ${lossyHam.max}")
+    assert(distinctHam.sum.toDouble / distinctHam.size >= 16.0,
+      s"distinct images too close: avg ${distinctHam.sum.toDouble / distinctHam.size}")
+    // engine column form agrees with the kernel on real payloads
+    val got = Media.computedPhash(
+        Media.withPayload(Tables.images(spark, sfDir).select("image_id").limit(20)))
+      .select("image_id", "phash_dct")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, h) =>
+      val (w, _, _, px) = Media.decode(Media.encode(id))
+      assert(h == Media.phashOfPixels(w, w, px))
+    }
+  }
+
   test("hex k-ring disk smoothing equals brute-force hash-map convolution") {
     import graft.core.Hex7
     // interior disk sizes follow the centered-hexagonal sequence
