@@ -204,6 +204,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("ScalaUDF"), "scoring must stay in codegen expressions")
   }
 
+  test("pyramid roll-up levels read the snapshot, never the corpus") {
+    // pyramidCounts/mosaicPyramid materialize the zMax histogram once; the
+    // RETURNED union of levels must read that in-memory snapshot (Scan
+    // ExistingRDD) with ZERO parquet scans — a refactor that re-derives a
+    // level from the raw table would put a file scan back into this plan
+    for (q <- Seq("q_tile_pyramid", "q_mosaic")) {
+      val ex = plan(q)
+      assert(ex.contains("Scan ExistingRDD"), s"$q must read the snapshot:\n$ex")
+      assert(!ex.toLowerCase.contains("parquet"),
+        s"$q roll-up re-scans the corpus:\n$ex")
+      assert(!ex.contains("CartesianProduct") && !ex.contains("BroadcastNestedLoopJoin"), ex)
+    }
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+  }
+
+  test("hex disk smoothing aggregates BEFORE the k-ring explode") {
+    val ex = plan("q_hex_smooth")
+    val lines = ex.linesIterator.toVector
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    val aggBelow = lines.drop(genIdx + 1).exists(_.contains("HashAggregate"))
+    assert(genIdx >= 0 && aggBelow,
+      "k-ring explode must sit above the per-cell count aggregate:\n" + ex)
+    assert(!ex.contains("Join"), "hex smoothing must be join-free:\n" + ex)
+  }
+
   test("dup-span gram side carries no document bodies through the shuffle") {
     val q = SparkEntry.queries("q_dup_spans")(spark, sfDir)
     val ex = q.queryExecution.executedPlan.toString
