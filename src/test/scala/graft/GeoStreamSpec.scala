@@ -68,6 +68,32 @@ class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming pyramid maintenance equals the batch pyramid across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the mergePyramids claim made live: the (z, x, y) keyed count is a
+    // plain streaming aggregation — continuous ingest maintains the same
+    // overview the batch roll-up builds
+    val ms = MemoryStream[GeoPing]
+    val q = graft.ops.Tiling.pointManifest(ms.toDF(), 8, 12)
+      .groupBy("z", "x", "y").agg(count(lit(1)).as("n_features"))
+      .writeStream.format("memory").queryName("pyr_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(pings.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(pings.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("pyr_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = graft.ops.Tiling.pyramidCounts(pings.toDF(), 8, 12).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      graft.ops.EngineCaches.releaseIterationSnapshots()
+      assert(got == want && want.nonEmpty, s"stream $got != batch $want")
+    } finally q.stop()
+  }
+
   test("windowed region counts accumulate across micro-batches and equal batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
