@@ -497,6 +497,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // --- text: CCNet-style cross-document boilerplate line removal. Same
+    //     deterministic multi-line derivation as q_text_repetition; a line
+    //     in >= 3 distinct docs is struck everywhere. ---
+    "q_boilerplate" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents")
+        .withColumn("text2", replace(col("text"), lit(" a "), lit("\n")))
+      TextOps.boilerplateRemove(docs, "doc_id", "text2", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
+    // --- text: bigram stupid-backoff LM quality score — model trained on
+    //     the even-id half (the held-out framing), every doc scored;
+    //     fixed-point log sums make the distributed aggregation
+    //     order-independent. Golden: hash-map counts + sequential loop. ---
+    "q_ngram_lm" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents")
+      TextOps.ngramLmScores(docs, docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // --- text: PII / URL masking. The corpus contains no addresses, so
     //     BOTH engines inject the same deterministic contact line first
     //     (concat of existing columns) — the scrub itself is the operator
@@ -723,6 +746,22 @@ object SparkEntry {
     "q_phash_dct" -> ((s, dir) =>
       Media.computedPhash(Media.withPayload(images(s, dir).select("image_id")))
         .select("image_id", "phash_dct")
+        .orderBy("image_id")),
+
+    // --- multimodal: training-batch aspect-ratio bucketing (SDXL-style) +
+    //     exactly-200-per-bucket deterministic cap (md5 rank, the
+    //     sampleExact/q_geo_cap discipline). Synthetic rectangular (w, h)
+    //     metadata derived from image_id with exact integer arithmetic on
+    //     BOTH engines; assignment is a map-side integer-rational argmin
+    //     when-chain mirrored textually into the oracle CASE. ---
+    "q_aspect_bucket" -> ((s, dir) =>
+      graft.ops.Sampling.sampleExact(
+          Media.aspectBucket(
+            images(s, dir).select(col("image_id"),
+              (lit(256L) + (col("image_id") * 48271L) % 1792L).as("w"),
+              (lit(256L) + (col("image_id") * 69621L) % 1792L).as("h")),
+            "w", "h"),
+          "image_id", "bucket", 200)
         .orderBy("image_id")),
 
     // --- multimodal x tiling: image-overview mosaic pyramid (per-tile
@@ -1455,6 +1494,17 @@ object SparkEntry {
           "r AS (SELECT image_id, x, y, ROW_NUMBER() OVER (PARTITION BY x, y " +
           "ORDER BY SUBSTRING(MD5(CAST(image_id AS VARCHAR)), 1, 8), image_id) AS rk FROM base) " +
           "SELECT image_id, x, y FROM r WHERE rk <= 5 ORDER BY image_id"),
+      // bucket CASE generated from the SAME AspectBuckets list as the
+      // engine's when-chain (Media.aspectBucketSql); cap = the md5-rank
+      // discipline above
+      "q_aspect_bucket" ->
+        (s"$W, base AS (SELECT image_id, " +
+          "CAST(256 + (image_id * 48271) % 1792 AS BIGINT) AS w, " +
+          "CAST(256 + (image_id * 69621) % 1792 AS BIGINT) AS h FROM images), " +
+          s"a AS (SELECT image_id, w, h, ${graft.ops.Media.aspectBucketSql("w", "h")} AS bucket FROM base), " +
+          "r AS (SELECT image_id, w, h, bucket, ROW_NUMBER() OVER (PARTITION BY bucket " +
+          "ORDER BY SUBSTRING(MD5(CAST(image_id AS VARCHAR)), 1, 8), image_id) AS rk FROM a) " +
+          "SELECT image_id, w, h, bucket FROM r WHERE rk <= 200 ORDER BY image_id"),
       // same mercator text as q_tiles_points (shared-arithmetic discipline);
       // the convolution itself is exact integers: triangular weights, pmod
       // x-wrap, y clamp, CAST around DuckDB's HUGEINT sum
@@ -1577,6 +1627,23 @@ object SparkEntry {
           "CAST(LEN(LIST_FILTER(lines, x -> STARTS_WITH(x, '- ') OR STARTS_WITH(x, '* '))) AS DOUBLE) / CAST(GREATEST(1, LEN(lines)) AS DOUBLE) AS bullet_line_frac, " +
           "CAST(LEN(LIST_FILTER(lines, x -> ENDS_WITH(x, '...'))) AS DOUBLE) / CAST(GREATEST(1, LEN(lines)) AS DOUBLE) AS ellipsis_line_frac " +
           "FROM l ORDER BY doc_id"),
+      // independent plan shape: LATERAL-UNNEST positions + NOT IN against a
+      // HAVING heavy-hitter table + ordered string_agg (the engine runs
+      // posexplode + left-anti join + array_sort reassembly)
+      "q_boilerplate" ->
+        ("WITH t AS (SELECT doc_id, REPLACE(text, ' a ', chr(10)) AS text2 FROM documents), " +
+          "s AS (SELECT doc_id, STRING_SPLIT(text2, chr(10)) AS ls FROM t), " +
+          "l AS (SELECT doc_id, i AS pos, ls[i] AS line FROM s, " +
+          "LATERAL UNNEST(range(1, LEN(ls) + 1)) AS u(i) WHERE LENGTH(ls[i]) > 0), " +
+          "b AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3), " +
+          "k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+          "STRING_AGG(line, chr(10) ORDER BY pos) AS text_kept " +
+          "FROM l WHERE line NOT IN (SELECT line FROM b) GROUP BY doc_id), " +
+          "n AS (SELECT doc_id, CAST(LEN(LIST_FILTER(STRING_SPLIT(text2, chr(10)), " +
+          "x -> LENGTH(x) > 0)) AS BIGINT) AS n_lines FROM t) " +
+          "SELECT n.doc_id, n.n_lines, COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept, " +
+          "COALESCE(k.text_kept, '') AS text_kept " +
+          "FROM n LEFT JOIN k ON n.doc_id = k.doc_id ORDER BY n.doc_id"),
       "q_text_tokens" ->
         ("SELECT doc_id, " +
           "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_ws_tokens, " +
@@ -1822,6 +1889,7 @@ object SparkEntry {
       "q_shell_cap" -> g("q_shell_cap", "image_id"),
       "q_snap_edges" -> g("q_snap_edges", "region_id"),
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
+      "q_ngram_lm" -> g("q_ngram_lm", "doc_id"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
       "q_mosaic" -> g("q_mosaic", "z, x, y"),
       "q_phash_dct" -> g("q_phash_dct", "image_id"),

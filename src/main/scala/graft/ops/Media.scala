@@ -326,4 +326,53 @@ object Media {
     Tiling.rollUpSums(base, zMin, zMax,
       Seq("n_images", "sum_r", "sum_g", "sum_b"))
   }
+
+  /** Training-batch aspect-ratio buckets (the SDXL / NovelAI bucketing
+    * scheme — public technique: group images into a fixed set of aspect
+    * ratios so batches share a tensor shape, instead of center-cropping
+    * everything square). Name and target ratio as an exact rational
+    * (numerator bn : denominator bd). */
+  val AspectBuckets: Seq[(String, Int, Int)] = Seq(
+    ("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4), ("16:9", 16, 9),
+    ("9:16", 9, 16), ("3:2", 3, 2), ("2:3", 2, 3), ("21:9", 21, 9),
+    ("9:21", 9, 21))
+
+  /** Assign each image to the nearest aspect bucket. Distance to bucket i is
+    * |w/h − bn_i/bd_i| = |w·bd_i − h·bn_i| / (h·bd_i); dropping the common
+    * 1/h factor, the comparable per-bucket score is
+    * `abs(w·bd − h·bn) / bd` — an INTEGER absolute difference with one
+    * double division, so both engines produce the identical IEEE double and
+    * the argmin is bit-deterministic. Ties break to the FIRST bucket in
+    * [[AspectBuckets]] order (the when-chain scans in list order).
+    *
+    * 100 TB shape: pure map-side codegen — the bucket list is a compile-time
+    * when-chain, no join, no shuffle, no UDF. Composes with
+    * [[graft.ops.Sampling.sampleExact]] (bounded strata: one per bucket) for
+    * per-bucket caps, or [[graft.ops.Sampling.sampleByHash]] when the cap is
+    * a rate. Adds `bucket` (string). */
+  def aspectBucket(df: DataFrame, wCol: String, hCol: String): DataFrame = {
+    val scores = AspectBuckets.map { case (_, bn, bd) =>
+      abs(col(wCol).cast("long") * lit(bd.toLong) -
+        col(hCol).cast("long") * lit(bn.toLong)).cast("double") / lit(bd.toDouble)
+    }
+    val best = least(scores: _*)
+    val assign = AspectBuckets.zip(scores).foldRight(lit(null).cast("string")) {
+      case (((name, _, _), s), acc) => when(s === best, lit(name)).otherwise(acc)
+    }
+    df.withColumn("bucket", assign)
+  }
+
+  /** The aspect-bucket SQL mirror for the DuckDB oracle: the SAME scores and
+    * first-match tie-break generated from the SAME [[AspectBuckets]] list,
+    * so the literals cannot drift between engines. */
+  def aspectBucketSql(wExpr: String, hExpr: String): String = {
+    def score(bn: Int, bd: Int): String =
+      s"ABS(CAST($wExpr AS BIGINT) * $bd - CAST($hExpr AS BIGINT) * $bn) / CAST($bd AS DOUBLE)"
+    val leastOf = AspectBuckets.map { case (_, bn, bd) => score(bn, bd) }
+      .mkString("LEAST(", ", ", ")")
+    val whens = AspectBuckets.map { case (name, bn, bd) =>
+      s"WHEN ${score(bn, bd)} = $leastOf THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens END"
+  }
 }

@@ -217,4 +217,111 @@ object TextOps {
         size(filter(lines, l => endswith(l, lit("..."))))
           .cast("double") / dl)
   }
+
+  /** CCNet-style cross-document boilerplate removal (Wenzek et al. 2020 §4.1
+    * — public pipeline; also RefinedWeb's line-level dedup): a LINE that
+    * occurs verbatim in at least `minDocs` DISTINCT documents is boilerplate
+    * (nav bars, cookie banners, footers) and is struck from every document.
+    *
+    * 100 TB shape: the corpus explodes once into (doc, pos, line); the
+    * heavy-hitter table is a line-keyed count-distinct aggregation and the
+    * strike is a LEFT ANTI equi-join on the same line key — both shuffles
+    * hash on `line`, so the second reuses the first's exchange; no window,
+    * no driver collect, and the per-document reassembly groups on the
+    * high-cardinality doc key (no funnel). Per-doc state is one line array
+    * (bounded by document size, the same contract as every per-doc op here).
+    *
+    * Empty lines are dropped on explode (they carry no boilerplate signal
+    * and `split` fabricates them around every delimiter run); documents
+    * whose every line is struck still appear, with `text_kept = ''`.
+    *
+    * Output: idCol, n_lines (non-empty lines in the doc), n_kept,
+    * text_kept (surviving lines joined with '\n', original order). */
+  def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
+                        minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"boilerplateRemove: minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .where(length(col("line")) > 0)
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("text_kept"))
+    df.select(col(idCol),
+        size(filter(split(col(textCol), "\n"), l => length(l) > 0))
+          .cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /** Bigram stupid-backoff LM quality scoring (CCNet's LM-perplexity filter
+    * reduced to a corpus-trainable n-gram model; stupid backoff per Brants
+    * et al. 2007 — public algorithms). The model is TRAINED on the `train`
+    * slice and scores every document in `df` (the held-out framing a real
+    * pipeline uses: score new crawl against a trusted reference corpus).
+    *
+    * Per bigram position (w1, w2):
+    *   - seen bigram:   p = c(w1,w2) / c(w1)
+    *   - backoff:       p = 0.4 * coalesce(c(w2), 0.5) / T
+    * where counts come from the train slice and T is its total token count.
+    * Score = mean log p in fixed point: each position's log p is quantized
+    * to floor(log(p) * 1e6) BEFORE summing, so the per-doc sum is an
+    * integer — order-independent across partitionings, executor counts and
+    * the golden's sequential loop (the Elevation fixed-point discipline).
+    *
+    * 100 TB shape: model = two groupBy counts over the train slice; scoring
+    * = equi-joins on (w1,w2) and w2 (AQE broadcasts them when the vocab is
+    * small; shuffle-hash otherwise) + one keyless 1-row total attached by
+    * cross join (the stats-attach plan class); final agg groups on the doc
+    * key. No windows, no driver state.
+    *
+    * Output: idCol, n_bigrams, n_backoff, lp_fp_sum (micro-nats, LONG),
+    * avg_logp (= lp_fp_sum/1e6/n_bigrams; null when n_bigrams = 0). */
+  def ngramLmScores(df: DataFrame, train: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), "[ \\n\\t]"), w => length(w) > 0)
+    val trainWords = train.select(explode(words).as("w"))
+    val uni = trainWords.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = trainWords.agg(count(lit(1)).cast("double").as("t_total"))
+    val bi = train.select(explode(wordNgrams(col(textCol), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+    val docBi = df.select(col(idCol), posexplode(wordNgrams(col(textCol), 2))
+      .as(Seq("pos", "g")))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    val scored = docBi
+      .join(bi, Seq("g"), "left")
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
+        Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"),
+        Seq("w2"), "left")
+      .crossJoin(total)
+      .withColumn("logp",
+        when(col("c12").isNotNull,
+          log(col("c12").cast("double") / col("c1").cast("double")))
+          .otherwise(log(lit(0.4)) +
+            log(coalesce(col("c2").cast("double"), lit(0.5)) / col("t_total"))))
+      .withColumn("lp_fp", floor(col("logp") * lit(1e6)))
+    val agg = scored.groupBy(idCol).agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_backoff"),
+      sum(col("lp_fp")).as("lp_fp_sum"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("lp_fp_sum"), lit(0L)).as("lp_fp_sum"))
+      .withColumn("avg_logp",
+        when(col("n_bigrams") > 0,
+          col("lp_fp_sum").cast("double") / lit(1e6) / col("n_bigrams").cast("double")))
+  }
 }

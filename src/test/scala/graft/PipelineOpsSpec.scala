@@ -1,0 +1,138 @@
+package graft
+
+import graft.ops.{Media, Sampling, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Round-3 wave: CCNet-style cross-doc boilerplate removal, bigram
+  * stupid-backoff LM scoring, aspect-ratio bucketing. Hand vectors plus an
+  * engine-vs-golden equality check (the same cross-engine discipline the
+  * driver gate applies at sf scale). */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("pipeline-ops-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("boilerplateRemove strikes lines in >= minDocs distinct docs, keeps order") {
+    import spark.implicits._
+    // "cookie" appears in docs 1,2,3 (>=3 distinct) -> struck everywhere;
+    // "menu" in 1,2 only -> kept; doc-internal repetition ("hello" twice in
+    // doc 1) does NOT make a line boilerplate (distinct-doc counting)
+    val docs = Seq(
+      (1L, "hello\ncookie\nmenu\nhello"),
+      (2L, "cookie\nmenu\nbody two"),
+      (3L, "cookie\n\nbody three"),
+      (4L, "all original\n\n")).toDF("doc_id", "text")
+    val got = TextOps.boilerplateRemove(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 3L, "hello\nmenu\nhello"),
+      (2L, 3L, 2L, "menu\nbody two"),
+      (3L, 2L, 1L, "body three"),
+      (4L, 1L, 1L, "all original")))
+    // every line struck -> doc still present with empty text_kept
+    val docs2 = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val got2 = TextOps.boilerplateRemove(docs2, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got2 == Seq((1L, 1L, 0L, ""), (2L, 1L, 0L, ""), (3L, 1L, 0L, "")))
+  }
+
+  test("ngramLmScores: hand-checked counts and backoff on a tiny corpus") {
+    import spark.implicits._
+    // train = even ids. Model: doc 0 "a b a b", doc 2 "a c".
+    //   c1: a=3, b=2, c=1; T=6
+    //   c12: (a,b)=2, (b,a)=1, (a,c)=1
+    val docs = Seq(
+      (0L, "a b a b"),
+      (2L, "a c"),
+      (1L, "a b z"), // (a,b) seen; (b,z) backoff with z unseen (c2 -> 0.5)
+      (3L, "q"), //    single word -> no bigrams
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextOps.ngramLmScores(docs, docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+
+    def fp(lp: Double): Long = math.floor(lp * 1e6).toLong
+    val lpAB = StrictMath.log(2.0 / 3.0) // c12(a,b)/c1(a)
+    val lpBA = StrictMath.log(1.0 / 2.0)
+    val lpAC = StrictMath.log(1.0 / 3.0)
+    val lpBZ = StrictMath.log(0.4) + StrictMath.log(0.5 / 6.0)
+    val exp = Seq(
+      (0L, 3L, 0L, fp(lpAB) + fp(lpBA) + fp(lpAB)),
+      (1L, 2L, 1L, fp(lpAB) + fp(lpBZ)),
+      (2L, 1L, 0L, fp(lpAC)),
+      (3L, 0L, 0L, 0L),
+      (5L, 0L, 0L, 0L))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == exp)
+    assert(got.map(_._5) == exp.map { case (_, n, _, s) =>
+      if (n > 0) Some(s.toDouble / 1e6 / n.toDouble) else None })
+  }
+
+  test("ngramLmScores == Golden.ngramLmG on a mixed corpus (cross-engine bit parity)") {
+    import spark.implicits._
+    val corpus: Array[(Long, String)] = (0L until 40L).toArray.map { i =>
+      val ws = (0 to (i % 7).toInt).map(k => s"w${(i * 31 + k * 17) % 23}") ++
+        // odd docs carry a token the even-id train slice never sees, so the
+        // unseen-unigram backoff arm (c2 -> 0.5) is exercised as well as the
+        // seen-unigram backoff arm
+        (if (i % 2 == 1) Seq(s"u$i") else Seq.empty)
+      (i, ws.mkString(" "))
+    }
+    val df = corpus.toSeq.toDF("doc_id", "text")
+    val engine = TextOps.ngramLmScores(df, df.where(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    val golden = graft.oracle.Golden.ngramLmG(corpus)
+    assert(engine == golden)
+    assert(engine.exists(_._3 > 0), "fixture must exercise the backoff path")
+  }
+
+  test("aspectBucket: hand vectors, exact-ratio hits, first-bucket tie-break") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1024L, 1024L), // exact 1:1
+      (2L, 1920L, 1080L), // exact 16:9
+      (3L, 768L, 512L), //   exact 3:2
+      (4L, 512L, 768L), //   exact 2:3
+      (5L, 2100L, 900L), //  exact 21:9
+      (6L, 1000L, 1010L), // near-square -> 1:1
+      (7L, 1300L, 1000L)) // 1.30: closest of the list is 4:3 (1.333)
+      .toDF("image_id", "w", "h")
+    val got = Media.aspectBucket(rows, "w", "h")
+      .select("image_id", "bucket").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "1:1", 2L -> "16:9", 3L -> "3:2", 4L -> "2:3",
+      5L -> "21:9", 6L -> "1:1", 7L -> "4:3"))
+
+    // tie: w/h exactly midway between 1:1 and 4:3 -> 7/6: |7/6-1|=1/6,
+    // |7/6-4/3|=1/6 -> first bucket in list order ("1:1") wins
+    val tie = Seq((9L, 7L, 6L)).toDF("image_id", "w", "h")
+    val gotTie = Media.aspectBucket(tie, "w", "h")
+      .select("bucket").as[String].collect().head
+    assert(gotTie == "1:1")
+
+    // composes with sampleExact: cap 2 per bucket keeps the lowest md5 draws
+    val many = (1L to 50L).map(i => (i, 100L + i, 100L)).toDF("image_id", "w", "h")
+    val capped = Sampling.sampleExact(
+      Media.aspectBucket(many, "w", "h"), "image_id", "bucket", 2)
+    val perBucket = capped.groupBy("bucket").count()
+      .as[(String, Long)].collect().toMap
+    assert(perBucket.values.forall(_ <= 2))
+  }
+
+  test("aspectBucketSql mirrors the when-chain (spot formula check)") {
+    val sql = Media.aspectBucketSql("w", "h")
+    assert(sql.contains("ABS(CAST(w AS BIGINT) * 3 - CAST(h AS BIGINT) * 4) / CAST(3 AS DOUBLE)"))
+    assert(sql.startsWith("CASE WHEN") && sql.endsWith("END"))
+    assert(Media.AspectBuckets.map(_._1).forall(n => sql.contains(s"'$n'")))
+  }
+}
