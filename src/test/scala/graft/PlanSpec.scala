@@ -134,7 +134,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CartesianProduct AND requires the keyless aggregate to be visible in
     // the plan, so swapping the broadcast side for real data trips the
     // guard.
-    val statsAttach = Set("q_hotspot", "q_bm25")
+    val statsAttach = Set("q_hotspot", "q_bm25", "q_ngram_lm")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       val allPairs = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
@@ -239,5 +239,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.contains("text#")),
       s"document bodies riding a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("boilerplate strike is a hash anti-join, reassembly an aggregate — no window") {
+    val ex = SparkEntry.queries("q_boilerplate")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(ex.contains("LeftAnti"), "line strike must be a LEFT ANTI join:\n" + ex)
+    assert(!ex.contains("Window"),
+      "per-doc reassembly must aggregate (array_sort), not window-sort:\n" + ex)
+  }
+
+  test("aspect bucket assignment is join-free map-side codegen") {
+    // the only non-scan work before the sampleExact cap window is the
+    // when-chain projection: any Join in the plan means the bucket list
+    // regressed to a table join
+    val ex = SparkEntry.queries("q_aspect_bucket")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!ex.contains("Join"), "bucket assignment must be join-free:\n" + ex)
   }
 }
