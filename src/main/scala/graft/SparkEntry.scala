@@ -48,6 +48,31 @@ object SparkEntry {
   /** The images CTE prefix shared by every oracle query. */
   private val W = s"WITH images AS (${Synth.imagesSelect})"
 
+  /** Leakage-free split fractions (q_split_leakfree) — the oracle CASE is
+    * generated from this SAME list via Sampling.splitByGroupHashSql. */
+  private val SplitFracs: Seq[(String, Double)] =
+    Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+  /** The phash+chain near-dup pair graph shared by the component-family
+    * gates (q_dedup_components / q_dedup_canonical / q_split_leakfree);
+    * mirrored in SQL by `componentClosureCtes`. Returns (sub, pairs). */
+  private def componentPairGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    Tables.registerBase(s, dir)
+    val sub = s.table("orders")
+      .select(col("o_orderkey").as("image_id"))
+      .where(expr("CAST(floor(image_id / 8) AS BIGINT) % 40 = 0"))
+      .withColumn("ph", expr(graft.model.Synth.phashDupExpr("image_id")))
+    val phPairs = Dedup.phashNearDup(sub, "image_id", "ph", maxHamming = 3, bands = 4)
+      .select(col("id_a"), col("id_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr("CAST(floor(image_id / 2560) AS BIGINT)"))
+      .orderBy("image_id")
+    val chain = sub
+      .select(col("image_id").as("id_a"), lead("image_id", 1).over(w).as("id_b"))
+      .where(col("id_b").isNotNull)
+    (sub, phPairs.unionByName(chain))
+  }
+
   /** Fixed query terms for the q_bm25 gate — ONE definition, used by both
     * the engine query and the golden recomputation. */
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "window", "customer")
@@ -384,20 +409,19 @@ object SparkEntry {
     //     Oracle: DuckDB WITH RECURSIVE transitive closure + MIN — an
     //     entirely different algorithm in a different engine. ---
     "q_dedup_components" -> ((s, dir) => {
-      Tables.registerBase(s, dir)
-      val sub = s.table("orders")
-        .select(col("o_orderkey").as("image_id"))
-        .where(expr("CAST(floor(image_id / 8) AS BIGINT) % 40 = 0"))
-        .withColumn("ph", expr(graft.model.Synth.phashDupExpr("image_id")))
-      val phPairs = Dedup.phashNearDup(sub, "image_id", "ph", maxHamming = 3, bands = 4)
-        .select(col("id_a"), col("id_b"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(expr("CAST(floor(image_id / 2560) AS BIGINT)"))
-        .orderBy("image_id")
-      val chain = sub
-        .select(col("image_id").as("id_a"), lead("image_id", 1).over(w).as("id_b"))
-        .where(col("id_b").isNotNull)
-      graft.ops.Components.connectedComponents(phPairs.unionByName(chain))
+      graft.ops.Components.connectedComponents(componentPairGraph(s, dir)._2)
+        .orderBy("id")
+    }),
+
+    // --- sampling: LEAKAGE-FREE train/val/test split — the split key is
+    //     the near-dup COMPONENT id (same fixture/closure oracle as
+    //     q_dedup_components), so near-duplicates can never straddle train
+    //     and eval; 0.8/0.1/0.1 by cumulative md5 thresholds shared with
+    //     the oracle CASE via Sampling.splitByGroupHashSql. ---
+    "q_split_leakfree" -> ((s, dir) => {
+      val comp = graft.ops.Components.connectedComponents(
+        componentPairGraph(s, dir)._2)
+      graft.ops.Sampling.splitByGroupHash(comp, "component", SplitFracs)
         .orderBy("id")
     }),
 
@@ -407,21 +431,8 @@ object SparkEntry {
     //     id, rows in no pair pass through. Oracle: the recursive-closure
     //     SQL with NOT IN over non-minimum members. ---
     "q_dedup_canonical" -> ((s, dir) => {
-      Tables.registerBase(s, dir)
-      val sub = s.table("orders")
-        .select(col("o_orderkey").as("image_id"))
-        .where(expr("CAST(floor(image_id / 8) AS BIGINT) % 40 = 0"))
-        .withColumn("ph", expr(graft.model.Synth.phashDupExpr("image_id")))
-      val phPairs = Dedup.phashNearDup(sub, "image_id", "ph", maxHamming = 3, bands = 4)
-        .select(col("id_a"), col("id_b"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(expr("CAST(floor(image_id / 2560) AS BIGINT)"))
-        .orderBy("image_id")
-      val chain = sub
-        .select(col("image_id").as("id_a"), lead("image_id", 1).over(w).as("id_b"))
-        .where(col("id_b").isNotNull)
-      Dedup.keepCanonicalByPairs(sub.select("image_id"), "image_id",
-          phPairs.unionByName(chain))
+      val (sub, pairs) = componentPairGraph(s, dir)
+      Dedup.keepCanonicalByPairs(sub.select("image_id"), "image_id", pairs)
         .orderBy("image_id")
     }),
 
@@ -506,6 +517,21 @@ object SparkEntry {
         .withColumn("text2", replace(col("text"), lit(" a "), lit("\n")))
       TextOps.boilerplateRemove(docs, "doc_id", "text2", minDocs = 3)
         .orderBy("doc_id")
+    }),
+
+    // --- text: hashed TF-IDF document vectors (feature hashing, 256 md5
+    //     buckets, smooth idf, L2 norm over the bucket-sorted fold) —
+    //     flattened to (doc, pos, bucket, weight) rows for the compare;
+    //     token-less docs survive via posexplode_outer. Golden: hash-map
+    //     counts + sequential loop, idf/norm kernels mirrored. ---
+    "q_tfidf" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      TextOps.hashedTfIdf(s.table("documents"), "doc_id", "text")
+        .select(col("doc_id"), col("nnz"), col("norm"),
+          posexplode_outer(arrays_zip(col("buckets"), col("weights"))))
+        .select(col("doc_id"), col("nnz"), col("norm"), col("pos"),
+          col("col.buckets").as("bucket"), col("col.weights").as("weight"))
+        .orderBy("doc_id", "pos")
     }),
 
     // --- text: bigram stupid-backoff LM quality score — model trained on
@@ -1570,6 +1596,14 @@ object SparkEntry {
       "q_dedup_components" ->
         (componentClosureCtes +
           " SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"),
+      // split CASE generated from the SAME SplitFracs cumulative thresholds
+      // as the engine's when-chain (Sampling.splitByGroupHashSql)
+      "q_split_leakfree" ->
+        (componentClosureCtes +
+          ", comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id) " +
+          "SELECT id, component, " +
+          graft.ops.Sampling.splitByGroupHashSql("component", SplitFracs) +
+          " AS split FROM comp ORDER BY id"),
       // survivors = every sub row except non-minimum component members
       "q_dedup_canonical" ->
         (componentClosureCtes +
@@ -1890,6 +1924,7 @@ object SparkEntry {
       "q_snap_edges" -> g("q_snap_edges", "region_id"),
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
       "q_ngram_lm" -> g("q_ngram_lm", "doc_id"),
+      "q_tfidf" -> g("q_tfidf", "doc_id, pos"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
       "q_mosaic" -> g("q_mosaic", "z, x, y"),
       "q_phash_dct" -> g("q_phash_dct", "image_id"),

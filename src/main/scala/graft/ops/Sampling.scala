@@ -259,6 +259,46 @@ object Sampling {
       .drop(rk)
   }
 
+  /** Leakage-free train/val/test SPLIT assignment: the split is decided by
+    * the md5 draw of the GROUP key — a near-dup component id, a URL domain,
+    * an author — never the row key, so every member of a group lands in the
+    * SAME split and near-duplicates cannot straddle train and eval (the
+    * contamination mode exact-dedup alone does not close; the standard
+    * web-corpus discipline, e.g. C4's URL-level splits).
+    *
+    * `splits` are (name, fraction) in PRIORITY ORDER; fractions must sum to
+    * ≤ 1 (a shortfall leaves rows with draws above the last cumulative
+    * threshold on the LAST split — pass fractions summing to 1 for a total
+    * assignment). Decision = first cumulative [[thresholdHex]] the draw
+    * falls under: a pure map-side string compare, no shuffle, no RNG,
+    * byte-stable across engines (the [[sampleByHash]] discipline).
+    * Adds `split` (STRING). */
+  def splitByGroupHash(df: DataFrame, groupCol: String,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splitByGroupHash: at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"splitByGroupHash: fractions sum to ${splits.map(_._2).sum} > 1")
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val draw = hashDraw(col(groupCol))
+    val assign = splits.zip(cum).init.foldRight(
+      lit(splits.last._1): Column) { case (((name, _), c), acc) =>
+      when(draw < lit(thresholdHex(c)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** The splitByGroupHash CASE mirror for the DuckDB oracle, generated from
+    * the SAME cumulative [[thresholdHex]] literals. */
+  def splitByGroupHashSql(groupExpr: String,
+                          splits: Seq[(String, Double)]): String = {
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val draw = s"SUBSTRING(MD5(CAST($groupExpr AS VARCHAR)), 1, 8)"
+    val whens = splits.zip(cum).init.map { case ((name, _), c) =>
+      s"WHEN $draw < '${thresholdHex(c)}' THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${splits.last._1}' END"
+  }
+
   /** GEO-diversity cap: keep at most `quota` images per zoom-`zoom` map tile
     * — the "don't let one city dominate the training set" operator (cap
     * over-photographed geographies before mixing; the spatial twin of the

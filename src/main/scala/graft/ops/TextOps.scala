@@ -324,4 +324,54 @@ object TextOps {
         when(col("n_bigrams") > 0,
           col("lp_fp_sum").cast("double") / lit(1e6) / col("n_bigrams").cast("double")))
   }
+
+  /** Hashed TF-IDF document vectors (feature hashing, Weinberger et al.
+    * 2009 + the classic smooth-idf formula — public techniques): tokens
+    * hash into 256 buckets (first two md5 hex chars, the
+    * [[graft.ops.Sampling.gramBucket]] rule, so both engines bucket
+    * bit-identically), tf counts per (doc, bucket), smooth idf
+    * `log((N+1)/(df+1)) + 1`, and an L2-normalized SPARSE vector per doc —
+    * the model-free text-embedding step that feeds the ANN/SemDeDup
+    * operators when no learned encoder is available.
+    *
+    * Determinism: the per-doc fold runs over the bucket-SORTED entry array
+    * (array_sort, then a sequential `aggregate` for the squared norm), so
+    * the norm — and hence every weight — is bit-identical across
+    * partitionings, executor counts and the golden's sequential loop.
+    *
+    * 100 TB shape: two groupBy counts (doc×bucket tf, bucket df — the df
+    * table is ≤ 256 rows) + the 1-row stats-attach cross join for N; the
+    * per-doc assembly groups on the high-cardinality doc key. Document
+    * bodies are projected away before any shuffle.
+    *
+    * Output: idCol, nnz (LONG), norm (DOUBLE, un-normalized L2), buckets
+    * (ARRAY<STRING>, sorted), weights (ARRAY<DOUBLE>, L2-normalized).
+    * Token-less docs survive with nnz 0, norm 0.0, empty arrays. */
+  def hashedTfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(col(textCol), "[ \\n\\t]"), w => length(w) > 0)).as("tok"))
+      .select(col(idCol), graft.ops.Sampling.gramBucket(col("tok")).as("bucket"))
+    val tf = toks.groupBy(idCol, "bucket").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("bucket").agg(count(lit(1)).as("dfq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(dfq, Seq("bucket")).crossJoin(nDocs)
+      .withColumn("w", col("tf").cast("double") *
+        (log((col("n_docs") + lit(1L)).cast("double") /
+          (col("dfq") + lit(1L)).cast("double")) + lit(1.0)))
+    val assembled = weighted.groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("bucket"), col("w")))).as("ent"))
+      .withColumn("norm", sqrt(aggregate(col("ent"), lit(0.0),
+        (acc, x) => acc + x.getField("w") * x.getField("w"))))
+      .select(col(idCol),
+        size(col("ent")).cast("long").as("nnz"),
+        col("norm"),
+        transform(col("ent"), x => x.getField("bucket")).as("buckets"),
+        transform(col("ent"), x => x.getField("w") / col("norm")).as("weights"))
+    df.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nnz"), lit(0L)).as("nnz"),
+        coalesce(col("norm"), lit(0.0)).as("norm"),
+        coalesce(col("buckets"), array().cast("array<string>")).as("buckets"),
+        coalesce(col("weights"), array().cast("array<double>")).as("weights"))
+  }
 }

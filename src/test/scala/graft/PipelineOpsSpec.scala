@@ -129,6 +129,56 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perBucket.values.forall(_ <= 2))
   }
 
+  test("hashedTfIdf == Golden.tfidfG (cross-engine bit parity) + hand checks") {
+    import spark.implicits._
+    val corpus: Array[(Long, String)] = Array(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, ""), //                        token-less doc must survive
+      (4L, "apple apple apple"),
+      (5L, "unique words only here"))
+    val df = corpus.toSeq.toDF("doc_id", "text")
+    val engine = TextOps.hashedTfIdf(df, "doc_id", "text")
+      .select(col("doc_id"), col("nnz"), col("norm"),
+        posexplode_outer(arrays_zip(col("buckets"), col("weights"))))
+      .select(col("doc_id"), col("nnz"), col("norm"), col("pos"),
+        col("col.buckets").as("bucket"), col("col.weights").as("weight"))
+      .orderBy("doc_id", "pos")
+      .as[(Long, Long, Double, Option[Int], Option[String], Option[Double])]
+      .collect().toSeq
+    val golden = graft.oracle.Golden.tfidfG(corpus)
+    assert(engine == golden)
+    // hand: doc 3 survives empty; doc 4 has one bucket; weights L2-normalize
+    assert(engine.filter(_._1 == 3L) == Seq((3L, 0L, 0.0, None, None, None)))
+    assert(engine.count(_._1 == 4L) == 1)
+    val d1norm = engine.filter(_._1 == 1L).flatMap(_._6).map(w => w * w).sum
+    assert(math.abs(d1norm - 1.0) < 1e-12, s"L2 norm of weights must be 1, got $d1norm")
+  }
+
+  test("splitByGroupHash: group-atomic assignment, full coverage, SQL mirror") {
+    import spark.implicits._
+    val fracs = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val rows = (1L to 400L).map(i => (i, i % 40)).toDF("id", "grp")
+    val got = Sampling.splitByGroupHash(rows, "grp", fracs)
+      .select("grp", "split").as[(Long, String)].collect().toSeq
+    // every member of a group lands in the SAME split
+    assert(got.groupBy(_._1).forall { case (_, xs) => xs.map(_._2).distinct.size == 1 })
+    // total assignment, only declared names
+    assert(got.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    assert(got.size == 400)
+    // the big split dominates on 40 groups
+    val byName = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byName.getOrElse("train", 0) > byName.getOrElse("val", 0))
+    // SQL mirror carries the SAME cumulative thresholds
+    val sql = Sampling.splitByGroupHashSql("grp", fracs)
+    assert(sql.contains(Sampling.thresholdHex(0.8)) &&
+      sql.contains(Sampling.thresholdHex(0.9)) && sql.endsWith("ELSE 'test' END"))
+    // degenerate one-split case assigns everything to it
+    val one = Sampling.splitByGroupHash(rows, "grp", Seq(("all", 1.0)))
+      .select("split").distinct().as[String].collect().toSeq
+    assert(one == Seq("all"))
+  }
+
   test("aspectBucketSql mirrors the when-chain (spot formula check)") {
     val sql = Media.aspectBucketSql("w", "h")
     assert(sql.contains("ABS(CAST(w AS BIGINT) * 3 - CAST(h AS BIGINT) * 4) / CAST(3 AS DOUBLE)"))
