@@ -77,6 +77,11 @@ object SparkEntry {
     * the engine query and the golden recomputation. */
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "window", "customer")
 
+  /** Entropy keep-threshold for q_image_quality — ONE definition for the
+    * engine query and the golden recomputation. 8×8 payloads (64 px over
+    * 16 bins) straddle this under sampling noise; 16×16 sit above. */
+  val ImageQualityMinEntropy: Double = 3.9
+
   /** Per-language keep rates for the q_sample_hash gate; the oracle CASE
     * expression is generated from this SAME map via Sampling.thresholdHex,
     * so the threshold literals cannot drift between engines. */
@@ -518,6 +523,31 @@ object SparkEntry {
       TextOps.boilerplateRemove(docs, "doc_id", "text2", minDocs = 3)
         .orderBy("doc_id")
     }),
+
+    // --- text: C4-style HTML -> text extraction. The corpus is plain text,
+    //     so BOTH engines wrap it in the same deterministic markup first
+    //     (tags + the five predefined entities, incl. the &amp;amp;
+    //     single-pass-decode probe); the strip chain is the operator under
+    //     test. Pure-SQL oracle (dialect-safe regex subset). ---
+    "q_html_strip" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents").withColumn("text2",
+        concat(lit("<html><body><p>"), replace(col("text"), lit(" a "), lit("</p> <p>")),
+          lit("</p> <a href=\"#x\">"), col("source"),
+          lit("</a> &amp;amp; B&#39;s &lt;"), col("lang"), lit("&gt;</body></html>")))
+      TextOps.stripHtml(docs, "text2")
+        .select("doc_id", "n_tags", "text_plain")
+        .orderBy("doc_id")
+    }),
+
+    // --- multimodal: decoded-pixel image quality (entropy/contrast) + keep
+    //     decision — the image twin of q_text_quality. Golden: independent
+    //     pixel regeneration + the shared quality kernel (float policy). ---
+    "q_image_quality" -> ((s, dir) =>
+      Media.imageQuality(Media.withPayload(images(s, dir).select("image_id")),
+          ImageQualityMinEntropy)
+        .select("image_id", "n_px", "lum_sum", "lum_sq", "entropy", "contrast", "keep")
+        .orderBy("image_id")),
 
     // --- text: hashed TF-IDF document vectors (feature hashing, 256 md5
     //     buckets, smooth idf, L2 norm over the bucket-sorted fold) —
@@ -1678,6 +1708,17 @@ object SparkEntry {
           "SELECT n.doc_id, n.n_lines, COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept, " +
           "COALESCE(k.text_kept, '') AS text_kept " +
           "FROM n LEFT JOIN k ON n.doc_id = k.doc_id ORDER BY n.doc_id"),
+      // entity REPLACE nesting applies lt/gt/quot/#39 first and amp LAST —
+      // the same single-pass order as the engine's foldLeft chain
+      "q_html_strip" ->
+        ("WITH t AS (SELECT doc_id, '<html><body><p>' || REPLACE(text, ' a ', '</p> <p>') || " +
+          "'</p> <a href=\"#x\">' || source || '</a> &amp;amp; B&#39;s &lt;' || lang || '&gt;</body></html>' AS text2 FROM documents), " +
+          s"u AS (SELECT doc_id, CAST(LEN(regexp_extract_all(text2, '${TextOps.HtmlTagPattern}')) AS BIGINT) AS n_tags, " +
+          s"regexp_replace(text2, '${TextOps.HtmlTagPattern}', ' ', 'g') AS s FROM t), " +
+          "d AS (SELECT doc_id, n_tags, " +
+          "REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(s, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&') AS s2 FROM u) " +
+          "SELECT doc_id, n_tags, TRIM(regexp_replace(s2, '[ \\n\\t]+', ' ', 'g')) AS text_plain " +
+          "FROM d ORDER BY doc_id"),
       "q_text_tokens" ->
         ("SELECT doc_id, " +
           "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_ws_tokens, " +
@@ -1925,6 +1966,7 @@ object SparkEntry {
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
       "q_ngram_lm" -> g("q_ngram_lm", "doc_id"),
       "q_tfidf" -> g("q_tfidf", "doc_id, pos"),
+      "q_image_quality" -> g("q_image_quality", "image_id"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),
       "q_mosaic" -> g("q_mosaic", "z, x, y"),
       "q_phash_dct" -> g("q_phash_dct", "image_id"),

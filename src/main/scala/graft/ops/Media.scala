@@ -327,6 +327,62 @@ object Media {
       Seq("n_images", "sum_r", "sum_g", "sum_b"))
   }
 
+  /** Decoded-pixel quality kernel (the DataComp/LAION-style low-information
+    * image filter's measurement half): integer Rec.601 luminance
+    * (r·299+g·587+b·114)/1000, a 16-bin luminance histogram, Shannon
+    * entropy over the bins (bits), and RMS contrast. Histogram/sum state is
+    * exact integers; the two float outputs are computed in a FIXED bin /
+    * formula order, so they are bit-deterministic and mirrored by the
+    * golden per the float-kernel policy.
+    * @return (n_px, lum_sum, lum_sq, entropy_bits, rms_contrast) */
+  def qualityOfPixels(px: Array[Byte]): (Long, Long, Long, Double, Double) = {
+    val n = px.length / 3
+    require(n > 0, "qualityOfPixels: empty pixel payload")
+    val hist = new Array[Long](16)
+    var lumSum = 0L; var lumSq = 0L
+    var p = 0
+    while (p < n) {
+      val r = px(3 * p) & 0xff; val g = px(3 * p + 1) & 0xff
+      val b = px(3 * p + 2) & 0xff
+      val lum = (r * 299 + g * 587 + b * 114) / 1000
+      hist(lum >> 4) += 1
+      lumSum += lum; lumSq += lum.toLong * lum
+      p += 1
+    }
+    var ent = 0.0
+    var i = 0
+    while (i < 16) {
+      if (hist(i) > 0) {
+        val pi = hist(i).toDouble / n.toDouble
+        ent -= pi * (StrictMath.log(pi) / StrictMath.log(2.0))
+      }
+      i += 1
+    }
+    val mean = lumSum.toDouble / n.toDouble
+    val contrast = Math.sqrt(lumSq.toDouble / n.toDouble - mean * mean)
+    (n.toLong, lumSum, lumSq, ent, contrast)
+  }
+
+  /** Image quality scoring + keep decision over the decoded payload —
+    * map-side only (the payload never rides a shuffle), one decode per row,
+    * the image twin of the text quality operators. `keep` = entropy >=
+    * minEntropy (flat/synthetic images score near 0; natural noise near
+    * log2(16) = 4). */
+  def imageQuality(withBytes: DataFrame, minEntropy: Double): DataFrame = {
+    val q = udf((bytes: Array[Byte]) => {
+      val (_, _, _, px) = decode(bytes)
+      qualityOfPixels(px)
+    })
+    withBytes.withColumn("q", q(col("bytes")))
+      .withColumn("n_px", col("q._1"))
+      .withColumn("lum_sum", col("q._2"))
+      .withColumn("lum_sq", col("q._3"))
+      .withColumn("entropy", col("q._4"))
+      .withColumn("contrast", col("q._5"))
+      .withColumn("keep", col("entropy") >= lit(minEntropy))
+      .drop("q")
+  }
+
   /** Training-batch aspect-ratio buckets (the SDXL / NovelAI bucketing
     * scheme — public technique: group images into a fixed set of aspect
     * ratios so batches share a tensor shape, instead of center-cropping

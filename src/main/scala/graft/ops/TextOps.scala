@@ -325,6 +325,30 @@ object TextOps {
           col("lp_fp_sum").cast("double") / lit(1e6) / col("n_bigrams").cast("double")))
   }
 
+  /** HTML tag pattern for [[stripHtml]] — `<` then anything-but-`>` then
+    * `>`: greedy char-class only (no lazy quantifiers, no lookaround), the
+    * dialect-safe rule, so the DuckDB oracle recomputes bit-exactly. */
+  val HtmlTagPattern = "<[^>]*>"
+
+  /** C4/CCNet-style HTML → text extraction: strip tags, decode the five
+    * predefined XML/HTML entities, collapse whitespace runs, trim.
+    * Entity order matters and is part of the contract: named entities
+    * BEFORE `&amp;` (so `&amp;lt;` decodes to the literal text `&lt;`, not
+    * a second round of markup — the standard single-pass rule). Pure
+    * codegen regexp/replace chain, map-side, no UDF — the 100 TB shape for
+    * per-document extraction. Adds n_tags (LONG) and text_plain. */
+  def stripHtml(df: DataFrame, textCol: String): DataFrame = {
+    val unTagged = regexp_replace(col(textCol), HtmlTagPattern, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(unTagged) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    df.withColumn("n_tags",
+        size(regexp_extract_all(col(textCol), lit(HtmlTagPattern), lit(0))).cast("long"))
+      .withColumn("text_plain",
+        trim(regexp_replace(decoded, "[ \\n\\t]+", " ")))
+  }
+
   /** Hashed TF-IDF document vectors (feature hashing, Weinberger et al.
     * 2009 + the classic smooth-idf formula — public techniques): tokens
     * hash into 256 buckets (first two md5 hex chars, the

@@ -179,6 +179,56 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one == Seq("all"))
   }
 
+  test("stripHtml: tags out, entities single-pass decoded, whitespace collapsed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<p>Hello  <b>world</b></p>"),
+      (2L, "a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s &amp; done"),
+      (3L, "plain text, no markup"),
+      (4L, "<a href=\"#x\">link</a>\n\t<br/>end")).toDF("doc_id", "text")
+    val got = TextOps.stripHtml(docs, "text")
+      .select("doc_id", "n_tags", "text_plain")
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, "Hello world"),
+      // &amp;lt; decodes ONCE to the literal text "&lt;" (single-pass);
+      // &lt;tag&gt; decodes to literal <tag> TEXT (tags were already
+      // stripped before entity decode, so it is not markup)
+      (2L, 0L, "a &lt; b <tag> \"q\" 's & done"),
+      (3L, 0L, "plain text, no markup"),
+      (4L, 3L, "link end")))
+  }
+
+  test("qualityOfPixels: flat image scores zero entropy/contrast; kernel hand checks") {
+    // constant mid-gray: every pixel lum = 128 -> one occupied bin
+    val flat = Array.fill(4 * 4 * 3)(128.toByte)
+    val (n, ls, lq, ent, con) = Media.qualityOfPixels(flat)
+    assert(n == 16L && ls == 16L * 128 && lq == 16L * 128 * 128)
+    assert(ent == 0.0 && con == 0.0)
+    // half black / half white: two equi-probable bins -> entropy exactly 1
+    // bit; lum 0 and 255 -> contrast 127.5
+    val twoTone = Array.tabulate(8 * 3)(i => if (i < 4 * 3) 0.toByte else 255.toByte)
+    val (_, _, _, e2, c2) = Media.qualityOfPixels(twoTone)
+    assert(math.abs(e2 - 1.0) < 1e-12)
+    assert(math.abs(c2 - 127.5) < 1e-9)
+  }
+
+  test("imageQuality plumbing == shared kernel over the decoded payload") {
+    import spark.implicits._
+    val ids = Seq(5L, 7L, 16L, 23L) // mix of 8x8/16x16 and png/jpeg
+    val df = Media.withPayload(ids.toDF("image_id"))
+    val got = Media.imageQuality(df, minEntropy = 3.9)
+      .select("image_id", "n_px", "lum_sum", "lum_sq", "entropy", "contrast", "keep")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    val want = ids.sorted.map { id =>
+      val (_, _, _, px) = Media.decode(Media.encode(id))
+      val (n, ls, lq, e, c) = Media.qualityOfPixels(px)
+      (id, n, ls, lq, e, c, e >= 3.9)
+    }
+    assert(got == want)
+  }
+
   test("aspectBucketSql mirrors the when-chain (spot formula check)") {
     val sql = Media.aspectBucketSql("w", "h")
     assert(sql.contains("ABS(CAST(w AS BIGINT) * 3 - CAST(h AS BIGINT) * 4) / CAST(3 AS DOUBLE)"))
