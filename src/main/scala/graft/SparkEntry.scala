@@ -549,6 +549,39 @@ object SparkEntry {
         .select("image_id", "n_px", "lum_sum", "lum_sq", "entropy", "contrast", "keep")
         .orderBy("image_id")),
 
+    // --- FLAGSHIP text-curation composition: HTML strip -> cross-doc
+    //     boilerplate strike -> min-content quality gate -> prefix-canonical
+    //     dedup -> leakage-safe split by source -> per-(split, lang) mix
+    //     stats, chained from the individually-gated stages with NO
+    //     intermediate materialization (one lazy plan). Pure-SQL oracle
+    //     reassembling the same stage texts. ---
+    "q_curation" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents")
+      // wrap in markup WITHOUT consuming the " a " line-break token, so the
+      // downstream line derivation still has lines to work on
+      val withHtml = docs.withColumn("text2",
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p> <a href=\"#x\">"), col("source"),
+          lit("</a> &amp; <br/>fin"), lit("</body></html>")))
+      val stripped = TextOps.stripHtml(withHtml, "text2")
+        .withColumn("text3", replace(col("text_plain"), lit(" a "), lit("\n")))
+      val boiler = TextOps.boilerplateRemove(stripped, "doc_id", "text3", minDocs = 3)
+      val kept = boiler
+        .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+        .withColumn("n_tokens",
+          size(filter(split(col("text_kept"), "[ \\n\\t]"), w => length(w) > 0))
+            .cast("long"))
+        .where(col("n_kept") >= 2 && col("n_tokens") >= 10)
+      val canon = Dedup.keepCanonical(
+        kept.withColumn("prefix", substring(col("text_kept"), 1, 20)),
+        "doc_id", "prefix")
+      graft.ops.Sampling.splitByGroupHash(canon, "source", SplitFracs)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     // --- text: hashed TF-IDF document vectors (feature hashing, 256 md5
     //     buckets, smooth idf, L2 norm over the bucket-sorted fold) —
     //     flattened to (doc, pos, bucket, weight) rows for the compare;
@@ -1719,6 +1752,38 @@ object SparkEntry {
           "REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(s, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&') AS s2 FROM u) " +
           "SELECT doc_id, n_tags, TRIM(regexp_replace(s2, '[ \\n\\t]+', ' ', 'g')) AS text_plain " +
           "FROM d ORDER BY doc_id"),
+      // the curation composition: each CTE is the textual mirror of the
+      // corresponding gated stage (html strip / boilerplate / token gate /
+      // prefix-canonical / split), reassembled into ONE independent query
+      "q_curation" ->
+        ("WITH t AS (SELECT doc_id, lang, source, " +
+          "'<html><body><p>' || text || '</p> <a href=\"#x\">' || source || '</a> &amp; <br/>fin</body></html>' AS text2 FROM documents), " +
+          s"u AS (SELECT doc_id, lang, source, regexp_replace(text2, '${TextOps.HtmlTagPattern}', ' ', 'g') AS s FROM t), " +
+          "d AS (SELECT doc_id, lang, source, " +
+          "REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(s, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&') AS s2 FROM u), " +
+          "p AS (SELECT doc_id, lang, source, " +
+          "REPLACE(TRIM(regexp_replace(s2, '[ \\n\\t]+', ' ', 'g')), ' a ', chr(10)) AS text3 FROM d), " +
+          "sp AS (SELECT doc_id, STRING_SPLIT(text3, chr(10)) AS ls FROM p), " +
+          "l AS (SELECT doc_id, i AS pos, ls[i] AS line FROM sp, " +
+          "LATERAL UNNEST(range(1, LEN(ls) + 1)) AS u2(i) WHERE LENGTH(ls[i]) > 0), " +
+          "b AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3), " +
+          "k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+          "STRING_AGG(line, chr(10) ORDER BY pos) AS text_kept " +
+          "FROM l WHERE line NOT IN (SELECT line FROM b) GROUP BY doc_id), " +
+          "j AS (SELECT p.doc_id, p.lang, p.source, COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept, " +
+          "COALESCE(k.text_kept, '') AS text_kept FROM p LEFT JOIN k ON p.doc_id = k.doc_id), " +
+          "w AS (SELECT *, CAST(LEN(LIST_FILTER(regexp_split_to_array(text_kept, '[ \\n\\t]'), " +
+          "x -> LENGTH(x) > 0)) AS BIGINT) AS n_tokens FROM j), " +
+          "kept AS (SELECT * FROM w WHERE n_kept >= 2 AND n_tokens >= 10), " +
+          "canon AS (SELECT kept.* FROM kept JOIN " +
+          "(SELECT MD5(SUBSTRING(text_kept, 1, 20)) AS kk, MIN(doc_id) AS m FROM kept GROUP BY 1) g " +
+          "ON MD5(SUBSTRING(kept.text_kept, 1, 20)) = g.kk AND kept.doc_id = g.m), " +
+          "z AS (SELECT *, " +
+          graft.ops.Sampling.splitByGroupHashSql("source", SplitFracs) +
+          " AS split FROM canon) " +
+          "SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
+          "FROM z GROUP BY split, lang ORDER BY split, lang"),
       "q_text_tokens" ->
         ("SELECT doc_id, " +
           "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_ws_tokens, " +
