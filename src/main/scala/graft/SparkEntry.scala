@@ -549,6 +549,42 @@ object SparkEntry {
         .select("image_id", "n_px", "lum_sum", "lum_sq", "entropy", "contrast", "keep")
         .orderBy("image_id")),
 
+    // --- text: INCREMENTAL LM maintenance — the even-id train slice split
+    //     into two ingest batches, per-batch models merged by keyed sum
+    //     (counts are a monoid), scoring must reproduce the SAME golden as
+    //     q_ngram_lm bit-for-bit (the pyramid-merge discipline for models).
+    "q_ngram_merge" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents")
+      val merged = TextOps.mergeNgramModels(Seq(
+        TextOps.ngramLmModel(docs.where(col("doc_id") % 4 === 0), "text"),
+        TextOps.ngramLmModel(docs.where(col("doc_id") % 4 === 2), "text")))
+      TextOps.scoreWithNgramModel(docs, "doc_id", "text", merged)
+        .orderBy("doc_id")
+    }),
+
+    // --- multimodal: quality-aware CANONICAL selection inside image
+    //     near-dup clusters (the LAION keep-best rule): component labeling
+    //     over the phash+chain fixture, survivor = highest decoded-pixel
+    //     entropy (id tiebreak). Oracle: recursive-closure CTEs joined to
+    //     the q_image_quality golden (shared kernel per float policy). ---
+    "q_image_canonical" -> ((s, dir) => {
+      val comp = graft.ops.Components.connectedComponents(
+        componentPairGraph(s, dir)._2)
+      val quality = Media.imageQuality(
+          Media.withPayload(comp.select(col("id").as("image_id"))),
+          ImageQualityMinEntropy)
+        .select(col("image_id"), col("entropy"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("entropy").desc, col("id").asc)
+      comp.join(quality, col("id") === col("image_id"))
+        .select(col("id"), col("component"), col("entropy"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("component"), col("id").as("canonical_id"), col("entropy"))
+        .orderBy("component")
+    }),
+
     // --- FLAGSHIP text-curation composition: HTML strip -> cross-doc
     //     boilerplate strike -> min-content quality gate -> prefix-canonical
     //     dedup -> leakage-safe split by source -> per-(split, lang) mix
@@ -1659,6 +1695,16 @@ object SparkEntry {
       "q_dedup_components" ->
         (componentClosureCtes +
           " SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"),
+      // canonical-by-quality: closure CTEs + the q_image_quality golden
+      // (entropies are the shared kernel's, identical on both sides)
+      "q_image_canonical" ->
+        (componentClosureCtes +
+          ", comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
+          s"q AS (SELECT image_id, entropy FROM read_parquet('${graft.oracle.Golden.Dir}/q_image_quality.parquet/*.parquet')), " +
+          "r2 AS (SELECT comp.component, comp.id, q.entropy, " +
+          "ROW_NUMBER() OVER (PARTITION BY comp.component ORDER BY q.entropy DESC, comp.id ASC) AS rk " +
+          "FROM comp JOIN q ON comp.id = q.image_id) " +
+          "SELECT component, id AS canonical_id, entropy FROM r2 WHERE rk = 1 ORDER BY component"),
       // split CASE generated from the SAME SplitFracs cumulative thresholds
       // as the engine's when-chain (Sampling.splitByGroupHashSql)
       "q_split_leakfree" ->
@@ -2030,6 +2076,8 @@ object SparkEntry {
       "q_snap_edges" -> g("q_snap_edges", "region_id"),
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
       "q_ngram_lm" -> g("q_ngram_lm", "doc_id"),
+      // merged-model scoring must reproduce the SAME golden as q_ngram_lm
+      "q_ngram_merge" -> g("q_ngram_lm", "doc_id"),
       "q_tfidf" -> g("q_tfidf", "doc_id, pos"),
       "q_image_quality" -> g("q_image_quality", "image_id"),
       "q_media_psnr" -> g("q_media_psnr", "image_id"),

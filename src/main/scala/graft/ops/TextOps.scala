@@ -285,15 +285,53 @@ object TextOps {
     * key. No windows, no driver state.
     *
     * Output: idCol, n_bigrams, n_backoff, lp_fp_sum (micro-nats, LONG),
-    * avg_logp (= lp_fp_sum/1e6/n_bigrams; null when n_bigrams = 0). */
-  def ngramLmScores(df: DataFrame, train: DataFrame, idCol: String,
-                    textCol: String): DataFrame = {
+    * avg_logp (= lp_fp_sum/1e6/n_bigrams; null when n_bigrams = 0).
+    * The one-shot form is [[ngramLmScores]]; training/scoring split across
+    * [[ngramLmModel]] / [[scoreWithNgramModel]] with [[mergeNgramModels]]
+    * as the incremental-maintenance path.
+    *
+    * A trained bigram LM as three count frames: unigrams (w, c), bigrams
+    * (g, c12), and the 1-row token total (t_cnt). Counts are a commutative
+    * MONOID, so per-ingest-batch models merge by keyed sum
+    * ([[mergeNgramModels]]) without re-reading earlier batches — the same
+    * incremental-maintenance shape as the tile pyramid and the cell store
+    * stats. */
+  final case class NgramModel(uni: DataFrame, bi: DataFrame, total: DataFrame)
+
+  /** Train the bigram model on a corpus slice (two groupBy counts + one
+    * keyless total — the only scans of the slice). */
+  def ngramLmModel(train: DataFrame, textCol: String): NgramModel = {
     val words = filter(split(col(textCol), "[ \\n\\t]"), w => length(w) > 0)
     val trainWords = train.select(explode(words).as("w"))
-    val uni = trainWords.groupBy("w").agg(count(lit(1)).as("c"))
-    val total = trainWords.agg(count(lit(1)).cast("double").as("t_total"))
-    val bi = train.select(explode(wordNgrams(col(textCol), 2)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c12"))
+    NgramModel(
+      trainWords.groupBy("w").agg(count(lit(1)).as("c")),
+      train.select(explode(wordNgrams(col(textCol), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c12")),
+      trainWords.agg(count(lit(1)).as("t_cnt")))
+  }
+
+  /** Merge per-batch models by keyed sum — the day-2 maintenance path for
+    * continuous ingest: new batch -> tiny batch model -> MERGE; earlier
+    * batches are never re-read. Exact: counting is a commutative monoid,
+    * so any batch split merges to the whole-corpus model bit-for-bit. */
+  def mergeNgramModels(models: Seq[NgramModel]): NgramModel = {
+    require(models.nonEmpty, "mergeNgramModels: empty model list")
+    NgramModel(
+      models.map(_.uni).reduce(_ unionByName _)
+        .groupBy("w").agg(sum("c").as("c")),
+      models.map(_.bi).reduce(_ unionByName _)
+        .groupBy("g").agg(sum("c12").as("c12")),
+      models.map(_.total).reduce(_ unionByName _)
+        .agg(sum("t_cnt").as("t_cnt")))
+  }
+
+  /** Score every document in `df` against a trained model (see
+    * [[ngramLmScores]] for the formula and determinism contract). */
+  def scoreWithNgramModel(df: DataFrame, idCol: String, textCol: String,
+                          model: NgramModel): DataFrame = {
+    val uni = model.uni
+    val bi = model.bi
+    val total = model.total.select(col("t_cnt").cast("double").as("t_total"))
     val docBi = df.select(col(idCol), posexplode(wordNgrams(col(textCol), 2))
       .as(Seq("pos", "g")))
       .withColumn("w1", substring_index(col("g"), " ", 1))
@@ -324,6 +362,10 @@ object TextOps {
         when(col("n_bigrams") > 0,
           col("lp_fp_sum").cast("double") / lit(1e6) / col("n_bigrams").cast("double")))
   }
+
+  def ngramLmScores(df: DataFrame, train: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    scoreWithNgramModel(df, idCol, textCol, ngramLmModel(train, textCol))
 
   /** HTML tag pattern for [[stripHtml]] — `<` then anything-but-`>` then
     * `>`: greedy char-class only (no lazy quantifiers, no lookaround), the

@@ -97,6 +97,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(engine.exists(_._3 > 0), "fixture must exercise the backoff path")
   }
 
+  test("mergeNgramModels: split-trained merge scores == whole-trained scores") {
+    import spark.implicits._
+    val corpus = (0L until 30L).map { i =>
+      (i, (0 to (i % 5).toInt).map(k => s"t${(i * 13 + k * 7) % 11}").mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val whole = TextOps.ngramLmScores(df, df.where(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    val merged = TextOps.mergeNgramModels(Seq(
+      TextOps.ngramLmModel(df.where(col("doc_id") % 4 === 0), "text"),
+      TextOps.ngramLmModel(df.where(col("doc_id") % 4 === 2), "text")))
+    val got = TextOps.scoreWithNgramModel(df, "doc_id", "text", merged)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == whole)
+    // loud empty-merge contract
+    intercept[IllegalArgumentException] {
+      TextOps.mergeNgramModels(Seq.empty)
+    }
+  }
+
   test("aspectBucket: hand vectors, exact-ratio hits, first-bucket tie-break") {
     import spark.implicits._
     val rows = Seq(

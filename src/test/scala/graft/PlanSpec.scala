@@ -134,7 +134,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CartesianProduct AND requires the keyless aggregate to be visible in
     // the plan, so swapping the broadcast side for real data trips the
     // guard.
-    val statsAttach = Set("q_hotspot", "q_bm25", "q_ngram_lm", "q_tfidf")
+    val statsAttach = Set("q_hotspot", "q_bm25", "q_ngram_lm", "q_ngram_merge", "q_tfidf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
       val allPairs = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
