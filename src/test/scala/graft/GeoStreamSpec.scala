@@ -260,4 +260,49 @@ class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         got.contains((1L, 5L, 5000L, "reg-0000", "enter")), got.toString)
     } finally q.stop()
   }
+
+  test("streaming ingest (foreachBatch append) == one-shot cell-store write") {
+    // the continuous-ingest face of the CellStore maintenance surface: a
+    // stream of geotagged arrivals lands in the bucket layout via
+    // foreachBatch -> CellStore.append; the final store must carry the SAME
+    // content multiset, merged stats and prune behavior as writing the
+    // whole corpus once
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.lineage.CellStore
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 120L).map { i =>
+      val c = Synth.hotCenters((i % 3).toInt)
+      ping(i, i, c._1 + (i % 7) * 0.001, c._2 - (i % 5) * 0.001)
+    }
+    def withCell(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cell16",
+        graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
+      .select("image_id", "lat", "lng", "cell16")
+    val base = java.nio.file.Files.createTempDirectory("cellstream").toString
+    val streamDir = s"$base/stream"; val batchDir = s"$base/batch"
+    // seed: the first slice arrives as the initial bulk load
+    CellStore.write(withCell(rows.take(40).toDF()), streamDir)
+    val ms = MemoryStream[GeoPing]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        CellStore.append(spark, withCell(b), streamDir)
+      }
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      ms.addData(rows.slice(40, 80): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(80): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    CellStore.write(withCell(rows.toDF()), batchDir)
+    // identical merged stats (bucket, min, max, rows) ...
+    val sStats = CellStore.stats(spark, streamDir).toSet
+    val bStats = CellStore.stats(spark, batchDir).toSet
+    assert(sStats == bStats && sStats.nonEmpty, s"$sStats != $bStats")
+    // ... and the identical content multiset
+    def content(d: String) = spark.read.parquet(s"$d/data")
+      .select("image_id", "cell16").as[(Long, Long)].collect().sorted.toSeq
+    assert(content(streamDir) == content(batchDir))
+  }
 }
