@@ -73,6 +73,21 @@ object SparkEntry {
     (sub, phPairs.unionByName(chain))
   }
 
+  /** Component labels for the shared fixture, computed at most once per
+    * (session, dir): three gates consume the same labeling
+    * (q_dedup_components / q_split_leakfree / q_image_canonical), and the
+    * iterative star-contraction is the expensive part — the memo removes
+    * the 2 redundant re-runs in a full Verify sweep. The returned frame is
+    * snapshot-backed (Components' Tracker survivor); if EngineCaches
+    * releases it, it recomputes through lineage, unchanged. */
+  private val componentsMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def componentsFor(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      componentsMemo.getOrElseUpdate((s, dir),
+        graft.ops.Components.connectedComponents(componentPairGraph(s, dir)._2))
+    }
+
   /** Fixed query terms for the q_bm25 gate — ONE definition, used by both
     * the engine query and the golden recomputation. */
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "window", "customer")
@@ -413,10 +428,8 @@ object SparkEntry {
     //     convergence, while the stride split keeps many components.
     //     Oracle: DuckDB WITH RECURSIVE transitive closure + MIN — an
     //     entirely different algorithm in a different engine. ---
-    "q_dedup_components" -> ((s, dir) => {
-      graft.ops.Components.connectedComponents(componentPairGraph(s, dir)._2)
-        .orderBy("id")
-    }),
+    "q_dedup_components" -> ((s, dir) =>
+      componentsFor(s, dir).orderBy("id")),
 
     // --- sampling: LEAKAGE-FREE train/val/test split — the split key is
     //     the near-dup COMPONENT id (same fixture/closure oracle as
@@ -424,9 +437,7 @@ object SparkEntry {
     //     and eval; 0.8/0.1/0.1 by cumulative md5 thresholds shared with
     //     the oracle CASE via Sampling.splitByGroupHashSql. ---
     "q_split_leakfree" -> ((s, dir) => {
-      val comp = graft.ops.Components.connectedComponents(
-        componentPairGraph(s, dir)._2)
-      graft.ops.Sampling.splitByGroupHash(comp, "component", SplitFracs)
+      graft.ops.Sampling.splitByGroupHash(componentsFor(s, dir), "component", SplitFracs)
         .orderBy("id")
     }),
 
@@ -569,8 +580,7 @@ object SparkEntry {
     //     entropy (id tiebreak). Oracle: recursive-closure CTEs joined to
     //     the q_image_quality golden (shared kernel per float policy). ---
     "q_image_canonical" -> ((s, dir) => {
-      val comp = graft.ops.Components.connectedComponents(
-        componentPairGraph(s, dir)._2)
+      val comp = componentsFor(s, dir)
       val quality = Media.imageQuality(
           Media.withPayload(comp.select(col("id").as("image_id"))),
           ImageQualityMinEntropy)
