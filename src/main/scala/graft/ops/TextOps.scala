@@ -296,18 +296,18 @@ object TextOps {
     * ([[mergeNgramModels]]) without re-reading earlier batches — the same
     * incremental-maintenance shape as the tile pyramid and the cell store
     * stats. */
-  final case class NgramModel(uni: DataFrame, bi: DataFrame, total: DataFrame)
+  final case class NgramModel(uni: DataFrame, bi: DataFrame)
 
-  /** Train the bigram model on a corpus slice (two groupBy counts + one
-    * keyless total — the only scans of the slice). */
+  /** Train the bigram model on a corpus slice (two groupBy counts — the
+    * only scans of the slice; the token total is sum(uni.c) by
+    * construction, so it needs no third scan). */
   def ngramLmModel(train: DataFrame, textCol: String): NgramModel = {
     val words = filter(split(col(textCol), "[ \\n\\t]"), w => length(w) > 0)
-    val trainWords = train.select(explode(words).as("w"))
     NgramModel(
-      trainWords.groupBy("w").agg(count(lit(1)).as("c")),
+      train.select(explode(words).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")),
       train.select(explode(wordNgrams(col(textCol), 2)).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("c12")),
-      trainWords.agg(count(lit(1)).as("t_cnt")))
+        .groupBy("g").agg(count(lit(1)).as("c12")))
   }
 
   /** Merge per-batch models by keyed sum — the day-2 maintenance path for
@@ -320,18 +320,29 @@ object TextOps {
       models.map(_.uni).reduce(_ unionByName _)
         .groupBy("w").agg(sum("c").as("c")),
       models.map(_.bi).reduce(_ unionByName _)
-        .groupBy("g").agg(sum("c12").as("c12")),
-      models.map(_.total).reduce(_ unionByName _)
-        .agg(sum("t_cnt").as("t_cnt")))
+        .groupBy("g").agg(sum("c12").as("c12")))
   }
 
   /** Score every document in `df` against a trained model (see
-    * [[ngramLmScores]] for the formula and determinism contract). */
+    * [[ngramLmScores]] for the formula and determinism contract).
+    *
+    * The model frames are MATERIALIZED (persisted snapshots, the Tracker /
+    * EngineCaches contract) before scoring: the lazy frames reference the
+    * train corpus, and the three scoring joins + the total attach would
+    * otherwise re-scan and re-aggregate it four times per execution — the
+    * difference between "train once, score many" and 4 corpus scans at
+    * 100 TB. Snapshots are vocabulary-sized, register as cache survivors,
+    * and recompute through lineage if EngineCaches releases them. */
   def scoreWithNgramModel(df: DataFrame, idCol: String, textCol: String,
                           model: NgramModel): DataFrame = {
-    val uni = model.uni
-    val bi = model.bi
-    val total = model.total.select(col("t_cnt").cast("double").as("t_total"))
+    val tracker = new Tracker
+    val (uni, _, uniRdd) = tracker.materialize(model.uni)
+    val (bi, _, biRdd) = tracker.materialize(model.bi)
+    Seq(uniRdd, biRdd).foreach(Tracker.registerSurvivor)
+    // token total = sum of unigram counts, read from the vocab-sized
+    // snapshot — a visible keyless aggregate (the stats-attach plan
+    // contract), zero extra corpus scans
+    val total = uni.agg(sum("c").cast("double").as("t_total"))
     val docBi = df.select(col(idCol), posexplode(wordNgrams(col(textCol), 2))
       .as(Seq("pos", "g")))
       .withColumn("w1", substring_index(col("g"), " ", 1))
