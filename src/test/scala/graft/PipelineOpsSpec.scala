@@ -252,6 +252,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("new ops are partition-invariant (repartition(7) changes nothing)") {
+    import spark.implicits._
+    val docs = (0L until 25L).map { i =>
+      (i, (0 to (i % 6).toInt).map(k => s"w${(i * 7 + k * 3) % 9}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val docs7 = docs.repartition(7)
+    def run(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = Seq(
+      TextOps.boilerplateRemove(d, "doc_id", "text", 3)
+        .orderBy("doc_id").collect().map(_.toString).toSeq,
+      TextOps.hashedTfIdf(d, "doc_id", "text")
+        .orderBy("doc_id").drop("buckets", "weights").collect().map(_.toString).toSeq,
+      TextOps.ngramLmScores(d, d.where(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toString).toSeq)
+    assert(run(docs) == run(docs7))
+  }
+
   test("aspectBucketSql mirrors the when-chain (spot formula check)") {
     val sql = Media.aspectBucketSql("w", "h")
     assert(sql.contains("ABS(CAST(w AS BIGINT) * 3 - CAST(h AS BIGINT) * 4) / CAST(3 AS DOUBLE)"))
