@@ -79,14 +79,28 @@ object SparkEntry {
     * iterative star-contraction is the expensive part — the memo removes
     * the 2 redundant re-runs in a full Verify sweep. The returned frame is
     * snapshot-backed (Components' Tracker survivor); if EngineCaches
-    * releases it, it recomputes through lineage, unchanged. */
+    * releases it, it recomputes through lineage, unchanged.
+    *
+    * WEAK on the session (the Tables.registered discipline) so stopped
+    * sessions don't pin their plan graphs for the JVM's lifetime, and the
+    * multi-job contraction runs OUTSIDE the map's monitor so concurrent
+    * callers on other keys (or cellStoreFor) never wait behind it; a rare
+    * duplicate compute under race resolves to one winner at insert. */
   private val componentsMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def componentsFor(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      componentsMemo.getOrElseUpdate((s, dir),
-        graft.ops.Components.connectedComponents(componentPairGraph(s, dir)._2))
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def componentsFor(s: SparkSession, dir: String): DataFrame = {
+    val perSession = componentsMemo.synchronized {
+      var m = componentsMemo.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; componentsMemo.put(s, m) }
+      m
     }
+    perSession.synchronized(perSession.get(dir)) match {
+      case Some(df) => df
+      case None =>
+        val df = graft.ops.Components.connectedComponents(componentPairGraph(s, dir)._2)
+        perSession.synchronized(perSession.getOrElseUpdate(dir, df))
+    }
+  }
 
   /** Fixed query terms for the q_bm25 gate — ONE definition, used by both
     * the engine query and the golden recomputation. */
@@ -616,8 +630,7 @@ object SparkEntry {
       val kept = boiler
         .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
         .withColumn("n_tokens",
-          size(filter(split(col("text_kept"), "[ \\n\\t]"), w => length(w) > 0))
-            .cast("long"))
+          size(TextOps.wsWords(col("text_kept"))).cast("long"))
         .where(col("n_kept") >= 2 && col("n_tokens") >= 10)
       val canon = Dedup.keepCanonical(
         kept.withColumn("prefix", substring(col("text_kept"), 1, 20)),

@@ -276,6 +276,10 @@ object Sampling {
   def splitByGroupHash(df: DataFrame, groupCol: String,
                        splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty, "splitByGroupHash: at least one split")
+    require(splits.forall(_._2 > 0.0),
+      s"splitByGroupHash: every fraction must be > 0 (a non-positive one " +
+        s"makes the cumulative thresholds non-monotonic and silently " +
+        s"starves that split), got ${splits.map(_._2).mkString(", ")}")
     require(splits.map(_._2).sum <= 1.0 + 1e-9,
       s"splitByGroupHash: fractions sum to ${splits.map(_._2).sum} > 1")
     val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail

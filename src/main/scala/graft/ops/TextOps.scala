@@ -18,6 +18,14 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(filter(split(text, " "), t => length(t) > 0))
 
+  /** The whitespace-CLASS word tokenizer shared by every gram/word-level
+    * operator (repetition, n-grams, LM, TF-IDF, curation): split on
+    * [ \\n\\t], drop empties. ONE definition — the DuckDB mirror is
+    * `regexp_split_to_array(text, '[ \\n\\t]')` + LIST_FILTER — so the
+    * bit-parity contract cannot drift between copies. */
+  def wsWords(text: Column): Column =
+    filter(split(text, "[ \\n\\t]"), w => length(w) > 0)
+
   /** Occurrences of a literal substring via length arithmetic (exact in both
     * engines: no regex). */
   def occurrences(text: Column, needle: String): Column =
@@ -184,7 +192,7 @@ object TextOps {
     * when size < n and would fabricate grams). */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"wordNgrams: n must be >= 1, got $n")
-    val words = filter(split(text, "[ \\n\\t]"), w => length(w) > 0)
+    val words = wsWords(text)
     when(size(words) >= n,
       transform(sequence(lit(1), size(words) - lit(n - 1)),
         i => array_join(slice(words, i, lit(n)), " ")))
@@ -199,7 +207,7 @@ object TextOps {
     // fuse each line's last word with the next line's first word —
     // systematically deflating the duplicate-word signal on multi-line docs
     // (review r03h). Empties from runs are filtered like everywhere else.
-    val words = filter(split(col(textCol), "[ \\n\\t]"), w => length(w) > 0)
+    val words = wsWords(col(textCol))
     val nLines = size(lines).cast("long")
     val nWords = size(words).cast("long")
     val dl = greatest(lit(1L), nLines).cast("double")
@@ -302,9 +310,8 @@ object TextOps {
     * only scans of the slice; the token total is sum(uni.c) by
     * construction, so it needs no third scan). */
   def ngramLmModel(train: DataFrame, textCol: String): NgramModel = {
-    val words = filter(split(col(textCol), "[ \\n\\t]"), w => length(w) > 0)
     NgramModel(
-      train.select(explode(words).as("w"))
+      train.select(explode(wsWords(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c")),
       train.select(explode(wordNgrams(col(textCol), 2)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("c12")))
@@ -336,7 +343,16 @@ object TextOps {
   def scoreWithNgramModel(df: DataFrame, idCol: String, textCol: String,
                           model: NgramModel): DataFrame = {
     val tracker = new Tracker
-    val (uni, _, uniRdd) = tracker.materialize(model.uni)
+    val (uni, nUni, uniRdd) = tracker.materialize(model.uni)
+    // loud empty-model contract: with zero unigrams t_total is NULL and
+    // every backoff logp would null out, coalescing into plausible-looking
+    // all-zero scores (and diverging from the golden's -Infinity)
+    if (nUni == 0) {
+      tracker.releaseAll()
+      throw new IllegalArgumentException(
+        "scoreWithNgramModel: the trained model is empty (no unigrams); " +
+          "train on a non-empty slice")
+    }
     val (bi, _, biRdd) = tracker.materialize(model.bi)
     Seq(uniRdd, biRdd).foreach(Tracker.registerSurvivor)
     // token total = sum of unigram counts, read from the vocab-sized
@@ -426,7 +442,7 @@ object TextOps {
     * Token-less docs survive with nnz 0, norm 0.0, empty arrays. */
   def hashedTfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
-      explode(filter(split(col(textCol), "[ \\n\\t]"), w => length(w) > 0)).as("tok"))
+      explode(wsWords(col(textCol))).as("tok"))
       .select(col(idCol), graft.ops.Sampling.gramBucket(col("tok")).as("bucket"))
     val tf = toks.groupBy(idCol, "bucket").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("bucket").agg(count(lit(1)).as("dfq"))

@@ -118,6 +118,12 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       TextOps.mergeNgramModels(Seq.empty)
     }
+    // loud empty-MODEL contract (an empty train slice would otherwise
+    // coalesce into plausible all-zero scores)
+    intercept[IllegalArgumentException] {
+      TextOps.scoreWithNgramModel(df, "doc_id", "text",
+        TextOps.ngramLmModel(df.where(lit(false)), "text"))
+    }
   }
 
   test("aspectBucket: hand vectors, exact-ratio hits, first-bucket tie-break") {
@@ -200,6 +206,12 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = Sampling.splitByGroupHash(rows, "grp", Seq(("all", 1.0)))
       .select("split").distinct().as[String].collect().toSeq
     assert(one == Seq("all"))
+    // non-positive fractions fail loudly (non-monotonic thresholds would
+    // silently starve a split)
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroupHash(rows, "grp",
+        Seq(("a", 0.5), ("b", -0.2), ("c", 0.7)))
+    }
   }
 
   test("stripHtml: tags out, entities single-pass decoded, whitespace collapsed") {
