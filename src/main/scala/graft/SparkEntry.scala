@@ -396,6 +396,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- dedup: edit-distance PRECISION refine over the minhash candidate
+    //     pairs (the verification stage after any probabilistic generator);
+    //     exact unit-cost Levenshtein, identical in Spark and DuckDB, so
+    //     the oracle recomputes the distances over the gated candidate set
+    //     (pair generation itself is independently gated by q_minhash_lsh).
+    "q_editdist_refine" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val docs = s.table("documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" mutato")).as("text"))
+      val corpus = docs.unionByName(mutated)
+      Dedup.editDistanceRefine(
+          Dedup.minhashLshPairs(corpus, "doc_id", "text"), corpus,
+          "doc_id", "text", maxDist = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- dedup: SimHash banded near-dup pairs ---
     // --- exact n-gram Jaccard near-dup (prefix-filtered AllPairs join —
     //     the EXACT counterpart of the approximate minhash gate; oracle =
@@ -910,6 +927,21 @@ object SparkEntry {
               (lit(256L) + (col("image_id") * 69621L) % 1792L).as("h")),
             "w", "h"),
           "image_id", "bucket", 200)
+        .orderBy("image_id")),
+
+    // --- multimodal: center-crop geometry per bucketed image (the
+    //     execution half of aspect bucketing: maximal exact-ratio crop
+    //     cw=bn*k, ch=bd*k, centered offsets — all integer div arithmetic
+    //     mirrored by // in the oracle CASE chains). ---
+    "q_crop_plan" -> ((s, dir) =>
+      Media.cropPlan(
+          Media.aspectBucket(
+            images(s, dir).select(col("image_id"),
+              (lit(256L) + (col("image_id") * 48271L) % 1792L).as("w"),
+              (lit(256L) + (col("image_id") * 69621L) % 1792L).as("h")),
+            "w", "h"),
+          "w", "h")
+        .select("image_id", "bucket", "cw", "ch", "ox", "oy")
         .orderBy("image_id")),
 
     // --- multimodal x tiling: image-overview mosaic pyramid (per-tile
@@ -1642,6 +1674,24 @@ object SparkEntry {
           "r AS (SELECT image_id, x, y, ROW_NUMBER() OVER (PARTITION BY x, y " +
           "ORDER BY SUBSTRING(MD5(CAST(image_id AS VARCHAR)), 1, 8), image_id) AS rk FROM base) " +
           "SELECT image_id, x, y FROM r WHERE rk <= 5 ORDER BY image_id"),
+      // refine distances recomputed by DuckDB's own levenshtein over the
+      // q_minhash_lsh-gated candidate pairs
+      "q_editdist_refine" ->
+        ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 1000000, text || ' mutato' FROM documents), " +
+          s"p AS (SELECT id_a, id_b FROM read_parquet('${graft.oracle.Golden.Dir}/q_minhash_lsh.parquet/*.parquet')), " +
+          "j AS (SELECT p.id_a, p.id_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist " +
+          "FROM p JOIN corpus a ON p.id_a = a.doc_id JOIN corpus b ON p.id_b = b.doc_id) " +
+          "SELECT id_a, id_b, edit_dist FROM j WHERE edit_dist <= 10 ORDER BY id_a, id_b"),
+      // crop geometry: the SAME integer div arithmetic generated from the
+      // one AspectBuckets list (Media.cropPlanSql, // = div)
+      "q_crop_plan" ->
+        (s"$W, base AS (SELECT image_id, " +
+          "CAST(256 + (image_id * 48271) % 1792 AS BIGINT) AS w, " +
+          "CAST(256 + (image_id * 69621) % 1792 AS BIGINT) AS h FROM images), " +
+          s"a AS (SELECT image_id, w, h, ${graft.ops.Media.aspectBucketSql("w", "h")} AS bucket FROM base) " +
+          s"SELECT image_id, bucket, ${graft.ops.Media.cropPlanSql("w", "h")} " +
+          "FROM a ORDER BY image_id"),
       // bucket CASE generated from the SAME AspectBuckets list as the
       // engine's when-chain (Media.aspectBucketSql); cap = the md5-rank
       // discipline above

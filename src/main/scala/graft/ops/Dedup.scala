@@ -120,6 +120,29 @@ object Dedup {
     * Guarantee: a pair is produced iff it collides in >= 1 band AND its exact
     * Jaccard passes — the standard LSH recall/precision trade documented for
     * the chosen (k=64, bands, rows) operating point. */
+  /** Edit-distance VERIFICATION of near-dup candidate pairs — the precision
+    * refine a production dedup runs after any probabilistic generator
+    * (MinHash/SimHash/phash): texts re-attach by id (the pair frame rides
+    * the shuffles keys-only, the minhash discipline) and a pair survives iff
+    * `levenshtein(a, b) <= maxDist`. The metric is the exact unit-cost
+    * Wagner-Fischer distance — Spark's `levenshtein` and DuckDB's
+    * `levenshtein` agree symbol-for-symbol, so the oracle recomputes it
+    * bit-exactly in SQL. Cost is O(|a|·|b|) per CANDIDATE pair, affordable
+    * precisely because the generator bounded the candidate set (never run
+    * this all-pairs). Output: id_a, id_b, edit_dist (LONG). */
+  def editDistanceRefine(pairs: DataFrame, df: DataFrame, idCol: String,
+                         textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"editDistanceRefine: maxDist must be >= 0, got $maxDist")
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("_ta"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("_tb"))
+    pairs.select("id_a", "id_b")
+      .join(ta, Seq("id_a"))
+      .join(tb, Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .where(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {

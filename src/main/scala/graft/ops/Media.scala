@@ -418,6 +418,44 @@ object Media {
     df.withColumn("bucket", assign)
   }
 
+  /** Center-crop geometry for a bucketed image (the execution half of
+    * aspect bucketing: every image in a bucket must land on EXACTLY the
+    * bucket ratio before resize). For bucket bn:bd the maximal exact-ratio
+    * centered crop is cw = bn·k, ch = bd·k with k = min(w div bn, h div bd),
+    * offsets the centered integer halves — all integer `div` arithmetic,
+    * mirrored in SQL by `//` (see [[cropPlanSql]]), so the plan is
+    * bit-deterministic. Join-free map-side when-chain over the `bucket`
+    * column [[aspectBucket]] added. Adds cw, ch, ox, oy (LONG). */
+  def cropPlan(df: DataFrame, wCol: String, hCol: String): DataFrame = {
+    def forBucket(f: (Int, Int) => org.apache.spark.sql.Column) =
+      AspectBuckets.foldRight(lit(null).cast("long")) {
+        case ((name, bn, bd), acc) =>
+          when(col("bucket") === lit(name), f(bn, bd)).otherwise(acc)
+      }
+    def k(bn: Int, bd: Int) =
+      least(expr(s"$wCol div $bn"), expr(s"$hCol div $bd"))
+    df.withColumn("cw", forBucket((bn, bd) => lit(bn.toLong) * k(bn, bd)))
+      .withColumn("ch", forBucket((bn, bd) => lit(bd.toLong) * k(bn, bd)))
+      .withColumn("ox", expr(s"($wCol - cw) div 2"))
+      .withColumn("oy", expr(s"($hCol - ch) div 2"))
+  }
+
+  /** The crop-plan SQL mirror: the SAME per-bucket integer arithmetic
+    * generated from [[AspectBuckets]], with `//` as the integer div.
+    * Returns the four SELECT expressions (cw, ch, ox, oy). */
+  def cropPlanSql(wExpr: String, hExpr: String): String = {
+    def k(bn: Int, bd: Int) = s"LEAST($wExpr // $bn, $hExpr // $bd)"
+    def cases(f: (Int, Int) => String) =
+      AspectBuckets.map { case (name, bn, bd) =>
+        s"WHEN '$name' THEN ${f(bn, bd)}"
+      }.mkString("CASE bucket ", " ", " END")
+    val cw = cases((bn, bd) => s"$bn * ${k(bn, bd)}")
+    val ch = cases((bn, bd) => s"$bd * ${k(bn, bd)}")
+    s"CAST($cw AS BIGINT) AS cw, CAST($ch AS BIGINT) AS ch, " +
+      s"CAST(($wExpr - $cw) // 2 AS BIGINT) AS ox, " +
+      s"CAST(($hExpr - $ch) // 2 AS BIGINT) AS oy"
+  }
+
   /** The aspect-bucket SQL mirror for the DuckDB oracle: the SAME scores and
     * first-match tie-break generated from the SAME [[AspectBuckets]] list,
     * so the literals cannot drift between engines. */

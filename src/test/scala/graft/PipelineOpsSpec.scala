@@ -264,6 +264,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("cropPlan: maximal exact-ratio centered crops (hand vectors)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1920L, 1080L), // 16:9 exact -> full frame, no offsets
+      (2L, 1000L, 1000L), // 1:1 exact
+      (3L, 1300L, 1000L)) // bucket 4:3: k=min(1300/4,1000/3)=325 -> 1300x975, oy=12
+      .toDF("image_id", "w", "h")
+    val got = Media.cropPlan(Media.aspectBucket(rows, "w", "h"), "w", "h")
+      .select("image_id", "bucket", "cw", "ch", "ox", "oy")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, "16:9", 1920L, 1080L, 0L, 0L)))
+    assert(got(2L) == ((2L, "1:1", 1000L, 1000L, 0L, 0L)))
+    assert(got(3L) == ((3L, "4:3", 1300L, 975L, 0L, 12L)))
+    // crops always fit and carry exactly the bucket ratio
+    val all = Media.cropPlan(Media.aspectBucket(
+        (1L to 200L).map(i => (i, 256L + i * 7 % 1792, 256L + i * 11 % 1792))
+          .toDF("image_id", "w", "h"), "w", "h"), "w", "h")
+      .select("bucket", "w", "h", "cw", "ch", "ox", "oy")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val ratio = Media.AspectBuckets.map(b => b._1 -> (b._2.toLong, b._3.toLong)).toMap
+    all.foreach { case (b, w, h, cw, ch, ox, oy) =>
+      val (bn, bd) = ratio(b)
+      assert(cw * bd == ch * bn, s"crop not on ratio $b: ${cw}x$ch")
+      assert(cw <= w && ch <= h && ox >= 0 && oy >= 0 &&
+        ox + cw <= w && oy + ch <= h)
+    }
+  }
+
+  test("editDistanceRefine keeps only within-distance candidate pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox!"), // dist 1 from 1
+      (3L, "a completely different document"),
+      (4L, "the quick brown cat")) // dist 3 from 1, 4 from 2
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L)).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.editDistanceRefine(pairs, docs, "doc_id", "text", 3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L), (1L, 4L, 3L)))
+  }
+
   test("new ops are partition-invariant (repartition(7) changes nothing)") {
     import spark.implicits._
     val docs = (0L until 25L).map { i =>
