@@ -1463,11 +1463,14 @@ object SparkEntry {
       val nParts = when(col("geom_type") === "Point", lit(1))
         .when(col("geom_type") === "LineString", lit(1))
         .when(col("geom_type") === "MultiPoint", size(col("points_lat")))
+        .when(col("geom_type") === "MultiLineString", size(col("paths_lat")))
         .when(col("geom_type") === "Polygon", size(col("rings_lat")))
         .when(col("geom_type") === "MultiPolygon", size(col("polys_lat")))
       val nPoints = when(col("geom_type") === "Point", lit(1))
         .when(col("geom_type") === "LineString", size(col("path_lat")))
         .when(col("geom_type") === "MultiPoint", size(col("points_lat")))
+        .when(col("geom_type") === "MultiLineString",
+          aggregate(col("paths_lat"), lit(0), (a, r) => a + size(r)))
         .when(col("geom_type") === "Polygon",
           aggregate(col("rings_lat"), lit(0), (a, r) => a + size(r)))
         .when(col("geom_type") === "MultiPolygon",

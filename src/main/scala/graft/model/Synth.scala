@@ -381,13 +381,19 @@ object Synth {
       s"""{"type":"Feature","id":"line-${p.pathId}","properties":{},"geometry":{"type":"LineString","coordinates":${p.lats.indices.map(i => pos(p.lats(i), p.lngs(i))).mkString("[", ",", "]")}}}"""
     }
     val mp = s"""{"type":"Feature","id":"mp-0","properties":{},"geometry":{"type":"MultiPoint","coordinates":${hotCenters.map { case (la, lo) => pos(la, lo) }.mkString("[", ",", "]")}}}"""
+    val mline = {
+      val ps = paths.slice(5, 7)
+      val coords = ps.map(p => p.lats.indices.map(i => pos(p.lats(i), p.lngs(i)))
+        .mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""{"type":"Feature","id":"mline-56","properties":{},"geometry":{"type":"MultiLineString","coordinates":$coords}}"""
+    }
     val r0 = regions(0).rings(0)
     val polyRev = s"""{"type":"Feature","id":"poly-rev","properties":{},"geometry":{"type":"Polygon","coordinates":[${ring(r0._1, r0._2, rev = true)}]}}"""
     val mpoly = {
       val p1 = regions(1).rings(0); val p2 = regions(2).rings(0)
       s"""{"type":"Feature","id":"mpoly-12","properties":{},"geometry":{"type":"MultiPolygon","coordinates":[[${ring(p1._1, p1._2, rev = false)}],[${ring(p2._1, p2._2, rev = false)}]]}}"""
     }
-    (lines :+ mp :+ polyRev :+ mpoly)
+    (lines :+ mp :+ mline :+ polyRev :+ mpoly)
       .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
   }
 

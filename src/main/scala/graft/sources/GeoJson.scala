@@ -8,8 +8,13 @@ import org.apache.spark.sql.types._
   * reference api/functions/geojson.go:18-145) as from_json/to_json over a
   * typed schema — fully declarative, no hand parser.
   *
-  * Supported geometry: Point, Polygon, LineString, MultiPoint and
-  * MultiPolygon ([lng, lat] position order per the GeoJSON spec).
+  * Supported geometry: Point, Polygon, LineString, MultiPoint,
+  * MultiLineString and MultiPolygon ([lng, lat] position order per the
+  * GeoJSON spec). GeometryCollection is NOT supported (declared): its
+  * heterogeneous `geometries` member cannot ride the typed
+  * coordinates-as-string schema this declarative parser uses — rows of
+  * that type surface with geom_type = "GeometryCollection" and null
+  * geometry columns, never silently as something else.
   * Properties come through as a map. */
 object GeoJson {
 
@@ -34,6 +39,7 @@ object GeoJson {
     *   Polygon      -> rings_lat, rings_lng          (ring of vertices)
     *   LineString   -> path_lat, path_lng
     *   MultiPoint   -> points_lat, points_lng
+    *   MultiLineString -> paths_lat, paths_lng      (path -> vertex)
     *   MultiPolygon -> polys_lat, polys_lng          (poly -> ring -> vertex)
     *
     * Coordinates convert from GeoJSON's [lng,lat] position order. */
@@ -61,6 +67,10 @@ object GeoJson {
       when(gt === "LineString", transform(positions, p => p(0))).as("path_lng"),
       when(gt === "MultiPoint", transform(positions, p => p(1))).as("points_lat"),
       when(gt === "MultiPoint", transform(positions, p => p(0))).as("points_lng"),
+      when(gt === "MultiLineString", transform(polyRings,
+        path => transform(path, p => p(1)))).as("paths_lat"),
+      when(gt === "MultiLineString", transform(polyRings,
+        path => transform(path, p => p(0)))).as("paths_lng"),
       when(gt === "MultiPolygon", transform(multiPoly,
         poly => transform(poly, ring => transform(ring, p => p(1))))).as("polys_lat"),
       when(gt === "MultiPolygon", transform(multiPoly,
@@ -107,7 +117,9 @@ object GeoJson {
     * Column rewrites (no VM, no UDF unless the caller's transform uses one).
     *
     * @param pointFn (lat, lng) => (lat, lng)
-    * @param pathFn  (path_lat, path_lng) => (path_lat, path_lng)
+    * @param pathFn  (path_lat, path_lng) => (path_lat, path_lng); applied
+    *                to LineString rows directly AND to each path of a
+    *                MultiLineString (via zip_with over paths_lat/paths_lng)
     * @param areaFn  (rings_lat, rings_lng) => (rings_lat, rings_lng);
     *                applied to Polygon rows directly AND to each polygon of a
     *                MultiPolygon (via zip_with over polys_lat/polys_lng) —
@@ -126,9 +138,21 @@ object GeoJson {
     }
     val afterPath = pathFn.fold(afterPoint) { f =>
       val (la, lo) = f(col("path_lat"), col("path_lng"))
+      // per-path application for MultiLineString (same single-zip_with
+      // discipline as the MultiPolygon areaFn below)
+      val ml = zip_with(col("paths_lat"), col("paths_lng"), (pla, plo) => {
+        val (a0, b0) = f(pla, plo)
+        struct(a0.as("la"), b0.as("lo"))
+      })
       afterPoint
+        .withColumn("_ml", when(gt === "MultiLineString", ml))
         .withColumn("path_lat", when(gt === "LineString", la).otherwise(col("path_lat")))
         .withColumn("path_lng", when(gt === "LineString", lo).otherwise(col("path_lng")))
+        .withColumn("paths_lat",
+          when(gt === "MultiLineString", col("_ml").getField("la")).otherwise(col("paths_lat")))
+        .withColumn("paths_lng",
+          when(gt === "MultiLineString", col("_ml").getField("lo")).otherwise(col("paths_lng")))
+        .drop("_ml")
     }
     areaFn.fold(afterPath) { f =>
       val (la, lo) = f(col("rings_lat"), col("rings_lng"))

@@ -209,4 +209,33 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId("line-path-0000").getAs[scala.collection.Seq[Double]]("path_lat").head
       == graft.model.Synth.paths(0).lats.head)
   }
+
+  test("MultiLineString: parse + pathFn rewrites each part") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val parsed = GeoJson.parseFeatureCollection(
+      Seq(graft.model.Synth.geojsonFullFixture).toDF("json"), "json")
+    val byId = parsed.collect().map(r => r.getAs[String]("feature_id") -> r).toMap
+    val ml = byId("mline-56")
+    assert(ml.getAs[String]("geom_type") == "MultiLineString")
+    val lats = ml.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("paths_lat")
+    assert(lats.length == 2)
+    assert(lats(0).toSeq == graft.model.Synth.paths(5).lats.toSeq)
+    assert(lats(1).toSeq == graft.model.Synth.paths(6).lats.toSeq)
+    // pathFn applies per part (the MultiPolygon-areaFn discipline)
+    val shifted = GeoJson.mapGeometries(parsed,
+      pathFn = Some((la, lo) => (reverse(la), lo)))
+    val byId2 = shifted.collect().map(r => r.getAs[String]("feature_id") -> r).toMap
+    val lats2 = byId2("mline-56")
+      .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("paths_lat")
+    assert(lats2(0).head == graft.model.Synth.paths(5).lats.last)
+    assert(lats2(1).head == graft.model.Synth.paths(6).lats.last)
+    // longitudes untouched by this pathFn
+    assert(byId2("mline-56")
+      .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("paths_lng")(0).toSeq
+      == graft.model.Synth.paths(5).lngs.toSeq)
+    // plain LineString rows also rewritten by the same call
+    assert(byId2("line-path-0000").getAs[scala.collection.Seq[Double]]("path_lat").head
+      == graft.model.Synth.paths(0).lats.last)
+  }
 }
