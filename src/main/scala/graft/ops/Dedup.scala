@@ -135,11 +135,20 @@ object Dedup {
     require(maxDist >= 0, s"editDistanceRefine: maxDist must be >= 0, got $maxDist")
     val ta = df.select(col(idCol).as("id_a"), col(textCol).as("_ta"))
     val tb = df.select(col(idCol).as("id_b"), col(textCol).as("_tb"))
+    // strength reduction, two tiers: (1) edit distance >= |len(a) - len(b)|,
+    // so a length-difference compare (pure codegen arithmetic) discards the
+    // hopeless pairs before any DP; (2) the survivors run the
+    // THRESHOLD-banded Levenshtein (O(maxDist * n) band, returns -1 above
+    // the threshold) instead of the full O(n * m) table — exact for every
+    // kept pair, so the oracle's unbanded recomputation still matches
+    // bit-for-bit
     pairs.select("id_a", "id_b")
       .join(ta, Seq("id_a"))
       .join(tb, Seq("id_b"))
-      .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
-      .where(col("edit_dist") <= maxDist)
+      .where(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("_ta"), col("_tb"), maxDist).cast("long"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
