@@ -106,6 +106,10 @@ object SparkEntry {
     * the engine query and the golden recomputation. */
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "window", "customer")
 
+  /** Blocklist for q_blocklist — ONE definition; the oracle's OR-chain is
+    * generated from this list. */
+  val BlockTerms: Seq[String] = Seq("slow", "hash")
+
   /** Entropy keep-threshold for q_image_quality — ONE definition for the
     * engine query and the golden recomputation. 8×8 payloads (64 px over
     * 16 bins) straddle this under sampling noise; 16×16 sit above. */
@@ -394,6 +398,27 @@ object SparkEntry {
         concat(col("text"), lit(" mutato")).as("text"))
       Dedup.minhashLshPairs(docs.unionByName(mutated), "doc_id", "text")
         .orderBy("id_a", "id_b")
+    }),
+
+    // --- text: C4-style blocklist screen (whole-token match over the
+    //     shared wsWords stream; codegen OR-chain, no join) ---
+    "q_blocklist" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      TextOps.blocklistFilter(s.table("documents"), "text", BlockTerms)
+        .select("doc_id", "n_blocked", "kept")
+        .orderBy("doc_id")
+    }),
+
+    // --- multimodal: image-side benchmark decontamination — corpus images
+    //     within hamming 3 of ANY benchmark phash dropped (bipartite band
+    //     join, benchmark side broadcast; the leaked-benchmark scenario of
+    //     q_decontaminate on the image axis) ---
+    "q_image_decontaminate" -> ((s, dir) => {
+      val (sub, _) = componentPairGraph(s, dir)
+      val bench = sub.where(col("image_id") % 80 === 0)
+      Dedup.phashDecontaminate(sub, bench, "image_id", "ph")
+        .select("image_id")
+        .orderBy("image_id")
     }),
 
     // --- dedup: edit-distance PRECISION refine over the minhash candidate
@@ -1677,6 +1702,27 @@ object SparkEntry {
           "r AS (SELECT image_id, x, y, ROW_NUMBER() OVER (PARTITION BY x, y " +
           "ORDER BY SUBSTRING(MD5(CAST(image_id AS VARCHAR)), 1, 8), image_id) AS rk FROM base) " +
           "SELECT image_id, x, y FROM r WHERE rk <= 5 ORDER BY image_id"),
+      // blocked-term OR-chain generated from the one BlockTerms list
+      "q_blocklist" -> {
+        val ors = BlockTerms.map(t => s"x = '$t'").mkString(" OR ")
+        "SELECT doc_id, CAST(LEN(LIST_FILTER(LIST_FILTER(" +
+          "regexp_split_to_array(text, '[ \\n\\t]'), x -> LENGTH(x) > 0), " +
+          s"x -> $ors)) AS BIGINT) AS n_blocked, " +
+          "CAST(LEN(LIST_FILTER(LIST_FILTER(" +
+          "regexp_split_to_array(text, '[ \\n\\t]'), x -> LENGTH(x) > 0), " +
+          s"x -> $ors)) AS BIGINT) = 0 AS kept " +
+          "FROM documents ORDER BY doc_id"
+      },
+      // image decontamination: all-pairs popcount on the oracle side (the
+      // engine's band join is the scale path under test)
+      "q_image_decontaminate" ->
+        (s"WITH sub AS (SELECT o_orderkey AS image_id, ${graft.model.Synth.phashDupExpr("o_orderkey")} AS ph " +
+          "FROM orders WHERE CAST(floor(o_orderkey / 8) AS BIGINT) % 40 = 0), " +
+          "bench AS (SELECT * FROM sub WHERE image_id % 80 = 0), " +
+          "hit AS (SELECT DISTINCT s.image_id FROM sub s JOIN bench b " +
+          "ON bit_count(xor(s.ph, b.ph)) <= 3) " +
+          "SELECT image_id FROM sub WHERE image_id NOT IN (SELECT image_id FROM hit) " +
+          "ORDER BY image_id"),
       // refine distances recomputed by DuckDB's own levenshtein over the
       // q_minhash_lsh-gated candidate pairs
       "q_editdist_refine" ->

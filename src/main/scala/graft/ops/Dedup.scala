@@ -365,6 +365,34 @@ object Dedup {
       bands = bands, maxHamming = maxHamming)
   }
 
+  /** Image-side benchmark DECONTAMINATION — the perceptual-hash twin of the
+    * n-gram `decontaminate`: corpus images within `maxHamming` bits of ANY
+    * benchmark image's phash are dropped (evaluation images and their
+    * near-verbatim re-encodes must not reach the training set). Bipartite
+    * band join: corpus bands ⋈ benchmark bands on (band, chunk) — exact for
+    * maxHamming < bands by the pigeonhole — popcount refine, distinct hit
+    * ids, LEFT ANTI re-attach. The benchmark side is benchmark-sized
+    * (small), so its banded form broadcasts; the corpus never self-joins. */
+  def phashDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         phashCol: String, maxHamming: Int = 3,
+                         bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"phashDecontaminate is exact only for maxHamming < bands " +
+        s"(got $maxHamming >= $bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    def banded(df: DataFrame, i: String, h: String) = df
+      .select(col(idCol).as(i), col(phashCol).cast("long").as(h))
+      .withColumn("band", explode(lit((0 until bands).toArray)))
+      .withColumn("band_key",
+        expr(s"shiftrightunsigned($h, band * $width) & $mask"))
+    val hits = banded(corpus, "cid", "h_c")
+      .join(banded(bench, "bid", "h_b"), Seq("band", "band_key"))
+      .where(bit_count(col("h_c").bitwiseXOR(col("h_b"))) <= maxHamming)
+      .select(col("cid").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact (brute-force baseline; the
     * LSH-bucketed scale path is Similarity.cosineLshPairs). */
   def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,

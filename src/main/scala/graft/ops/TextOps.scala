@@ -394,6 +394,23 @@ object TextOps {
                     textCol: String): DataFrame =
     scoreWithNgramModel(df, idCol, textCol, ngramLmModel(train, textCol))
 
+  /** C4-style blocklist screen (Raffel et al. 2020 ran exactly this with
+    * the public "badwords" list): count blocked-term occurrences per doc,
+    * keep iff zero. Terms match whole word-tokens from the shared
+    * [[wsWords]] stream. For a literal, list-sized blocklist the membership
+    * test is a codegen OR-chain (no join, no shuffle); a corpus-scale
+    * blocklist would broadcast-join the exploded token stream instead.
+    * Adds n_blocked (LONG) and kept (BOOLEAN). */
+  def blocklistFilter(df: DataFrame, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "blocklistFilter: terms must be non-empty and distinct")
+    val hit = (w: Column) => terms.map(t => w === lit(t)).reduce(_ || _)
+    df.withColumn("n_blocked",
+        size(filter(wsWords(col(textCol)), hit)).cast("long"))
+      .withColumn("kept", col("n_blocked") === 0L)
+  }
+
   /** HTML tag pattern for [[stripHtml]] — `<` then anything-but-`>` then
     * `>`: greedy char-class only (no lazy quantifiers, no lookaround), the
     * dialect-safe rule, so the DuckDB oracle recomputes bit-exactly. */

@@ -308,6 +308,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 2L, 1L), (1L, 4L, 3L)))
   }
 
+  test("blocklistFilter: whole-token matches only, kept iff zero hits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "a bad word appears"),
+      (3L, "bad bad badly"), //   "badly" is NOT a whole-token match
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.blocklistFilter(docs, "text", Seq("bad", "worse"))
+      .select("doc_id", "n_blocked", "kept")
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 0L, true), (2L, 1L, false), (3L, 2L, false),
+      (4L, 0L, true)))
+  }
+
+  test("phashDecontaminate drops corpus rows within hamming of any benchmark hash") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, 0x0L), //          == bench hash -> dropped
+      (2L, 0x3L), //          hamming 2 from bench 0x0 -> dropped
+      (3L, 0xFFL), //         hamming 8 -> kept
+      (4L, 0xF0L), //         hamming 4 from 0x0, 5 from the other -> kept
+      (5L, 0x8000000000000001L)) // hamming 2 from bench(5) below -> dropped
+      .toDF("image_id", "ph")
+    val bench = Seq((100L, 0x0L), (101L, 0x8000000000000000L)).toDF("image_id", "ph")
+    val got = graft.ops.Dedup.phashDecontaminate(corpus, bench, "image_id", "ph")
+      .select("image_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L, 4L))
+  }
+
   test("new ops are partition-invariant (repartition(7) changes nothing)") {
     import spark.implicits._
     val docs = (0L until 25L).map { i =>
