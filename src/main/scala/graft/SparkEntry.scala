@@ -115,6 +115,12 @@ object SparkEntry {
     * 16 bins) straddle this under sampling noise; 16×16 sit above. */
   val ImageQualityMinEntropy: Double = 3.9
 
+  /** Softer screen for the q_image_curation composition: 3.9 rejects nearly
+    * every 64-px payload (the fixture population), which would make the
+    * downstream stages vacuous; 3.5 keeps most while still dropping a tail,
+    * so every stage processes real rows. ONE definition, both engines. */
+  val ImageCurationMinEntropy: Double = 3.5
+
   /** Per-language keep rates for the q_sample_hash gate; the oracle CASE
     * expression is generated from this SAME map via Sampling.thresholdHex,
     * so the threshold literals cannot drift between engines. */
@@ -419,6 +425,40 @@ object SparkEntry {
       Dedup.phashDecontaminate(sub, bench, "image_id", "ph")
         .select("image_id")
         .orderBy("image_id")
+    }),
+
+    // --- FLAGSHIP image-curation composition (the image twin of
+    //     q_curation): benchmark decontamination -> entropy quality screen
+    //     -> keep-best-per-near-dup-cluster -> aspect bucket + crop plan
+    //     -> per-bucket training-batch stats, one lazy plan over the gated
+    //     stages. Oracle: closure CTEs + popcount NOT IN + the
+    //     q_image_quality golden + the bucket/crop CASE mirrors. ---
+    "q_image_curation" -> ((s, dir) => {
+      val (sub, _) = componentPairGraph(s, dir)
+      val bench = sub.where(col("image_id") % 80 === 0)
+      val clean = Dedup.phashDecontaminate(sub, bench, "image_id", "ph")
+      val qual = Media.imageQuality(
+          Media.withPayload(clean.select("image_id")), ImageCurationMinEntropy)
+        .where(col("keep"))
+        .select("image_id", "entropy")
+      val comp = componentsFor(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("entropy").desc, col("image_id").asc)
+      val canon = qual.join(comp, col("image_id") === col("id"))
+        .select(col("image_id"), col("component"), col("entropy"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+      Media.cropPlan(
+          Media.aspectBucket(
+            canon.select(col("image_id"),
+              (lit(256L) + (col("image_id") * 48271L) % 1792L).as("w"),
+              (lit(256L) + (col("image_id") * 69621L) % 1792L).as("h")),
+            "w", "h"),
+          "w", "h")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("cw") * col("ch")).as("total_crop_px"))
+        .orderBy("bucket")
     }),
 
     // --- dedup: edit-distance PRECISION refine over the minhash candidate
@@ -1702,6 +1742,29 @@ object SparkEntry {
           "r AS (SELECT image_id, x, y, ROW_NUMBER() OVER (PARTITION BY x, y " +
           "ORDER BY SUBSTRING(MD5(CAST(image_id AS VARCHAR)), 1, 8), image_id) AS rk FROM base) " +
           "SELECT image_id, x, y FROM r WHERE rk <= 5 ORDER BY image_id"),
+      // image-curation composition: every CTE mirrors a gated stage
+      // (decontaminate / quality via the shared-kernel golden / canonical /
+      // bucket / crop), reassembled into one independent query
+      "q_image_curation" ->
+        (componentClosureCtes +
+          ", bench AS (SELECT * FROM sub WHERE image_id % 80 = 0), " +
+          "hit AS (SELECT DISTINCT s.image_id FROM sub s JOIN bench b " +
+          "ON bit_count(xor(s.ph, b.ph)) <= 3), " +
+          "clean AS (SELECT image_id FROM sub WHERE image_id NOT IN (SELECT image_id FROM hit)), " +
+          s"qual AS (SELECT q.image_id, q.entropy FROM read_parquet('${graft.oracle.Golden.Dir}/q_image_quality.parquet/*.parquet') q " +
+          s"JOIN clean c ON q.image_id = c.image_id WHERE q.entropy >= $ImageCurationMinEntropy), " +
+          "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
+          "canon AS (SELECT image_id FROM (SELECT qual.image_id, comp.component, " +
+          "ROW_NUMBER() OVER (PARTITION BY comp.component ORDER BY qual.entropy DESC, qual.image_id ASC) AS rk " +
+          "FROM qual JOIN comp ON qual.image_id = comp.id) t WHERE rk = 1), " +
+          "base AS (SELECT image_id, " +
+          "CAST(256 + (image_id * 48271) % 1792 AS BIGINT) AS w, " +
+          "CAST(256 + (image_id * 69621) % 1792 AS BIGINT) AS h FROM canon), " +
+          s"a2 AS (SELECT image_id, w, h, ${graft.ops.Media.aspectBucketSql("w", "h")} AS bucket FROM base), " +
+          s"c2 AS (SELECT image_id, bucket, ${graft.ops.Media.cropPlanSql("w", "h")} FROM a2) " +
+          "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images, " +
+          "CAST(SUM(cw * ch) AS BIGINT) AS total_crop_px " +
+          "FROM c2 GROUP BY bucket ORDER BY bucket"),
       // blocked-term OR-chain generated from the one BlockTerms list
       "q_blocklist" -> {
         val ors = BlockTerms.map(t => s"x = '$t'").mkString(" OR ")
