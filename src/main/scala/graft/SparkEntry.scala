@@ -53,6 +53,17 @@ object SparkEntry {
   private val SplitFracs: Seq[(String, Double)] =
     Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
 
+  /** documents + their "+1000000 / ' mutato'" mutated twins — the shared
+    * near-dup fixture corpus (mirrored by Golden.loadDocsWithMutants and
+    * the oracle SQL's UNION ALL; ONE construction so the five gates that
+    * depend on it cannot drift). */
+  private def docsWithMutants(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerBase(s, dir)
+    val docs = s.table("documents").select("doc_id", "text")
+    docs.unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" mutato")).as("text")))
+  }
+
   /** The phash+chain near-dup pair graph shared by the component-family
     * gates (q_dedup_components / q_dedup_canonical / q_split_leakfree);
     * mirrored in SQL by `componentClosureCtes`. Returns (sub, pairs). */
@@ -105,6 +116,17 @@ object SparkEntry {
   /** Fixed query terms for the q_bm25 gate — ONE definition, used by both
     * the engine query and the golden recomputation. */
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "window", "customer")
+
+  /** Deterministic rectangular (w, h) metadata for the aspect/crop gates,
+    * derived from image_id with exact integer arithmetic — ONE definition
+    * for the three Column sites and (via [[SynthDimsSql]]) the three
+    * oracle CTEs, so the 48271/69621/1792/256 literals cannot drift. */
+  private def withSynthDims(df: DataFrame): DataFrame = df
+    .withColumn("w", lit(256L) + (col("image_id") * 48271L) % 1792L)
+    .withColumn("h", lit(256L) + (col("image_id") * 69621L) % 1792L)
+  private val SynthDimsSql: String =
+    "CAST(256 + (image_id * 48271) % 1792 AS BIGINT) AS w, " +
+      "CAST(256 + (image_id * 69621) % 1792 AS BIGINT) AS h"
 
   /** Blocklist for q_blocklist — ONE definition; the oracle's OR-chain is
     * generated from this list. */
@@ -397,14 +419,9 @@ object SparkEntry {
     }),
 
     // --- dedup: MinHash+LSH banding + exact n-gram Jaccard refine ---
-    "q_minhash_lsh" -> ((s, dir) => {
-      Tables.registerBase(s, dir)
-      val docs = s.table("documents").select("doc_id", "text")
-      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" mutato")).as("text"))
-      Dedup.minhashLshPairs(docs.unionByName(mutated), "doc_id", "text")
-        .orderBy("id_a", "id_b")
-    }),
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docsWithMutants(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
 
     // --- text: C4-style blocklist screen (whole-token match over the
     //     shared wsWords stream; codegen OR-chain, no join) ---
@@ -450,10 +467,7 @@ object SparkEntry {
         .where(col("rk") === 1)
       Media.cropPlan(
           Media.aspectBucket(
-            canon.select(col("image_id"),
-              (lit(256L) + (col("image_id") * 48271L) % 1792L).as("w"),
-              (lit(256L) + (col("image_id") * 69621L) % 1792L).as("h")),
-            "w", "h"),
+            withSynthDims(canon.select("image_id")), "w", "h"),
           "w", "h")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_images"),
@@ -467,11 +481,7 @@ object SparkEntry {
     //     the oracle recomputes the distances over the gated candidate set
     //     (pair generation itself is independently gated by q_minhash_lsh).
     "q_editdist_refine" -> ((s, dir) => {
-      Tables.registerBase(s, dir)
-      val docs = s.table("documents").select("doc_id", "text")
-      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" mutato")).as("text"))
-      val corpus = docs.unionByName(mutated)
+      val corpus = docsWithMutants(s, dir)
       Dedup.editDistanceRefine(
           Dedup.minhashLshPairs(corpus, "doc_id", "text"), corpus,
           "doc_id", "text", maxDist = 10)
@@ -482,23 +492,13 @@ object SparkEntry {
     // --- exact n-gram Jaccard near-dup (prefix-filtered AllPairs join —
     //     the EXACT counterpart of the approximate minhash gate; oracle =
     //     independent all-pairs brute force with no candidate generation) ---
-    "q_ngram_jaccard" -> ((s, dir) => {
-      Tables.registerBase(s, dir)
-      val docs = s.table("documents").select("doc_id", "text")
-      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" mutato")).as("text"))
-      Dedup.ngramJaccardPairs(docs.unionByName(mutated), "doc_id", "text", threshold = 0.5)
-        .orderBy("id_a", "id_b")
-    }),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithMutants(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")),
 
-    "q_simhash" -> ((s, dir) => {
-      Tables.registerBase(s, dir)
-      val docs = s.table("documents").select("doc_id", "text")
-      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" mutato")).as("text"))
-      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", "text")
-        .orderBy("id_a", "id_b")
-    }),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docsWithMutants(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
 
     // --- dedup: perceptual-hash (image payload) banded near-dup pairs ---
     // Exact by the pigeonhole contract (maxHamming 3 < bands 4), so the
@@ -953,15 +953,10 @@ object SparkEntry {
 
     // --- dedup: winnowing near-dup pairs (>= 3 shared selected prints,
     //     boilerplate fps capped at docFreq 4; oracle: hash-map postings) ---
-    "q_winnow_pairs" -> ((s, dir) => {
-      Tables.registerBase(s, dir)
-      val docs = s.table("documents").select("doc_id", "text")
-      val mutated = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" mutato")).as("text"))
-      Dedup.winnowNearDupPairs(docs.unionByName(mutated), "doc_id", "text",
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowNearDupPairs(docsWithMutants(s, dir), "doc_id", "text",
           k = 20, w = 8, minShared = 3, maxDocFreq = Some(4))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // --- multimodal: binary payload round-trip metadata ---
     "q_media_meta" -> ((s, dir) =>
@@ -987,10 +982,7 @@ object SparkEntry {
     "q_aspect_bucket" -> ((s, dir) =>
       graft.ops.Sampling.sampleExact(
           Media.aspectBucket(
-            images(s, dir).select(col("image_id"),
-              (lit(256L) + (col("image_id") * 48271L) % 1792L).as("w"),
-              (lit(256L) + (col("image_id") * 69621L) % 1792L).as("h")),
-            "w", "h"),
+            withSynthDims(images(s, dir).select("image_id")), "w", "h"),
           "image_id", "bucket", 200)
         .orderBy("image_id")),
 
@@ -1001,10 +993,7 @@ object SparkEntry {
     "q_crop_plan" -> ((s, dir) =>
       Media.cropPlan(
           Media.aspectBucket(
-            images(s, dir).select(col("image_id"),
-              (lit(256L) + (col("image_id") * 48271L) % 1792L).as("w"),
-              (lit(256L) + (col("image_id") * 69621L) % 1792L).as("h")),
-            "w", "h"),
+            withSynthDims(images(s, dir).select("image_id")), "w", "h"),
           "w", "h")
         .select("image_id", "bucket", "cw", "ch", "ox", "oy")
         .orderBy("image_id")),
@@ -1758,8 +1747,7 @@ object SparkEntry {
           "ROW_NUMBER() OVER (PARTITION BY comp.component ORDER BY qual.entropy DESC, qual.image_id ASC) AS rk " +
           "FROM qual JOIN comp ON qual.image_id = comp.id) t WHERE rk = 1), " +
           "base AS (SELECT image_id, " +
-          "CAST(256 + (image_id * 48271) % 1792 AS BIGINT) AS w, " +
-          "CAST(256 + (image_id * 69621) % 1792 AS BIGINT) AS h FROM canon), " +
+          s"$SynthDimsSql FROM canon), " +
           s"a2 AS (SELECT image_id, w, h, ${graft.ops.Media.aspectBucketSql("w", "h")} AS bucket FROM base), " +
           s"c2 AS (SELECT image_id, bucket, ${graft.ops.Media.cropPlanSql("w", "h")} FROM a2) " +
           "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images, " +
@@ -1768,13 +1756,11 @@ object SparkEntry {
       // blocked-term OR-chain generated from the one BlockTerms list
       "q_blocklist" -> {
         val ors = BlockTerms.map(t => s"x = '$t'").mkString(" OR ")
-        "SELECT doc_id, CAST(LEN(LIST_FILTER(LIST_FILTER(" +
+        "SELECT doc_id, n_blocked, n_blocked = 0 AS kept FROM (" +
+          "SELECT doc_id, CAST(LEN(LIST_FILTER(LIST_FILTER(" +
           "regexp_split_to_array(text, '[ \\n\\t]'), x -> LENGTH(x) > 0), " +
-          s"x -> $ors)) AS BIGINT) AS n_blocked, " +
-          "CAST(LEN(LIST_FILTER(LIST_FILTER(" +
-          "regexp_split_to_array(text, '[ \\n\\t]'), x -> LENGTH(x) > 0), " +
-          s"x -> $ors)) AS BIGINT) = 0 AS kept " +
-          "FROM documents ORDER BY doc_id"
+          s"x -> $ors)) AS BIGINT) AS n_blocked " +
+          "FROM documents) t ORDER BY doc_id"
       },
       // image decontamination: all-pairs popcount on the oracle side (the
       // engine's band join is the scale path under test)
@@ -1799,8 +1785,7 @@ object SparkEntry {
       // one AspectBuckets list (Media.cropPlanSql, // = div)
       "q_crop_plan" ->
         (s"$W, base AS (SELECT image_id, " +
-          "CAST(256 + (image_id * 48271) % 1792 AS BIGINT) AS w, " +
-          "CAST(256 + (image_id * 69621) % 1792 AS BIGINT) AS h FROM images), " +
+          s"$SynthDimsSql FROM images), " +
           s"a AS (SELECT image_id, w, h, ${graft.ops.Media.aspectBucketSql("w", "h")} AS bucket FROM base) " +
           s"SELECT image_id, bucket, ${graft.ops.Media.cropPlanSql("w", "h")} " +
           "FROM a ORDER BY image_id"),
@@ -1809,8 +1794,7 @@ object SparkEntry {
       // discipline above
       "q_aspect_bucket" ->
         (s"$W, base AS (SELECT image_id, " +
-          "CAST(256 + (image_id * 48271) % 1792 AS BIGINT) AS w, " +
-          "CAST(256 + (image_id * 69621) % 1792 AS BIGINT) AS h FROM images), " +
+          s"$SynthDimsSql FROM images), " +
           s"a AS (SELECT image_id, w, h, ${graft.ops.Media.aspectBucketSql("w", "h")} AS bucket FROM base), " +
           "r AS (SELECT image_id, w, h, bucket, ROW_NUMBER() OVER (PARTITION BY bucket " +
           "ORDER BY SUBSTRING(MD5(CAST(image_id AS VARCHAR)), 1, 8), image_id) AS rk FROM a) " +

@@ -120,38 +120,6 @@ object Dedup {
     * Guarantee: a pair is produced iff it collides in >= 1 band AND its exact
     * Jaccard passes — the standard LSH recall/precision trade documented for
     * the chosen (k=64, bands, rows) operating point. */
-  /** Edit-distance VERIFICATION of near-dup candidate pairs — the precision
-    * refine a production dedup runs after any probabilistic generator
-    * (MinHash/SimHash/phash): texts re-attach by id (the pair frame rides
-    * the shuffles keys-only, the minhash discipline) and a pair survives iff
-    * `levenshtein(a, b) <= maxDist`. The metric is the exact unit-cost
-    * Wagner-Fischer distance — Spark's `levenshtein` and DuckDB's
-    * `levenshtein` agree symbol-for-symbol, so the oracle recomputes it
-    * bit-exactly in SQL. Cost is O(|a|·|b|) per CANDIDATE pair, affordable
-    * precisely because the generator bounded the candidate set (never run
-    * this all-pairs). Output: id_a, id_b, edit_dist (LONG). */
-  def editDistanceRefine(pairs: DataFrame, df: DataFrame, idCol: String,
-                         textCol: String, maxDist: Int): DataFrame = {
-    require(maxDist >= 0, s"editDistanceRefine: maxDist must be >= 0, got $maxDist")
-    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("_ta"))
-    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("_tb"))
-    // strength reduction, two tiers: (1) edit distance >= |len(a) - len(b)|,
-    // so a length-difference compare (pure codegen arithmetic) discards the
-    // hopeless pairs before any DP; (2) the survivors run the
-    // THRESHOLD-banded Levenshtein (O(maxDist * n) band, returns -1 above
-    // the threshold) instead of the full O(n * m) table — exact for every
-    // kept pair, so the oracle's unbanded recomputation still matches
-    // bit-for-bit
-    pairs.select("id_a", "id_b")
-      .join(ta, Seq("id_a"))
-      .join(tb, Seq("id_b"))
-      .where(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
-      .withColumn("edit_dist",
-        levenshtein(col("_ta"), col("_tb"), maxDist).cast("long"))
-      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("edit_dist"))
-  }
-
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
@@ -176,6 +144,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Udfs.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+
+  /** Edit-distance VERIFICATION of near-dup candidate pairs — the precision
+    * refine a production dedup runs after any probabilistic generator
+    * (MinHash/SimHash/phash): texts re-attach by id (the pair frame rides
+    * the shuffles keys-only, the minhash discipline) and a pair survives iff
+    * `levenshtein(a, b) <= maxDist`. The metric is the exact unit-cost
+    * Wagner-Fischer distance over UNICODE CODEPOINTS (Spark's semantics).
+    * Cross-engine caveat: DuckDB's `levenshtein` counts BYTE edits, so the
+    * SQL oracle matches bit-exactly only on ASCII text (the fixture corpus
+    * is ASCII; a non-ASCII corpus needs a golden-side recomputation
+    * instead — do not extend the SQL oracle to one). Cost is O(|a|·|b|) per CANDIDATE pair, affordable
+    * precisely because the generator bounded the candidate set (never run
+    * this all-pairs). Output: id_a, id_b, edit_dist (LONG). */
+  def editDistanceRefine(pairs: DataFrame, df: DataFrame, idCol: String,
+                         textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"editDistanceRefine: maxDist must be >= 0, got $maxDist")
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("_ta"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("_tb"))
+    // strength reduction, two tiers: (1) edit distance >= |len(a) - len(b)|,
+    // so a length-difference compare (pure codegen arithmetic) discards the
+    // hopeless pairs before any DP; (2) the survivors run the
+    // THRESHOLD-banded Levenshtein (O(maxDist * n) band, returns -1 above
+    // the threshold) instead of the full O(n * m) table — exact for every
+    // kept pair, so the oracle's unbanded recomputation still matches
+    // bit-for-bit
+    pairs.select("id_a", "id_b")
+      .join(ta, Seq("id_a"))
+      .join(tb, Seq("id_b"))
+      .where(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("_ta"), col("_tb"), maxDist).cast("long"))
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
   /** Keep one canonical row per near-dup CLUSTER: connected components over
@@ -387,7 +390,7 @@ object Dedup {
       .withColumn("band_key",
         expr(s"shiftrightunsigned($h, band * $width) & $mask"))
     val hits = banded(corpus, "cid", "h_c")
-      .join(banded(bench, "bid", "h_b"), Seq("band", "band_key"))
+      .join(broadcast(banded(bench, "bid", "h_b")), Seq("band", "band_key"))
       .where(bit_count(col("h_c").bitwiseXOR(col("h_b"))) <= maxHamming)
       .select(col("cid").as(idCol)).distinct()
     corpus.join(hits, Seq(idCol), "left_anti")
