@@ -79,7 +79,16 @@ object Bench {
     def oneRep(cores: Int): (Double, Long) = {
       val s = session(cores)
       try {
-        pipeline(s, 500000) // warm codegen/JIT in this session
+        // warm codegen + JIT in this session with enough ROW VOLUME to take
+        // the per-row kernels past the C2 compile threshold: 500k rows /
+        // 16 tasks = 31k rows per task was borderline, and the r3 driver
+        // record shows it — the FIRST timed 16-core rep ran 6.90 s vs the
+        // 6.1-6.3 s steady state (13% of pure JIT residue inside a
+        // "steal-clean" rep, which is the spread that produced the 0.779
+        // pair). Two 4M-row passes: the first compiles, the second runs the
+        // compiled code and absorbs any background tier-up.
+        pipeline(s, 4000000)
+        pipeline(s, 4000000)
         val s0 = stealCs()
         val t0 = System.nanoTime()
         pipeline(s, scaleRows)

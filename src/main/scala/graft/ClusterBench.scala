@@ -49,7 +49,13 @@ object ClusterBench {
     def oneRep(executors: Int): (Double, Long) = {
       val s = session(executors)
       try {
-        Bench.pipeline(s, 500000) // warm codegen/JIT on these executors
+        // warm codegen/JIT on these executors — each rep forks FRESH
+        // executor JVMs, so unlike Bench's shared-JVM reps every rep here
+        // pays full C2 compilation; two 4M-row passes give each executor
+        // core well past the compile threshold before the timed window
+        // (same fix as Bench.oneRep, see its comment for the r3 evidence)
+        Bench.pipeline(s, 4000000)
+        Bench.pipeline(s, 4000000)
         val s0 = BenchProtocol.stealCs()
         val t0 = System.nanoTime()
         Bench.pipeline(s, scaleRows)

@@ -93,24 +93,29 @@ object SparkEntry {
     * releases it, it recomputes through lineage, unchanged.
     *
     * WEAK on the session (the Tables.registered discipline) so stopped
-    * sessions don't pin their plan graphs for the JVM's lifetime, and the
-    * multi-job contraction runs OUTSIDE the map's monitor so concurrent
-    * callers on other keys (or cellStoreFor) never wait behind it; a rare
-    * duplicate compute under race resolves to one winner at insert. */
+    * sessions don't pin their plan graphs for the JVM's lifetime. The
+    * multi-job contraction runs under the HOLDER's lazy-init monitor, not
+    * the map's: concurrent callers on other keys (or cellStoreFor) never
+    * wait behind it, while same-key racers share ONE compute — the old
+    * getOrElseUpdate race let a losing run materialize, register its
+    * Tracker snapshots as survivors, and then be discarded, leaving those
+    * cached RDDs pinned with no consumer until the next global release
+    * (ADVICE r03). A failed init is not memoized (lazy vals re-evaluate
+    * after an exception), matching the old retry-on-next-call behavior. */
+  private final class ComponentsHolder(s: SparkSession, dir: String) {
+    lazy val df: DataFrame =
+      graft.ops.Components.connectedComponents(componentPairGraph(s, dir)._2)
+  }
   private val componentsMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, ComponentsHolder]]()
   private def componentsFor(s: SparkSession, dir: String): DataFrame = {
     val perSession = componentsMemo.synchronized {
       var m = componentsMemo.get(s)
       if (m == null) { m = scala.collection.mutable.Map.empty; componentsMemo.put(s, m) }
       m
     }
-    perSession.synchronized(perSession.get(dir)) match {
-      case Some(df) => df
-      case None =>
-        val df = graft.ops.Components.connectedComponents(componentPairGraph(s, dir)._2)
-        perSession.synchronized(perSession.getOrElseUpdate(dir, df))
-    }
+    perSession.synchronized(
+      perSession.getOrElseUpdate(dir, new ComponentsHolder(s, dir))).df
   }
 
   /** Fixed query terms for the q_bm25 gate — ONE definition, used by both
@@ -461,8 +466,15 @@ object SparkEntry {
       val comp = componentsFor(s, dir)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("component").orderBy(col("entropy").desc, col("image_id").asc)
-      val canon = qual.join(comp, col("image_id") === col("id"))
-        .select(col("image_id"), col("component"), col("entropy"))
+      // LEFT join + own-id fallback: an image absent from the near-dup pair
+      // graph is its own singleton cluster and must survive keep-best — an
+      // inner join would silently drop it from the curated set (ADVICE r03;
+      // the chain fixture happens to label every image, so the oracle
+      // mirror below is what pins the semantics, not the fixture)
+      val canon = qual.join(comp, col("image_id") === col("id"), "left")
+        .select(col("image_id"),
+          coalesce(col("component"), col("image_id")).as("component"),
+          col("entropy"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)
       Media.cropPlan(
@@ -561,8 +573,9 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) => {
       Tables.registerBase(s, dir)
       val emb = s.table("embeddings")
-      val sample = emb.select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      // bounded lowest-id sample (VERDICT r03 #2): the collect is a
+      // TakeOrderedAndProject of QuantizerSampleRows rows, never a full pass
+      val sample = Similarity.quantizerSample(emb, "vec_id", "embedding")
       val centroids = Similarity.trainCentroids(sample, nClusters = 16, iters = 5)
       Dedup.semanticDedupPairs(emb, "vec_id", "embedding", centroids, 0.45)
         .orderBy("id_a", "id_b")
@@ -582,8 +595,8 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       Tables.registerBase(s, dir)
       val emb = s.table("embeddings")
-      val sample = emb.select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      // bounded lowest-id sample (VERDICT r03 #2), same shape as q_semdedup
+      val sample = Similarity.quantizerSample(emb, "vec_id", "embedding")
       val centroids = Similarity.trainCentroids(sample, nClusters = 16, iters = 5)
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", 10, centroids, nProbe = 4)
@@ -1743,9 +1756,11 @@ object SparkEntry {
           s"qual AS (SELECT q.image_id, q.entropy FROM read_parquet('${graft.oracle.Golden.Dir}/q_image_quality.parquet/*.parquet') q " +
           s"JOIN clean c ON q.image_id = c.image_id WHERE q.entropy >= $ImageCurationMinEntropy), " +
           "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), " +
-          "canon AS (SELECT image_id FROM (SELECT qual.image_id, comp.component, " +
-          "ROW_NUMBER() OVER (PARTITION BY comp.component ORDER BY qual.entropy DESC, qual.image_id ASC) AS rk " +
-          "FROM qual JOIN comp ON qual.image_id = comp.id) t WHERE rk = 1), " +
+          "canon AS (SELECT image_id FROM (SELECT qual.image_id, " +
+          "COALESCE(comp.component, qual.image_id) AS component, " +
+          "ROW_NUMBER() OVER (PARTITION BY COALESCE(comp.component, qual.image_id) " +
+          "ORDER BY qual.entropy DESC, qual.image_id ASC) AS rk " +
+          "FROM qual LEFT JOIN comp ON qual.image_id = comp.id) t WHERE rk = 1), " +
           "base AS (SELECT image_id, " +
           s"$SynthDimsSql FROM canon), " +
           s"a2 AS (SELECT image_id, w, h, ${graft.ops.Media.aspectBucketSql("w", "h")} AS bucket FROM base), " +

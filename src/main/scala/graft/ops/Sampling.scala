@@ -295,6 +295,11 @@ object Sampling {
     * the SAME cumulative [[thresholdHex]] literals. */
   def splitByGroupHashSql(groupExpr: String,
                           splits: Seq[(String, Double)]): String = {
+    require(splits.nonEmpty, "splitByGroupHashSql: at least one split")
+    // one split = the Column twin's degenerate everything-in-one-bucket
+    // case; a CASE with zero WHEN branches is invalid SQL, so mirror the
+    // twin's constant assignment as a plain quoted literal
+    if (splits.size == 1) return s"'${splits.head._1}'"
     val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val draw = s"SUBSTRING(MD5(CAST($groupExpr AS VARCHAR)), 1, 8)"
     val whens = splits.zip(cum).init.map { case ((name, _), c) =>

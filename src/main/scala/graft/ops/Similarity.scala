@@ -95,12 +95,39 @@ object Similarity {
       .withColumn("cosine", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm"))), k)
   }
 
+  /** Quantizer-training sample bound, ONE definition shared by the gate
+    * closures and the Golden driver recomputation: [[trainCentroids]]'
+    * contract is a bounded sample (scaladoc below), but the gates used to
+    * collect the FULL embedding table to feed it — fine at gate scale, a
+    * driver OOM at 10^12 rows (VERDICT r03 #2). 512 = 32 training vectors
+    * per centroid at the gates' nClusters = 16. */
+  val QuantizerSampleRows: Int = 512
+
+  /** The bounded deterministic training sample: the `limit` LOWEST ids.
+    * orderBy + limit plans as TakeOrderedAndProject — each scan task keeps
+    * only its local top rows and the driver receives exactly `limit` rows
+    * regardless of corpus size, so this is the collect-shape the quantizer
+    * contract allows at design scale. */
+  def quantizerSample(emb: DataFrame, idCol: String, vecCol: String,
+                      limit: Int = QuantizerSampleRows): Array[(Long, Array[Float])] = {
+    val sel = emb.select(col(idCol).cast("long").as("__qid"), col(vecCol).as("__qvec"))
+      .orderBy(col("__qid"))
+      .limit(limit)
+    sel.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  }
+
+  /** Array-side twin of [[quantizerSample]] for the Golden recomputation —
+    * the same lowest-id subset, the same bound, one definition. */
+  def quantizerTrainingSubset(
+      emb: Array[(Long, Array[Float])]): Array[(Long, Array[Float])] =
+    emb.sortBy(_._1).take(QuantizerSampleRows)
+
   /** Deterministic spherical k-means for the IVF coarse quantizer: trained
     * driver-side on a BOUNDED sample (rows sorted by id; init = the first
     * nClusters vectors; fixed iteration count; cosine assignment with
     * lowest-index tie-break; empty clusters keep their centroid). At design
-    * scale the sample is a `.limit(...)` over the corpus — the quantizer is
-    * a constant-size model, never a full pass. */
+    * scale the sample is a `.limit(...)` over the corpus ([[quantizerSample]])
+    * — the quantizer is a constant-size model, never a full pass. */
   def trainCentroids(sample: Array[(Long, Array[Float])], nClusters: Int,
                      iters: Int): Array[Array[Double]] = {
     def normalize(v: Array[Float]): Array[Double] = {
