@@ -418,4 +418,61 @@ object Synth {
     }
     b.result()
   }
+
+  // =====================================================================
+  // Routed grid — the ROUTABLE street-network fixture (q_map_match_routed):
+  // a GridN x GridN lattice of nodes centered on hotCenters(0); every
+  // lattice edge is BOTH a 2-vertex road segment (the map-matching
+  // candidate geometry) and a directed graph edge pair (the routing
+  // substrate). The existing 40 random-walk paths are deliberately
+  // topology-free — this fixture is what makes route-distance transitions
+  // testable. Edge costs are rint()'d to exact integer-valued doubles so
+  // shortest-path SUMS are exact and the engine's min-plus flood and the
+  // golden's binary-heap Dijkstra agree bit-for-bit.
+  // =====================================================================
+
+  /** One road segment of the routable grid: a 2-vertex polyline whose
+    * endpoints are graph nodes. */
+  final case class GridSeg(pathId: String, lats: Array[Double], lngs: Array[Double],
+                           nodeA: Long, nodeB: Long)
+
+  /** 16x16 nodes, ~334 m pitch: spans ±2.5 km around the London hot center,
+    * matching urbanTraj's anchor wander, so most urban fixes see 2-6
+    * candidate segments at the gate's 250 m radius while edge-of-grid fixes
+    * exercise the no-candidate contract. */
+  val GridN = 16
+
+  def gridNodeId(r: Int, c: Int): Long = (r * GridN + c).toLong
+  def gridNodeLat(r: Int): Double =
+    math.rint((51.4849 + r * 0.003) * 1000000) / 1000000.0
+  def gridNodeLng(c: Int): Double =
+    math.rint((-0.1638 + c * 0.0048) * 1000000) / 1000000.0
+
+  /** 480 segments: horizontal gseg-h-r-c = node(r,c)->(r,c+1), vertical
+    * gseg-v-r-c = node(r,c)->(r+1,c). */
+  val gridSegs: Array[GridSeg] = {
+    val b = Array.newBuilder[GridSeg]
+    for (r <- 0 until GridN; c <- 0 until GridN) {
+      if (c + 1 < GridN)
+        b += GridSeg(f"gseg-h-$r%02d-$c%02d",
+          Array(gridNodeLat(r), gridNodeLat(r)),
+          Array(gridNodeLng(c), gridNodeLng(c + 1)),
+          gridNodeId(r, c), gridNodeId(r, c + 1))
+      if (r + 1 < GridN)
+        b += GridSeg(f"gseg-v-$r%02d-$c%02d",
+          Array(gridNodeLat(r), gridNodeLat(r + 1)),
+          Array(gridNodeLng(c), gridNodeLng(c)),
+          gridNodeId(r, c), gridNodeId(r + 1, c))
+    }
+    b.result()
+  }
+
+  /** Directed both ways; cost = rint(haversine) meters — integral doubles,
+    * the exact-sum discipline of SparkEntry.graphEdges. */
+  val gridEdges: Array[(Long, Long, Double)] =
+    gridSegs.flatMap { s =>
+      val cost = math.rint(graft.core.Geo.haversineMeters(
+        s.lats(0), s.lngs(0), s.lats(1), s.lngs(1)))
+      Array((s.nodeA, s.nodeB, cost), (s.nodeB, s.nodeA, cost))
+    }
 }

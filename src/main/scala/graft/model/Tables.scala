@@ -94,6 +94,18 @@ object Tables {
         (p.pathId, p.lats.toSeq, p.lngs.toSeq)))
       .toDF("path_id", "lats", "lngs")
 
+  /** The routable grid's road segments (path_id, lats, lngs, node_a,
+    * node_b) — polyline geometry + graph endpoints, the input shape of
+    * MapMatch.viterbiMatchRouted. */
+  def gridSegments(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Synth.gridSegs.toSeq.map(s =>
+        (s.pathId, s.lats.toSeq, s.lngs.toSeq, s.nodeA, s.nodeB)))
+      .toDF("path_id", "lats", "lngs", "node_a", "node_b")
+
+  /** The routable grid's directed edge table (src, dst, cost). */
+  def gridEdges(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Synth.gridEdges.toSeq).toDF("src", "dst", "cost")
+
   def regions(spark: SparkSession): DataFrame = {
     val rows = Synth.regions.toSeq.map { r =>
       (r.regionId, r.kind, r.zone,

@@ -1,0 +1,116 @@
+package graft
+
+import graft.model.{Synth, Tables}
+import graft.ops.MapMatch
+import graft.oracle.Golden
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Routed-transition map matching (Newson-Krakauer |route - gc| / beta):
+  * the behavioral case constant-cost matching gets WRONG (teleporting onto
+  * a disconnected road), engine-vs-golden equality on the grid fixture,
+  * and the loud driver-bound contracts. */
+class RoutedMatchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("routed-match-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def pts(rows: Seq[(Long, Long, Long, Double, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "sec", "lat", "lng")
+      .withColumn("cell16",
+        graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
+  }
+
+  // a 2-road fixture: a connected "main" road of 3 collinear segments and a
+  // DISCONNECTED parallel road ~100 m north that passes slightly closer to
+  // the middle fix
+  private val mainLat = 51.5000
+  private val discLat = 51.5009
+  private def segs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("m-0", Seq(mainLat, mainLat), Seq(-0.010, -0.005), 0L, 1L),
+      ("m-1", Seq(mainLat, mainLat), Seq(-0.005, 0.000), 1L, 2L),
+      ("m-2", Seq(mainLat, mainLat), Seq(0.000, 0.005), 2L, 3L),
+      ("z-disc", Seq(discLat, discLat), Seq(-0.006, 0.001), 10L, 11L)
+    ).toDF("path_id", "lats", "lngs", "node_a", "node_b")
+  }
+  private def edges: DataFrame = {
+    import spark.implicits._
+    def cost(lng1: Double, lng2: Double, lat: Double) =
+      graft.core.Geo.haversineMeters(lat, lng1, lat, lng2)
+    Seq(
+      (0L, 1L, cost(-0.010, -0.005, mainLat)), (1L, 0L, cost(-0.010, -0.005, mainLat)),
+      (1L, 2L, cost(-0.005, 0.000, mainLat)), (2L, 1L, cost(-0.005, 0.000, mainLat)),
+      (2L, 3L, cost(0.000, 0.005, mainLat)), (3L, 2L, cost(0.000, 0.005, mainLat)),
+      (10L, 11L, cost(-0.006, 0.001, discLat)), (11L, 10L, cost(-0.006, 0.001, discLat))
+    ).toDF("src", "dst", "cost")
+  }
+  // t1 sits ~61 m from main, ~39 m from the disconnected road
+  private val fixes = Seq(
+    (1L, 1L, 10L, mainLat, -0.0075),
+    (1L, 2L, 20L, 51.50055, -0.0025),
+    (1L, 3L, 30L, mainLat, 0.0030))
+
+  test("constant-cost matching teleports to the disconnected road; routed does not") {
+    val const = MapMatch.viterbiMatch(pts(fixes), segs, radiusMeters = 250.0,
+        sigmaMeters = 50.0, switchCost = 0.1)
+      .orderBy("event_id").collect().map(_.getString(2)).toSeq
+    // middle fix is closer to the disconnected road, and two cheap constant
+    // switches beat the emission gap — the classic constant-cost failure
+    assert(const(1) === "z-disc", s"fixture degenerate: $const")
+    val routed = MapMatch.viterbiMatchRouted(pts(fixes), segs, edges,
+        radiusMeters = 250.0, maxRouteMeters = 2000.0,
+        sigmaMeters = 50.0, betaMeters = 200.0)
+      .orderBy("event_id").collect().map(_.getString(2)).toSeq
+    // no route exists between the roads: the 2*maxRoute unreachable penalty
+    // keeps the chain on the connected main road
+    assert(routed.size === 3)
+    assert(routed.forall(_.startsWith("m-")), s"routed hopped roads: $routed")
+  }
+
+  test("engine equals independent Dijkstra golden on the grid fixture") {
+    val evs = Golden.loadEvents(spark, sfDir)
+    val want = Golden.mapMatchRoutedG(evs, 250.0, 50.0, 200.0, 12000.0)
+    assert(want.size > 50, s"fixture degenerate: ${want.size} matches")
+    // more than one distinct segment must win, else the DP is vacuous
+    assert(want.map(_._3).distinct.size > 5)
+    val latU = udf((u: Long, e: Long, sec: Long) => Synth.urbanTrajLat(u, e, sec))
+    val lngU = udf((u: Long, e: Long, sec: Long) => Synth.urbanTrajLng(u, e, sec))
+    import spark.implicits._
+    val ev = evs.toSeq.filter(_.userId % 3 == 0)
+      .map(e => (e.userId, e.eventId, e.sec))
+      .toDF("user_id", "event_id", "sec")
+      .withColumn("lat", latU(col("user_id"), col("event_id"), col("sec")))
+      .withColumn("lng", lngU(col("user_id"), col("event_id"), col("sec")))
+      .withColumn("cell16",
+        graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
+    val got = MapMatch.viterbiMatchRouted(ev,
+        Tables.gridSegments(spark), Tables.gridEdges(spark),
+        radiusMeters = 250.0, maxRouteMeters = 12000.0,
+        sigmaMeters = 50.0, betaMeters = 200.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === want.sortBy(t => (t._1, t._2)))
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+  }
+
+  test("network-node bound fails loudly") {
+    val e = intercept[IllegalStateException] {
+      MapMatch.viterbiMatchRouted(pts(fixes), segs, edges,
+        radiusMeters = 250.0, maxRouteMeters = 2000.0,
+        maxNetworkNodes = 3)
+    }
+    assert(e.getMessage.contains("maxNetworkNodes"))
+  }
+}
