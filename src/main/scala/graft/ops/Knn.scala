@@ -287,8 +287,11 @@ object Knn {
     *   2. collect the round's DISTINCT covering LEVELS (<= 17 scalars — the
     *      only driver traffic besides counts) and explode each image's
     *      cell16 ancestors at exactly those levels;
-    *   3. equi-join on the cell id (broadcast of the exploded query side
-    *      while it fits, shuffle-hash beyond), d2 + per-query top-k window;
+    *   3. equi-join on the cell id — ALWAYS a broadcast of the exploded
+    *      query side: a query set beyond `broadcastQueryRowLimit` is split
+    *      into REGIONAL chunks (contiguous S2-prefix spans) each under the
+    *      limit, so the huge probe side is never exchanged (VERDICT r03 #4;
+    *      a single over-limit prefix falls back to shuffle-hash, loudly);
     *   4. resolution as a distributed aggregate: cnt >= k and the k-th d2's
     *      sound great-circle bound within the query's probed radius.
     *
@@ -428,7 +431,7 @@ object Knn {
       // snapshot job ALSO computes each query's covering (array column) and
       // reports its levels through the accumulator, so the round loop never
       // re-runs the covering kernel or pays a separate levels job.
-      var (remaining, nRemaining, _) = materialize(
+      val (snap, nTotal, _) = materialize(
         queries.select(col("query_id").cast("int"),
           col("qlat").cast("double"), col("qlng").cast("double"))
           .dropDuplicates("query_id")
@@ -437,6 +440,16 @@ object Knn {
           .withColumn("cov", coveringUdf(col("qlat"), col("qlng"), col("qradius"))))
       val distCol = distExpr(meters)
       val topkUdaf = TopKAgg.udafFor(k)
+      /** The adaptive round loop over ONE query set (the whole snapshot, or
+        * one regional chunk of it — see the dispatch below). Appends each
+        * round's resolved top-k to `results`. `chunkLocalBuckets`: the
+        * store-bucket accumulator mask is cumulative over EVERY query in the
+        * snapshot job, so a chunk must derive its round-1 buckets from its
+        * OWN covering rows (the straggler-round path) or it would re-read
+        * every bucket any chunk touches. */
+      def runLoop(remaining0: DataFrame, n0: Long, chunkLocalBuckets: Boolean): Unit = {
+      var remaining = remaining0
+      var nRemaining = n0
       var round = 0
       while (nRemaining > 0) {
         val tRound = System.nanoTime()
@@ -455,13 +468,15 @@ object Knn {
         // the covering kernel ran exactly once per query, in the snapshot job
         val qcov = remaining.select(col("query_id"), col("qlat"), col("qlng"),
           col("qcos"), col("qradius"), explode(col("cov")).as("cov_cell"))
-        // beyond the broadcast limit the query side must be a SHUFFLE-HASH
-        // build, not a SortMergeJoin: without the hint the LogicalRDD's
-        // default (huge) size stats make Catalyst sort-merge, which shuffles
-        // AND SORTS the |images| x |levels| exploded probe side every round —
-        // the one thing this plan exists to avoid (review r03b). With the
-        // hint only the hash build (query side) and the probe exchange
-        // remain, no sort.
+        // regional chunking (dispatch below) keeps every chunk's round under
+        // the broadcast limit, so this condition normally holds; it can fail
+        // only for a single over-limit prefix (or the limit<=0 test knob),
+        // where the fallback must be a SHUFFLE-HASH build, not a
+        // SortMergeJoin: without the hint the LogicalRDD's default (huge)
+        // size stats make Catalyst sort-merge, which shuffles AND SORTS the
+        // |images| x |levels| exploded probe side every round — the one
+        // thing this plan exists to avoid (review r03b). With the hint only
+        // the hash build (query side) and the probe exchange remain, no sort.
         val qside =
           if (nRemaining * 12 <= broadcastQueryRowLimit) broadcast(qcov)
           else qcov.hint("shuffle_hash")
@@ -481,7 +496,7 @@ object Knn {
           case None => imgs.get
           case Some(d) =>
             val bucketSet: Set[Long] =
-              if (round == 0) bucketAcc.get.buckets
+              if (round == 0 && !chunkLocalBuckets) bucketAcc.get.buckets
               else {
                 val c = col("c")
                 // (lsb - 1) FIRST: the naive c + lsb - 1 overflows its
@@ -572,6 +587,47 @@ object Knn {
         remaining = rem
         nRemaining = nRem
         round += 1
+      }
+      } // runLoop
+      // ---- dispatch (VERDICT r03 #4): one pass while the exploded query
+      // side fits the broadcast; beyond it, REGIONAL CHUNKS each under the
+      // limit instead of a shuffle-hash join that exchanges the
+      // |images| x |levels| exploded probe side every round. Chunks are
+      // contiguous spans of the queries' top-16-bit S2 prefix (~level-6
+      // cells; Hilbert locality makes a span a compact region), sized by one
+      // tiny per-prefix count and packed greedily — so every chunk's join is
+      // a true BROADCAST (queries move, images never do), and store-backed
+      // probes read only the chunk's buckets. A single prefix whose query
+      // count alone exceeds the limit stays one chunk and falls back to the
+      // per-round shuffle-hash join (loud stderr note) — the pre-r4 behavior,
+      // still sort-free. broadcastQueryRowLimit <= 0 keeps the global
+      // shuffle-hash path (the plan-shape test knob).
+      val chunkQueries =
+        if (broadcastQueryRowLimit > 0) math.max(1L, broadcastQueryRowLimit / 12)
+        else Long.MaxValue
+      if (broadcastQueryRowLimit <= 0 || nTotal <= chunkQueries) {
+        runLoop(snap, nTotal, chunkLocalBuckets = false)
+      } else {
+        val qpfx = shiftrightunsigned(
+          graft.functions.S2Expressions.s2Cell16(col("qlat"), col("qlng")), 48)
+        val counts = snap.groupBy(qpfx.as("qpfx")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var lo = -1L; var hi = -1L; var tot = 0L
+        counts.foreach { case (p, c) =>
+          if (tot == 0L) { lo = p; hi = p; tot = c }
+          else if (tot + c <= chunkQueries) { hi = p; tot += c }
+          else { ranges += ((lo, hi, tot)); lo = p; hi = p; tot = c }
+        }
+        if (tot > 0) ranges += ((lo, hi, tot))
+        System.err.println(s"[knnBatch] query side beyond broadcast limit: " +
+          s"${ranges.size} regional chunks (<= $chunkQueries queries each)")
+        ranges.foreach { case (l, h, t) =>
+          if (t > chunkQueries)
+            System.err.println(s"[knnBatch] heavy prefix chunk [$l,$h]: $t queries " +
+              "exceed the broadcast limit alone - shuffle-hash fallback for this chunk")
+          runLoop(snap.where(qpfx.between(l, h)), t, chunkLocalBuckets = true)
+        }
       }
       // snapshot the FINAL ordered result into ONE persisted RDD and release
       // every intermediate (incl. the per-round result pieces): exactly one

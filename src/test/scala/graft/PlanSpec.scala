@@ -172,6 +172,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("batch kNN beyond the broadcast limit chunks regionally — probe side never exchanged") {
+    // VERDICT r03 #4: a huge query set must NOT fall back to a per-round
+    // shuffle of the |images| x |levels| exploded probe side. The dispatch
+    // splits it into regional S2-prefix chunks each under the broadcast
+    // limit, so every round's probe join is a BroadcastHashJoin on cov_cell;
+    // the only shuffled-hash join left is the O(queries) status join on
+    // query_id. Results must equal the single-pass broadcast path exactly.
+    import graft.model.{Synth, Tables}
+    val buf = scala.collection.mutable.Buffer.empty[String]
+    graft.ops.Tracker.capturePlans.set(buf)
+    val got = try {
+      graft.ops.Knn.knnBatch(spark, Tables.images(spark, sfDir),
+        Synth.batchQueryDf(spark, 50), k = 3, broadcastQueryRowLimit = 120L)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    } finally graft.ops.Tracker.capturePlans.remove()
+    val rounds = buf.filter(_.contains("topkagg"))
+    assert(rounds.size >= 3, s"expected >= 3 chunk rounds, got ${rounds.size}")
+    rounds.foreach { p =>
+      val badProbe = p.linesIterator.exists(l =>
+        (l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")) &&
+          l.contains("cov_cell"))
+      assert(!badProbe, s"probe side exchanged:\n${p.take(1500)}")
+      assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("cov_cell")),
+        s"expected a broadcast probe join:\n${p.take(1500)}")
+    }
+    val want = graft.ops.Knn.knnBatch(spark, Tables.images(spark, sfDir),
+        Synth.batchQueryDf(spark, 50), k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, "chunked path diverged from the broadcast path")
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+  }
+
   test("per-group top-k and dedup grouping aggregate — no data-sized window") {
     // r03c audit: a row_number window partitioned by query_id/dedup_key
     // funnels a group's ENTIRE candidate set into one partition's sort (the
