@@ -1143,9 +1143,12 @@ object SparkEntry {
 
     // --- §2.8 general polygon booleans (Foster role; Greiner-Hormann
     //     kernel): pairwise intersection/union/difference areas over the
-    //     covering-pruned overlapping region pairs — round 3 ---
+    //     covering-pruned overlapping region pairs — round 3; round 4 adds
+    //     HOLE-AWARE areas (inclusion-exclusion over the shell kernel) and
+    //     the courtyard fixture pair, whose hole straddles the overlap ---
     "q_poly_bool" -> ((s, _) =>
-      graft.ops.Booleans.overlapBooleans(Tables.regions(s))
+      graft.ops.Booleans.overlapBooleans(
+          Tables.regions(s).unionByName(Tables.courtyards(s)))
         .orderBy("id_a", "id_b")),
 
     // --- §2.4 connect-to-network: nearest path within 500 m ---

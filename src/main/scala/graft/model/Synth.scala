@@ -419,6 +419,27 @@ object Synth {
     b.result()
   }
 
+  /** Courtyard fixture (q_poly_bool hole coverage): two overlapping
+    * axis-aligned squares, EACH with a square hole — court-a's courtyard
+    * straddles the overlap boundary (its area must come OUT of the
+    * intersection), court-b's sits outside it (must not). Remote from the
+    * other regions (lat/lng ~10) so the pair is self-contained; exact
+    * decimal literals; general position vs each other (all edge crossings
+    * transversal, no shared vertices). Kept SEPARATE from `regions` — that
+    * fixture feeds a dozen other gates whose goldens must not re-pin. */
+  val courtyardRegions: Array[Region] = {
+    def rect(latLo: Double, latHi: Double, lngLo: Double, lngHi: Double)
+        : (Array[Double], Array[Double]) =
+      (Array(latLo, latLo, latHi, latHi), Array(lngLo, lngHi, lngHi, lngLo))
+    def mk(id: String, shell: (Array[Double], Array[Double]),
+           hole: (Array[Double], Array[Double])): Region =
+      Region(id, "court", "court", Array(shell, hole),
+        S2.covering(S2.Poly(shell._1, shell._2)))
+    Array(
+      mk("court-a", rect(10.00, 10.20, 10.00, 10.20), rect(10.08, 10.14, 10.08, 10.14)),
+      mk("court-b", rect(10.10, 10.30, 10.10, 10.30), rect(10.22, 10.26, 10.22, 10.26)))
+  }
+
   // =====================================================================
   // Routed grid — the ROUTABLE street-network fixture (q_map_match_routed):
   // a GridN x GridN lattice of nodes centered on hotCenters(0); every

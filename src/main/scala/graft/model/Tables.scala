@@ -106,8 +106,15 @@ object Tables {
   def gridEdges(spark: SparkSession): DataFrame =
     spark.createDataFrame(Synth.gridEdges.toSeq).toDF("src", "dst", "cost")
 
-  def regions(spark: SparkSession): DataFrame = {
-    val rows = Synth.regions.toSeq.map { r =>
+  def regions(spark: SparkSession): DataFrame = regionDf(spark, Synth.regions)
+
+  /** The courtyard pair (hole-bearing squares) — q_poly_bool's hole
+    * coverage; same schema as [[regions]]. */
+  def courtyards(spark: SparkSession): DataFrame =
+    regionDf(spark, Synth.courtyardRegions)
+
+  private def regionDf(spark: SparkSession, rs: Array[Synth.Region]): DataFrame = {
+    val rows = rs.toSeq.map { r =>
       (r.regionId, r.kind, r.zone,
         r.rings.toSeq.map(_._1.toSeq), r.rings.toSeq.map(_._2.toSeq),
         r.cells.toSeq)

@@ -174,4 +174,65 @@ class PolyBoolSpec extends AnyFunSuite {
     val circleArea = math.abs(PolyBool.signedArea(aLat, aLng))
     assert(math.abs(uni - (2 * circleArea - got)) < 1e-9 * uni)
   }
+
+  // ---- holes (round 4, VERDICT r03 #5): inclusion-exclusion areas ----
+
+  private def hrect(latLo: Double, latHi: Double, lngLo: Double, lngHi: Double)
+      : (Array[Double], Array[Double]) =
+    (Array(latLo, latLo, latHi, latHi), Array(lngLo, lngHi, lngHi, lngLo))
+
+  test("holes: courtyard straddling the overlap — hand-computed areas") {
+    // the q_poly_bool courtyard fixture verified against INDEPENDENT hand
+    // arithmetic (axis-aligned products), not the kernel:
+    //   As = [10.00,10.20]^2  hole Ah = [10.08,10.14]^2
+    //   Bs = [10.10,10.30]^2  hole Bh = [10.22,10.26]^2
+    //   inter = |AsnBs| - |AsnBh| - |AhnBs| + |AhnBh|
+    //         = 0.10^2 - 0 - 0.04^2 + 0 = 0.0084
+    val a = Seq(hrect(10.00, 10.20, 10.00, 10.20), hrect(10.08, 10.14, 10.08, 10.14))
+    val b = Seq(hrect(10.10, 10.30, 10.10, 10.30), hrect(10.22, 10.26, 10.22, 10.26))
+    val (areaA, areaB, inter, uni, diff) = PolyBool.areasWithHoles(a, b)
+    assert(math.abs(areaA - (0.04 - 0.0036)) < 1e-12)
+    assert(math.abs(areaB - (0.04 - 0.0016)) < 1e-12)
+    assert(math.abs(inter - 0.0084) < 1e-12)
+    assert(math.abs(uni - (areaA + areaB - inter)) < 1e-15)
+    assert(math.abs(diff - (areaA - inter)) < 1e-15)
+  }
+
+  test("holes: hole-on-hole overlap exercises the +term") {
+    // general position: B's lat span strictly inside A's (no collinear
+    // shared edge lines — the documented GH restriction)
+    //   As = lat[0,10]xlng[0,10] hole Ah = lat[2,6]xlng[2,6]
+    //   Bs = lat[1,9]xlng[4,14]  hole Bh = lat[3,7]xlng[5,8]
+    //   AsnBs = lat[1,9]xlng[4,10] = 48 ; AsnBh = 12 (Bh inside As)
+    //   AhnBs = lat[2,6]xlng[4,6] = 8 ; AhnBh = lat[3,6]xlng[5,6] = 3
+    //   inter = 48 - 12 - 8 + 3 = 31
+    val a = Seq(hrect(0, 10, 0, 10), hrect(2, 6, 2, 6))
+    val b = Seq(hrect(1, 9, 4, 14), hrect(3, 7, 5, 8))
+    val (areaA, areaB, inter, uni, diff) = PolyBool.areasWithHoles(a, b)
+    assert(math.abs(areaA - (100 - 16)) < 1e-12)
+    assert(math.abs(areaB - (80 - 12)) < 1e-12)
+    assert(math.abs(inter - 31.0) < 1e-12)
+    assert(math.abs(uni - (84 + 68 - 31)) < 1e-12)
+    assert(math.abs(diff - (84 - 31)) < 1e-12)
+  }
+
+  test("holes: overlap entirely inside a hole -> zero intersection") {
+    // B overlaps A only where A has its courtyard: measure must vanish
+    val a = Seq(hrect(0, 10, 0, 10), hrect(3, 7, 3, 7))
+    val b = Seq(hrect(4, 6, 4, 6))
+    val (_, _, inter, _, _) = PolyBool.areasWithHoles(a, b)
+    assert(math.abs(inter) < 1e-12, s"expected 0, got $inter")
+  }
+
+  test("holes: no-hole inputs reduce to the shell kernel exactly") {
+    val a = Seq(hrect(0, 2, 0, 3))
+    val b = Seq(hrect(1, 3, 1, 5))
+    val (areaA, areaB, inter, uni, diff) = PolyBool.areasWithHoles(a, b)
+    val shell = PolyBool.totalArea(PolyBool.intersection(a.head._1, a.head._2,
+      b.head._1, b.head._2))
+    assert(inter === shell)
+    assert(math.abs(areaA - 6.0) < 1e-12 && math.abs(areaB - 8.0) < 1e-12)
+    assert(math.abs(uni - (6 + 8 - inter)) < 1e-15)
+    assert(math.abs(diff - (6 - inter)) < 1e-15)
+  }
 }
