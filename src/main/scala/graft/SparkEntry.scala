@@ -48,6 +48,40 @@ object SparkEntry {
   /** The images CTE prefix shared by every oracle query. */
   private val W = s"WITH images AS (${Synth.imagesSelect})"
 
+  private def snapStoreDir(dir: String, tag: String): String =
+    new java.io.File(
+      s"target/snapstore_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
+
+  /** Snapshot-store upsert fixture shared by q_store_upsert and
+    * q_store_timetravel: v1 = images with image_id % 4 == 1; v2 = ONE CoW
+    * MERGE commit — updates (% 5 == 0 and not % 7 == 0: status 'U',
+    * lat + 0.5, cell16 RECOMPUTED so the row moves buckets), deletes
+    * (% 7 == 0), inserts (% 4 == 2 and % 9 == 0). The three id sets are
+    * pairwise disjoint by construction; the dir is rebuilt from scratch
+    * every call (gates are re-entrant). */
+  private def snapshotUpsertFixture(s: SparkSession, dir: String,
+                                    store: String): Unit = {
+    import graft.lineage.SnapshotStore
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    val imgs = images(s, dir).select("image_id", "status", "lat", "lng", "cell16")
+    val base = imgs.where(col("image_id") % 4 === 1)
+    SnapshotStore.create(s, base, store)
+    val upd = base.where(col("image_id") % 5 === 0 && col("image_id") % 7 =!= 0)
+      .withColumn("status", lit("U"))
+      .withColumn("lat", col("lat") + 0.5)
+      .withColumn("cell16",
+        graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
+      .withColumn("_deleted", lit(false))
+    val del = base.where(col("image_id") % 7 === 0)
+      .withColumn("_deleted", lit(true))
+    val ins = imgs.where(col("image_id") % 4 === 2 && col("image_id") % 9 === 0)
+      .withColumn("_deleted", lit(false))
+    SnapshotStore.upsert(s, upd.unionByName(del).unionByName(ins), store,
+      deletedCol = Some("_deleted"))
+  }
+
   /** Leakage-free split fractions (q_split_leakfree) — the oracle CASE is
     * generated from this SAME list via Sampling.splitByGroupHashSql. */
   private val SplitFracs: Seq[(String, Double)] =
@@ -338,6 +372,30 @@ object SparkEntry {
       require(sm.getLong(1) < sm.getLong(0),
         s"compact gate: no small-file debt paid (before=${sm.getLong(0)} after=${sm.getLong(1)})")
       Knn.knnFromStore(s, store, Synth.knnQueries.toSeq, k = 10)
+    }),
+
+    // --- Iceberg-role SNAPSHOT store (round 4): copy-on-write MERGE —
+    //     create v1, ONE upsert commit mixing updates that MOVE the row to
+    //     a new cell (lat + 0.5 re-geotag), deletes, and inserts; read HEAD.
+    //     Oracle = the merge semantics recomputed in pure SQL. ---
+    "q_store_upsert" -> ((s, dir) => {
+      val store = snapStoreDir(dir, "upsert")
+      snapshotUpsertFixture(s, dir, store)
+      graft.lineage.SnapshotStore.read(s, store)
+        .select(col("image_id"), col("status"), col("lat"))
+        .orderBy("image_id")
+    }),
+
+    // --- Iceberg-role TIME TRAVEL: after the SAME upsert commit, reading
+    //     snapshot v1 must return the ORIGINAL base exactly — immutable
+    //     files + manifest-pinned reads (the north rule's resume-from-
+    //     committed-snapshot read contract). Oracle = the base SQL. ---
+    "q_store_timetravel" -> ((s, dir) => {
+      val store = snapStoreDir(dir, "tt")
+      snapshotUpsertFixture(s, dir, store)
+      graft.lineage.SnapshotStore.readVersion(s, store, 1)
+        .select(col("image_id"), col("status"), col("lat"))
+        .orderBy("image_id")
     }),
 
     // --- §2.4/§2.7 tile-assignment join (point manifest, zooms 8..12) ---
@@ -1749,6 +1807,21 @@ object SparkEntry {
       // and through write + 2 appends + compaction: content preservation
       // proves the monoid stats merge AND the rewrite row-for-row
       "q_store_compact" -> s"$W SELECT * FROM ($knnSql) u ORDER BY query_id, rank",
+      // CoW MERGE semantics recomputed in pure SQL: kept = base minus every
+      // delta id; updates replace (lat + 0.5, status 'U'); inserts append
+      "q_store_upsert" ->
+        (s"$W, base AS (SELECT image_id, status, lat FROM images WHERE image_id % 4 = 1), " +
+          "kept AS (SELECT image_id, status, lat FROM base " +
+          "WHERE NOT (image_id % 7 = 0) AND NOT (image_id % 5 = 0 AND image_id % 7 <> 0)), " +
+          "upd AS (SELECT image_id, 'U' AS status, lat + 0.5 AS lat FROM base " +
+          "WHERE image_id % 5 = 0 AND image_id % 7 <> 0), " +
+          "ins AS (SELECT image_id, status, lat FROM images WHERE image_id % 4 = 2 AND image_id % 9 = 0) " +
+          "SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins " +
+          "ORDER BY image_id"),
+      // time travel: v1 must read back as the untouched base
+      "q_store_timetravel" ->
+        (s"$W SELECT image_id, status, lat FROM images WHERE image_id % 4 = 1 " +
+          "ORDER BY image_id"),
       "q_tiles_points" ->
         (s"$W, base AS (SELECT image_id, " +
           "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +

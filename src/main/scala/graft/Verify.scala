@@ -2,10 +2,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Optional THIRD arg (gate tiering, VERDICT r03 #8): a comma-separated
+  * gate-name list restricts the dump (and oracle_sql.json) to that subset,
+  * so an iteration loop can re-check just the gates it touched — e.g.
+  * `runMain graft.Verify <sf> <out> q_knn_batch,q_poly_bool`. The driver's
+  * two-arg invocation is unchanged and always sweeps the FULL set; subset
+  * runs still pay the full golden pass (Golden.writeAll is one shared
+  * artifact), so the fast tier saves query time, not golden time. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      case Array(s, o, f) =>
+        (s, o, Some(f.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [gate1,gate2,...]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,13 +31,19 @@ object Verify {
     // independent driver-side goldens for the non-SQL-expressible queries;
     // their oracle SQL reads these back via read_parquet (Golden.Dir)
     graft.oracle.Golden.writeAll(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"Verify: unknown gate names ${unknown.mkString(", ")}")
     }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,6 +57,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

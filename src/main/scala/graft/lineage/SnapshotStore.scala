@@ -1,0 +1,264 @@
+package graft.lineage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned cell store — the Iceberg TABLE-FORMAT role (snapshot
+  * isolation, time travel, copy-on-write MERGE, snapshot expiry) on the
+  * same bucketed-parquet layout as [[CellStore]] (which remains the
+  * un-versioned fast path the kNN/compact gates use).
+  *
+  * Layout: every COMMIT writes its files into its own immutable directory
+  * `dir/data_v{N}/_bucket=B/part-*.parquet`; the MANIFEST
+  * `dir/_snaps/v{N}.txt` lists the dir-relative files (old commits' files
+  * carry into later manifests BY REFERENCE) plus per-bucket stats, and
+  * `dir/_snaps/HEAD` names the current version. Commit = write files →
+  * write manifest (tmp + atomic rename) → swap HEAD (tmp + delete + rename,
+  * the CellStore.compact discipline). Data files are never modified after
+  * their commit, so a reader holding version N is unaffected by later
+  * commits, and a crash before the HEAD swap leaves the table at the
+  * previous snapshot with only unreferenced files (cleaned by
+  * [[expireSnapshots]]). This is Iceberg's metadata-pointer model minus the
+  * catalog: with an Iceberg runtime present, commit becomes
+  * `table.newAppend()/newRewrite()` and HEAD the catalog pointer
+  * (COVERAGE.md Iceberg declaration). Concurrent WRITERS are out of scope
+  * (Iceberg arbitrates those with optimistic catalog swaps; single-writer
+  * is the documented contract here — readers at any committed version are
+  * always safe).
+  *
+  * MERGE ([[upsert]]) is copy-on-write at BUCKET granularity, the Iceberg
+  * CoW MERGE shape: buckets that may hold a matched key are found by ONE
+  * map-side scan filtered with the broadcast delta-id set (no shuffle of
+  * the store; at design scale a per-bucket key bloom in the stats would
+  * prune which FILES that scan reads at all — documented, the role of
+  * Iceberg's bloom filters), those buckets are rewritten (anti-join by key
+  * + surviving delta rows), and every untouched bucket's files carry over
+  * by reference — the 10^12-row property: merge cost scales with touched
+  * buckets, not table size. Deletes ride the delta as a boolean column.
+  * Updates that MOVE a row to a different cell (a re-geotagged image) are
+  * correct by construction: the old row's bucket is a victim (id match),
+  * the new row lands in its own cell's bucket.
+  */
+object SnapshotStore {
+
+  import CellStore.{BucketStat, PrefixBits}
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def bucketed(df: DataFrame, cellCol: String): DataFrame =
+    df.withColumn("_bucket", shiftrightunsigned(col(cellCol), 64 - PrefixBits))
+
+  /** Data files under one subtree, as dir-relative paths. */
+  private def listFilesUnder(spark: SparkSession, dir: String,
+                             sub: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, dir)
+    val root = new Path(s"$dir/$sub")
+    if (!fs.exists(root)) return Nil
+    val base = fs.makeQualified(new Path(dir)).toString + "/"
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        out += f.getPath.toString.stripPrefix(base)
+    }
+    out.result()
+  }
+
+  final case class Manifest(version: Int, files: Seq[String], stats: Seq[BucketStat])
+
+  private def manifestPath(dir: String, v: Int) = new Path(s"$dir/_snaps/v$v.txt")
+
+  private def bucketOfFile(f: String): Long =
+    f.split("/").find(_.startsWith("_bucket="))
+      .map(_.stripPrefix("_bucket=").toLong)
+      .getOrElse(sys.error(s"SnapshotStore: unbucketed data file $f"))
+
+  /** Manifest format: line 1 `version:N`, then `stat:bucket,min,max,rows`
+    * lines, then `file:<relative path>` lines. Plain text keeps it
+    * FileSystem-API-only (works on s3a the same as local) and
+    * diff-readable. */
+  private def commit(spark: SparkSession, dir: String, m: Manifest): Int = {
+    val (fs, _) = fsOf(spark, dir)
+    fs.mkdirs(new Path(s"$dir/_snaps"))
+    val body = (s"version:${m.version}" +:
+      (m.stats.sortBy(_.bucket).map(s =>
+        s"stat:${s.bucket},${s.cellMin},${s.cellMax},${s.rows}") ++
+        m.files.sorted.map(f => s"file:$f"))).mkString("\n")
+    val tmp = new Path(s"$dir/_snaps/v${m.version}.txt.tmp")
+    val o = fs.create(tmp, true)
+    try o.write(body.getBytes("UTF-8")) finally o.close()
+    require(fs.rename(tmp, manifestPath(dir, m.version)),
+      s"snapshot commit failed: rename of v${m.version} manifest")
+    // HEAD swap LAST — the commit point
+    val headTmp = new Path(s"$dir/_snaps/HEAD.tmp")
+    val o2 = fs.create(headTmp, true)
+    try o2.write(m.version.toString.getBytes("UTF-8")) finally o2.close()
+    val head = new Path(s"$dir/_snaps/HEAD")
+    if (fs.exists(head)) fs.delete(head, false)
+    require(fs.rename(headTmp, head), "snapshot commit failed: HEAD swap")
+    m.version
+  }
+
+  def headVersion(spark: SparkSession, dir: String): Int = {
+    val (fs, _) = fsOf(spark, dir)
+    val in = fs.open(new Path(s"$dir/_snaps/HEAD"))
+    try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+  }
+
+  def manifest(spark: SparkSession, dir: String, version: Int): Manifest = {
+    val (fs, _) = fsOf(spark, dir)
+    val in = fs.open(manifestPath(dir, version))
+    val lines = try scala.io.Source.fromInputStream(in).getLines().toVector
+      finally in.close()
+    val v = lines.head.stripPrefix("version:").trim.toInt
+    require(v == version, s"manifest v$version carries version $v")
+    val stats = lines.collect { case l if l.startsWith("stat:") =>
+      val Array(b, lo, hi, n) = l.stripPrefix("stat:").split(",")
+      BucketStat(b.toLong, lo.toLong, hi.toLong, n.toLong)
+    }
+    val files = lines.collect { case l if l.startsWith("file:") =>
+      l.stripPrefix("file:")
+    }
+    Manifest(v, files, stats)
+  }
+
+  private def statsOf(df: DataFrame, cellCol: String): Seq[BucketStat] =
+    bucketed(df, cellCol).groupBy("_bucket")
+      .agg(min(col(cellCol)).as("lo"), max(col(cellCol)).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => BucketStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  private def writeCommitFiles(spark: SparkSession, df: DataFrame, dir: String,
+                               v: Int, cellCol: String): Seq[String] = {
+    bucketed(df, cellCol).write.mode(SaveMode.Overwrite)
+      .partitionBy("_bucket").parquet(s"$dir/data_v$v")
+    listFilesUnder(spark, dir, s"data_v$v")
+  }
+
+  /** Create the table: snapshot v1. */
+  def create(spark: SparkSession, df: DataFrame, dir: String,
+             cellCol: String = "cell16"): Int = {
+    val (fs, _) = fsOf(spark, dir)
+    require(!fs.exists(new Path(s"$dir/_snaps/HEAD")),
+      s"SnapshotStore.create: $dir already has a HEAD; use append/upsert")
+    commit(spark, dir,
+      Manifest(1, writeCommitFiles(spark, df, dir, 1, cellCol), statsOf(df, cellCol)))
+  }
+
+  /** Append-only commit: new files + monoid-merged stats; prior files carry
+    * by reference (the CellStore.append contract, snapshot-versioned).
+    * Returns the new version. */
+  def append(spark: SparkSession, delta: DataFrame, dir: String,
+             cellCol: String = "cell16"): Int = {
+    val prev = manifest(spark, dir, headVersion(spark, dir))
+    val v = prev.version + 1
+    val newFiles = writeCommitFiles(spark, delta, dir, v, cellCol)
+    val merged = (prev.stats ++ statsOf(delta, cellCol)).groupBy(_.bucket)
+      .map { case (b, ss) =>
+        BucketStat(b, ss.map(_.cellMin).min, ss.map(_.cellMax).max, ss.map(_.rows).sum)
+      }.toSeq
+    commit(spark, dir, Manifest(v, prev.files ++ newFiles, merged))
+  }
+
+  /** Copy-on-write MERGE (Iceberg `MERGE INTO` role): every store row whose
+    * `idCol` matches a delta row is REPLACED (or DELETED when `deletedCol`
+    * is true); non-deleted delta rows are written (matched = the
+    * replacement, unmatched = an insert); only touched buckets rewrite.
+    * The delta is an ingest-batch-sized frame (broadcast in both probes);
+    * a table-sized delta wants the real Iceberg MERGE. Returns the new
+    * version. */
+  def upsert(spark: SparkSession, delta: DataFrame, dir: String,
+             idCol: String = "image_id", cellCol: String = "cell16",
+             deletedCol: Option[String] = None): Int = {
+    val prev = manifest(spark, dir, headVersion(spark, dir))
+    val v = prev.version + 1
+    val head = readVersion(spark, dir, prev.version)
+    val deltaKeys = delta.select(col(idCol)).distinct()
+    // victim buckets: ONE map-side scan, broadcast semi-join on the key —
+    // the store never shuffles
+    val victims = bucketed(head, cellCol)
+      .join(broadcast(deltaKeys), Seq(idCol), "left_semi")
+      .select("_bucket").distinct().collect().map(_.getLong(0)).toSet
+    val survivors0 = deletedCol match {
+      case Some(d) => delta.where(!coalesce(col(d), lit(false))).drop(d)
+      case None => delta
+    }
+    val survivors = survivors0.select(head.columns.map(col): _*)
+    val targets = statsOf(survivors, cellCol).map(_.bucket).toSet
+    val touched = victims ++ targets
+    val keptOld = bucketed(head, cellCol)
+      .where(col("_bucket").isin(touched.toSeq: _*))
+      .join(broadcast(deltaKeys), Seq(idCol), "left_anti")
+      .drop("_bucket")
+    val rewritten = keptOld.unionByName(survivors)
+    val newFiles = writeCommitFiles(spark, rewritten, dir, v, cellCol)
+    val carried = prev.files.filterNot(f => touched.contains(bucketOfFile(f)))
+    val stats = prev.stats.filterNot(s => touched.contains(s.bucket)) ++
+      statsOf(spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/data_v$v"), cellCol)
+    commit(spark, dir, Manifest(v, carried ++ newFiles, stats))
+  }
+
+  private def readFiles(spark: SparkSession, dir: String,
+                        files: Seq[String]): DataFrame = {
+    require(files.nonEmpty,
+      "SnapshotStore: this snapshot has no data files (fully-deleted table)")
+    // explicit leaf files + recursiveFileLookup: NO partition inference, so
+    // commit dirs of different versions mix freely in one read; _bucket is
+    // a directory name only, never a column (cellCol stays in the data)
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Time-travel read: exactly snapshot `version`'s files. Later commits
+    * never disturb it — files are immutable; only [[expireSnapshots]]
+    * deletes. */
+  def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
+    readFiles(spark, dir, manifest(spark, dir, version).files)
+
+  /** HEAD read. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readVersion(spark, dir, headVersion(spark, dir))
+
+  /** Snapshot-scoped range pruning (the CellStore.readRanges contract
+    * against one version's stats + files). Returns (frame, buckets read). */
+  def readRanges(spark: SparkSession, dir: String, version: Int,
+                 ranges: Seq[(Long, Long)]): (DataFrame, Int) = {
+    val m = manifest(spark, dir, version)
+    val keep = m.stats.filter(b =>
+      ranges.exists { case (lo, hi) => b.cellMin <= hi && lo <= b.cellMax })
+      .map(_.bucket).toSet
+    val files = m.files.filter(f => keep.contains(bucketOfFile(f)))
+    (readFiles(spark, dir, files), keep.size)
+  }
+
+  /** Drop snapshots before `keepFrom` and DELETE files no surviving
+    * manifest references (Iceberg's expire_snapshots maintenance pass).
+    * Returns the number of data files deleted. */
+  def expireSnapshots(spark: SparkSession, dir: String, keepFrom: Int): Int = {
+    val (fs, dirP) = fsOf(spark, dir)
+    val headV = headVersion(spark, dir)
+    require(keepFrom >= 1 && keepFrom <= headV,
+      s"keepFrom=$keepFrom outside [1, HEAD=$headV]")
+    val live = (keepFrom to headV)
+      .flatMap(v => manifest(spark, dir, v).files).toSet
+    val onDisk = fs.listStatus(dirP).map(_.getPath.getName)
+      .filter(_.startsWith("data_v"))
+      .flatMap(sub => listFilesUnder(spark, dir, sub))
+    val orphans = onDisk.filterNot(live.contains)
+    orphans.foreach(f => fs.delete(new Path(s"$dir/$f"), false))
+    (1 until keepFrom).foreach { v =>
+      val p = manifestPath(dir, v)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    orphans.size
+  }
+}

@@ -49,19 +49,30 @@ object Overlay {
   /** merge-changes (change.go:62-78): combine Change batches into one delta;
     * later batches win on id collision (the reference applies in order).
     *
-    * Precondition: each batch carries AT MOST ONE row per id (the shape
-    * `addTag`/`removeTag` produce — the reference's Change is a map keyed by
-    * FeatureID, ingest/change.go:14-16, so duplicates within one batch
-    * cannot exist there either). With duplicate ids inside a single batch
-    * the `_batch` tie would pick a nondeterministic winner (ADVICE r02). */
+    * Precondition — ENFORCED loudly (VERDICT r03 #7; was doc-only): each
+    * batch carries AT MOST ONE row per id (the shape `addTag`/`removeTag`
+    * produce — the reference's Change is a map keyed by FeatureID,
+    * ingest/change.go:14-16, so duplicates within one batch cannot exist
+    * there either). With duplicate ids inside a single batch the `_batch`
+    * tie would pick a nondeterministic winner (ADVICE r02), so a violating
+    * input now raises from inside the merge plan itself (a per-(id, batch)
+    * count window + raise_error — lazy, no extra job; referenced in the
+    * final filter so column pruning cannot drop the check). */
   def mergeChanges(idCol: String, changes: Seq[DataFrame]): DataFrame = {
     require(changes.nonEmpty, "mergeChanges: empty change list (nothing to merge)")
     val tagged = changes.zipWithIndex
       .map { case (c, i) => c.withColumn("_batch", lit(i)) }
       .reduce(_ unionByName _)
+    val wDup = Window.partitionBy(col(idCol), col("_batch"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_batch").desc)
-    tagged.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_batch", "_rn")
+    tagged
+      .withColumn("_dupchk",
+        when(count(lit(1)).over(wDup) > 1,
+          raise_error(concat(
+            lit("mergeChanges: duplicate id within one batch: "),
+            col(idCol).cast("string")))))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("_dupchk").isNull)
+      .drop("_batch", "_rn", "_dupchk")
   }
 }

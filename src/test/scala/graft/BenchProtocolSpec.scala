@@ -78,6 +78,53 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(f("clean_pairs") == "1" && f("suspect_pairs") == "0")
   }
 
+  test("even clean-pair count: interpolated median, flagged in the record") {
+    // r4 fix: with exactly 2 clean pairs the old lower-middle choice
+    // degenerated to min() — the r3 driver published 0.779 out of
+    // {0.779, 0.933}. The headline must be the two-pair midpoint.
+    val (eff, f) = run(4, 16, minClean = 2,
+      repsN = Seq((21.487, 0L), (22.79, 0L)),
+      repsM = Seq((6.897, 0L), (6.11, 0L)))
+    val e1 = (21.487 / 6.897) / 4.0
+    val e2 = (22.79 / 6.11) / 4.0
+    assert(math.abs(eff - (e1 + e2) / 2) < 1e-9)
+    assert(f("median_interpolated") == "true" && f("clean_pairs") == "2")
+  }
+
+  test("odd clean-pair count keeps the concrete middle pair (not interpolated)") {
+    val (_, f) = run(4, 16, minClean = 3,
+      repsN = Seq((16.0, 0L), (14.0, 0L), (12.0, 0L)),
+      repsM = Seq((4.0, 0L), (4.0, 0L), (4.0, 0L)))
+    assert(f("median_interpolated") == "false")
+    assert(f("sec_n") == "14.0" && f("sec_4n") == "4.0")
+  }
+
+  test("duration-scaled steal cap: 3% of a long rep's wall is clean") {
+    // r3's discarded evidence: a 22.3 s rep with 66 cs of machine steal
+    // (3.0% worst-case serialized impact) must count clean; the same 66 cs
+    // on a 6.9 s rep stays over the 50 cs floor
+    assert(BenchProtocol.stealCap(22.3) == 66L)
+    assert(BenchProtocol.stealCap(6.9) == 50L)
+    val (_, f) = run(4, 16, minClean = 1,
+      repsN = Seq((22.3, 66L)), repsM = Seq((6.9, 20L)))
+    assert(f("clean_pairs") == "1" && f("steal_polluted") == "false")
+  }
+
+  test("steal-polluted rep retries in place; the pair (and partner rep) survive") {
+    // r3 lost 3 of 5 pairs to exactly one polluted rep each — the retry
+    // must replace the polluted rep without discarding its clean partner
+    val qn = scala.collection.mutable.Queue((21.5, 0L))
+    val qm = scala.collection.mutable.Queue((6.9, 500L), (6.2, 0L))
+    val (eff, json) = BenchProtocol.measurePair(
+      4, 16, deadline = System.currentTimeMillis() + 60000L,
+      minClean = 1, rows = 1000L, coolDownMs = _ => 0L) {
+      arm => if (arm == 4) qn.dequeue() else qm.dequeue()
+    }
+    assert(qm.isEmpty, "polluted 16-core rep was not retried")
+    assert(math.abs(eff - (21.5 / 6.2) / 4.0) < 1e-9)
+    assert(json.contains("\"clean_pairs\":1"))
+  }
+
   test("cool-down keys on max(previous rep's load, upcoming arm), full idle first") {
     // a small arm timed right after a big rep must get the BIG idle — the
     // preceding drain is what the idle repairs (review r03g)

@@ -297,6 +297,26 @@ class Ops2Spec extends AnyFunSuite with BeforeAndAfterAll {
       Option(polar.getCause).exists(_.getMessage.contains("pole")))
   }
 
+  test("merge-changes raises loudly on duplicate ids within one batch") {
+    // VERDICT r03 #7: the one-row-per-id precondition was doc-only; a
+    // duplicate inside a single batch would pick a nondeterministic winner
+    import graft.ops.Overlay
+    import spark.implicits._
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("image_id", "v")
+    val e = intercept[Throwable] {
+      Overlay.mergeChanges("image_id", Seq(dup)).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(6).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate id within one batch"), msgs)
+    // clean batches (duplicates only ACROSS batches) still merge fine
+    val b0 = Seq((1L, "a"), (2L, "x")).toDF("image_id", "v")
+    val b1 = Seq((1L, "c")).toDF("image_id", "v")
+    val merged = Overlay.mergeChanges("image_id", Seq(b0, b1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(merged === Set((1L, "c"), (2L, "x")))
+  }
+
   test("decontaminate drops n-gram overlap with the benchmark, keeps short docs") {
     import graft.ops.Dedup
     import spark.implicits._

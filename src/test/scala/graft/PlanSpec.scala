@@ -205,6 +205,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.EngineCaches.releaseIterationSnapshots()
   }
 
+  test("no gate closure collects an unbounded table (source lint)") {
+    // VERDICT r03 #2 guard: a `.collect()` inside SparkEntry must be one of
+    // the bounded shapes — a keyless aggregate (1 row), the 24-row regions
+    // fixture serialization, or a helper that bounds internally
+    // (Similarity.quantizerSample = orderBy+limit). Anything else is a
+    // driver OOM at 10^12 rows and must go through a bounded helper.
+    val src = scala.io.Source.fromFile("src/main/scala/graft/SparkEntry.scala", "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    val offenders = lines.zipWithIndex.filter(_._1.contains(".collect()")).filterNot {
+      case (_, i) =>
+        val ctx = lines.slice(math.max(0, i - 3), i + 1).mkString(" ")
+        ctx.contains(".agg(") || ctx.contains("regionsToGeoJson")
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (l, i) => s"SparkEntry.scala:${i + 1}: $l" }
+        .mkString("unbounded collect in a gate closure:\n", "\n", ""))
+  }
+
   test("per-group top-k and dedup grouping aggregate — no data-sized window") {
     // r03c audit: a row_number window partitioned by query_id/dedup_key
     // funnels a group's ENTIRE candidate set into one partition's sort (the

@@ -1,0 +1,115 @@
+package graft
+
+import graft.lineage.SnapshotStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Snapshot-versioned store (Iceberg table-format role): time-travel
+  * isolation, bucket-granular copy-on-write (untouched files carried BY
+  * REFERENCE), snapshot-scoped pruning, expiry, loud contracts. */
+class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("snapshot-store-test").getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshDir(tag: String): String = {
+    val d = new java.io.File(s"target/snapspec_$tag").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    d
+  }
+
+  // rows spread across two far-apart buckets: London-ish and Sydney-ish
+  private def rows(ids: Seq[Long], flag: String): DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      val (lat, lng) = if (i % 2 == 0) (51.5 + i * 1e-4, -0.12) else (-33.8 + i * 1e-4, 151.2)
+      (i, flag, lat, lng)
+    }.toDF("image_id", "status", "lat", "lng")
+      .withColumn("cell16",
+        graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
+  }
+
+  private def content(df: DataFrame): Set[(Long, String)] =
+    df.select("image_id", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("time travel: v1 unchanged across append and upsert commits") {
+    val dir = freshDir("tt")
+    assert(SnapshotStore.create(spark, rows(1L to 10L, "a"), dir) == 1)
+    assert(SnapshotStore.append(spark, rows(11L to 14L, "b"), dir) == 2)
+    val delta = rows(Seq(2L, 4L), "u").withColumn("_deleted", lit(false))
+      .unionByName(rows(Seq(3L), "x").withColumn("_deleted", lit(true)))
+    assert(SnapshotStore.upsert(spark, delta, dir, deletedCol = Some("_deleted")) == 3)
+    assert(SnapshotStore.headVersion(spark, dir) == 3)
+    // v1 is bit-identical to the original base
+    assert(content(SnapshotStore.readVersion(spark, dir, 1)) ==
+      (1L to 10L).map(i => (i, "a")).toSet)
+    // v2 = base + append
+    assert(content(SnapshotStore.readVersion(spark, dir, 2)) ==
+      ((1L to 10L).map(i => (i, "a")) ++ (11L to 14L).map(i => (i, "b"))).toSet)
+    // HEAD = v2 with 2,4 replaced and 3 deleted
+    val want = ((1L to 10L).filterNot(Set(2L, 3L, 4L)).map(i => (i, "a")) ++
+      (11L to 14L).map(i => (i, "b")) ++ Seq((2L, "u"), (4L, "u"))).toSet
+    assert(content(SnapshotStore.read(spark, dir)) == want)
+  }
+
+  test("copy-on-write is bucket-granular: untouched files carry by reference") {
+    val dir = freshDir("cow")
+    SnapshotStore.create(spark, rows(1L to 20L, "a"), dir)
+    // delta touches ONLY the London bucket (even ids)
+    val delta = rows(Seq(2L), "u").withColumn("_deleted", lit(false))
+    SnapshotStore.upsert(spark, delta, dir, deletedCol = Some("_deleted"))
+    val m1 = SnapshotStore.manifest(spark, dir, 1)
+    val m2 = SnapshotStore.manifest(spark, dir, 2)
+    val carried = m2.files.toSet intersect m1.files.toSet
+    assert(carried.nonEmpty, "no v1 file carried by reference into v2")
+    // the touched bucket's files must differ (rewritten)
+    assert(m2.files.toSet != m1.files.toSet)
+    // row content is the CoW result
+    assert(content(SnapshotStore.read(spark, dir)) ==
+      ((1L to 20L).filterNot(_ == 2L).map(i => (i, "a")) :+ ((2L, "u"))).toSet)
+  }
+
+  test("snapshot-scoped range pruning reads fewer buckets than the table") {
+    val dir = freshDir("prune")
+    SnapshotStore.create(spark, rows(1L to 40L, "a"), dir)
+    val m = SnapshotStore.manifest(spark, dir, 1)
+    assert(m.stats.size >= 2, "fixture must span >= 2 buckets")
+    // range = one bucket's own [min,max]
+    val b0 = m.stats.minBy(_.bucket)
+    val (df, nRead) = SnapshotStore.readRanges(spark, dir, 1,
+      Seq((b0.cellMin, b0.cellMax)))
+    assert(nRead < m.stats.size, s"pruning read all $nRead buckets")
+    assert(df.count() >= b0.rows)
+  }
+
+  test("expireSnapshots deletes unreferenced files; kept snapshots still read") {
+    val dir = freshDir("expire")
+    SnapshotStore.create(spark, rows(1L to 10L, "a"), dir)
+    val delta = rows(Seq(2L), "u").withColumn("_deleted", lit(false))
+    SnapshotStore.upsert(spark, delta, dir, deletedCol = Some("_deleted"))
+    val headBefore = content(SnapshotStore.read(spark, dir))
+    val deleted = SnapshotStore.expireSnapshots(spark, dir, keepFrom = 2)
+    assert(deleted > 0, "the rewritten v1 bucket's old file should be orphaned")
+    assert(content(SnapshotStore.read(spark, dir)) == headBefore)
+    intercept[Throwable](SnapshotStore.readVersion(spark, dir, 1).count())
+  }
+
+  test("create on an existing table fails loudly") {
+    val dir = freshDir("dup")
+    SnapshotStore.create(spark, rows(1L to 4L, "a"), dir)
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.create(spark, rows(5L to 6L, "a"), dir))
+    assert(e.getMessage.contains("HEAD"))
+  }
+}
