@@ -48,6 +48,19 @@ object SparkEntry {
   /** The images CTE prefix shared by every oracle query. */
   private val W = s"WITH images AS (${Synth.imagesSelect})"
 
+  /** Exact cosine top-10 over embeddings in DuckDB's own list functions —
+    * ONE text shared by the q_ann_topk oracle and the q_ann_recall
+    * oracle's exact side. */
+  private val AnnExactTopkSql: String =
+    "SELECT query_id, result_id, rank FROM (" +
+      "SELECT q.vec_id AS query_id, e.vec_id AS result_id, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS INT) AS rank " +
+      "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q " +
+      "WHERE e.vec_id != q.vec_id " +
+      "AND NOT isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))" +
+      ") t WHERE rank <= 10"
+
   private def snapStoreDir(dir: String, tag: String): String =
     new java.io.File(
       s"target/snapstore_${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").getAbsolutePath
@@ -398,6 +411,19 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // --- Iceberg-role CHANGELOG (CDC / incremental scan): the row-level
+    //     delta between two snapshots, classified insert/delete/update —
+    //     what a training run that last consumed v1 reads instead of the
+    //     whole table. Only changed buckets are read; rewritten-but-
+    //     unchanged rows are filtered by the null-safe row compare. ---
+    "q_store_changelog" -> ((s, dir) => {
+      val store = snapStoreDir(dir, "cdc")
+      snapshotUpsertFixture(s, dir, store)
+      graft.lineage.SnapshotStore.changelog(s, store, 1, 2)
+        .select(col("image_id"), col("op"), col("status"))
+        .orderBy("image_id")
+    }),
+
     // --- §2.4/§2.7 tile-assignment join (point manifest, zooms 8..12) ---
     "q_tiles_points" -> ((s, dir) =>
       Tiling.pointManifest(images(s, dir), 8, 12)
@@ -659,6 +685,23 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", 10, centroids, nProbe = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // --- similarity: recall@10 of the IVF index vs the exact baseline —
+    //     the continuous index-quality eval (round 4). Oracle: exact side
+    //     recomputed by DuckDB's own cosine (the q_ann_topk SQL, one shared
+    //     text), approx side from the INDEPENDENT q_ann_ivf golden, joined
+    //     and counted in SQL. ---
+    "q_ann_recall" -> ((s, dir) => {
+      Tables.registerBase(s, dir)
+      val emb = s.table("embeddings")
+      val sample = Similarity.quantizerSample(emb, "vec_id", "embedding")
+      val centroids = Similarity.trainCentroids(sample, nClusters = 16, iters = 5)
+      val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+      val approx = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", 10, centroids, nProbe = 4)
+      Similarity.recallAtK(approx, exact, 10).orderBy("query_id")
     }),
 
     // --- similarity: LSH-bucketed ANN pairs (scale path, approximate) ---
@@ -1822,6 +1865,18 @@ object SparkEntry {
       "q_store_timetravel" ->
         (s"$W SELECT image_id, status, lat FROM images WHERE image_id % 4 = 1 " +
           "ORDER BY image_id"),
+      // CDC semantics in pure SQL: deletes carry the OLD row, updates the
+      // NEW one, inserts the inserted row
+      "q_store_changelog" ->
+        (s"$W, base AS (SELECT image_id, status FROM images WHERE image_id % 4 = 1), " +
+          "del AS (SELECT image_id, 'delete' AS op, status FROM base WHERE image_id % 7 = 0), " +
+          "upd AS (SELECT image_id, 'update' AS op, 'U' AS status FROM base " +
+          "WHERE image_id % 5 = 0 AND image_id % 7 <> 0), " +
+          "ins AS (SELECT image_id, 'insert' AS op, status FROM images " +
+          "WHERE image_id % 4 = 2 AND image_id % 9 = 0) " +
+          "SELECT image_id, op, status FROM del " +
+          "UNION ALL SELECT image_id, op, status FROM upd " +
+          "UNION ALL SELECT image_id, op, status FROM ins ORDER BY image_id"),
       "q_tiles_points" ->
         (s"$W, base AS (SELECT image_id, " +
           "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
@@ -2014,15 +2069,19 @@ object SparkEntry {
           "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45 " +
           "AND NOT isnan(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) " +
           "ORDER BY id_a, id_b"),
-      "q_ann_topk" ->
-        ("SELECT query_id, result_id, rank FROM (" +
-          "SELECT q.vec_id AS query_id, e.vec_id AS result_id, " +
-          "CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
-          "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS INT) AS rank " +
-          "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q " +
-          "WHERE e.vec_id != q.vec_id " +
-          "AND NOT isnan(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))" +
-          ") t WHERE rank <= 10 ORDER BY query_id, rank"),
+      "q_ann_topk" -> s"$AnnExactTopkSql ORDER BY query_id, rank",
+      // recall@10: exact side recomputed by DuckDB's own cosine (the SAME
+      // shared text as q_ann_topk), approx side from the independent
+      // q_ann_ivf golden — the recall join itself is what this gate checks
+      "q_ann_recall" ->
+        (s"WITH exact AS ($AnnExactTopkSql), " +
+          "approx AS (SELECT query_id, result_id FROM read_parquet('" +
+          s"${graft.oracle.Golden.Dir}/q_ann_ivf.parquet/*.parquet')) " +
+          "SELECT exact.query_id AS query_id, CAST(COUNT(approx.result_id) AS BIGINT) AS n_hits, " +
+          "COUNT(approx.result_id) / 10.0 AS recall " +
+          "FROM exact LEFT JOIN approx ON exact.query_id = approx.query_id " +
+          "AND exact.result_id = approx.result_id " +
+          "GROUP BY exact.query_id ORDER BY exact.query_id"),
       "q_text_quality" ->
         ("WITH t AS (SELECT doc_id, n_chars, " +
           "CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 0)) AS BIGINT) AS n_tokens, " +

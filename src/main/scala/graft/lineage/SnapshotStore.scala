@@ -240,6 +240,48 @@ object SnapshotStore {
     (readFiles(spark, dir, files), keep.size)
   }
 
+  /** Changelog between two snapshots — the Iceberg CDC / incremental-scan
+    * role: the row-level delta a downstream consumer (a training run that
+    * last saw `fromV`) needs, classified as insert / delete / update
+    * (update emits the NEW row). Cost scales with CHANGED DATA, not table
+    * size: buckets whose file sets are identical in both manifests cannot
+    * contain a change (files are immutable, CoW rewrites whole buckets),
+    * so only differing buckets' files are read and key-joined; unchanged
+    * rows inside a rewritten bucket are filtered by a null-safe full-row
+    * compare. Appends surface as pure inserts (their buckets gain files).
+    * Output: every data column of the surviving side + `op` STRING. */
+  def changelog(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+                idCol: String = "image_id"): DataFrame = {
+    require(fromV < toV, s"changelog: fromV=$fromV must precede toV=$toV")
+    val mA = manifest(spark, dir, fromV)
+    val mB = manifest(spark, dir, toV)
+    val changed = (mA.files.toSet union mB.files.toSet) --
+      (mA.files.toSet intersect mB.files.toSet)
+    val buckets = changed.map(bucketOfFile)
+    val filesA = mA.files.filter(f => buckets.contains(bucketOfFile(f)))
+    val filesB = mB.files.filter(f => buckets.contains(bucketOfFile(f)))
+    def side(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        readVersion(spark, dir, toV).where(lit(false))
+      else readFiles(spark, dir, files)
+    val oldS = side(filesA)
+    val newS = side(filesB)
+    val dataCols = newS.columns.toSeq
+    val o = oldS.select(dataCols.map(c => col(c).as(s"_o_$c")): _*)
+    val n = newS.select(dataCols.map(c => col(c).as(s"_n_$c")): _*)
+    val joined = o.join(n, col(s"_o_$idCol") <=> col(s"_n_$idCol"), "full_outer")
+    val rowSame = dataCols.map(c => col(s"_o_$c") <=> col(s"_n_$c")).reduce(_ && _)
+    joined
+      .withColumn("op",
+        when(col(s"_o_$idCol").isNull, lit("insert"))
+          .when(col(s"_n_$idCol").isNull, lit("delete"))
+          .when(rowSame, lit(null))
+          .otherwise(lit("update")))
+      .where(col("op").isNotNull)
+      .select(dataCols.map(c =>
+        coalesce(col(s"_n_$c"), col(s"_o_$c")).as(c)) :+ col("op"): _*)
+  }
+
   /** Drop snapshots before `keepFrom` and DELETE files no surviving
     * manifest references (Iceberg's expire_snapshots maintenance pass).
     * Returns the number of data files deleted. */

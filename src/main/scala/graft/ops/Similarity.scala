@@ -95,6 +95,25 @@ object Similarity {
       .withColumn("cosine", cosine(col("vec"), col("qvec"), col("norm"), col("qnorm"))), k)
   }
 
+  /** Recall@k of an approximate ANN result against the exact baseline —
+    * the index-quality eval join a training pipeline runs continuously
+    * (is the IVF/LSH index still finding what brute force finds?). Inputs
+    * are two ranked result sets (query_id, result_id[, rank]); output one
+    * row per query in `exact`: (query_id, n_hits, recall) with n_hits =
+    * |approx ∩ exact| and recall = n_hits / k. One keyed shuffle on
+    * (query_id, result_id) — both sides are O(queries × k) regardless of
+    * corpus size, so the eval costs nothing next to the searches. recall
+    * is an exact small-integer division, bit-stable across engines. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"recallAtK: k must be positive, got $k")
+    exact.select(col("query_id"), col("result_id"))
+      .join(approx.select(col("query_id"), col("result_id"), lit(1).as("_hit")),
+        Seq("query_id", "result_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("recall", col("n_hits") / lit(k.toDouble))
+  }
+
   /** Quantizer-training sample bound, ONE definition shared by the gate
     * closures and the Golden driver recomputation: [[trainCentroids]]'
     * contract is a bounded sample (scaladoc below), but the gates used to

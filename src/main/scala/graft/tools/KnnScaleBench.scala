@@ -37,14 +37,19 @@ object KnnScaleBench {
     val images = Tables.imagesSynth(spark, rows)
       .select("image_id", "lat", "lng", "cell16")
     val queries = Synth.batchQueryDf(spark, nQueries)
-    // JIT warm at full row volume but a small query set (the Bench protocol)
-    Knn.knnBatch(spark, images, Synth.batchQueryDf(spark, 200), k = 3).count()
+    // JIT warm at full row volume but a small query set (the Bench protocol);
+    // auto initial radius everywhere (initialRadiusDeg <= 0, the gates'
+    // density-derived default) — a fixed 2-degree round-1 cap at 64M rows
+    // floods every layout with ~2x10^8 candidate rows and measures the
+    // radius policy, not the join layout
+    Knn.knnBatch(spark, images, Synth.batchQueryDf(spark, 200), k = 3,
+      initialRadiusDeg = 0.0).count()
     EngineCaches.releaseIterationSnapshots()
     def time(label: String, limit: Long): (String, Long, Seq[Double]) = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val n = Knn.knnBatch(spark, images, queries, k = 3,
-          broadcastQueryRowLimit = limit).count()
+          initialRadiusDeg = 0.0, broadcastQueryRowLimit = limit).count()
         EngineCaches.releaseIterationSnapshots()
         (n, (System.nanoTime() - t0) / 1e9)
       }

@@ -105,6 +105,27 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Throwable](SnapshotStore.readVersion(spark, dir, 1).count())
   }
 
+  test("changelog: insert/delete/update classified; rewritten-but-unchanged rows silent") {
+    val dir = freshDir("cdc")
+    SnapshotStore.create(spark, rows(1L to 10L, "a"), dir)
+    val delta = rows(Seq(2L), "u").withColumn("_deleted", lit(false))
+      .unionByName(rows(Seq(3L), "x").withColumn("_deleted", lit(true)))
+      .unionByName(rows(Seq(21L), "b").withColumn("_deleted", lit(false)))
+    SnapshotStore.upsert(spark, delta, dir, deletedCol = Some("_deleted"))
+    val got = SnapshotStore.changelog(spark, dir, 1, 2)
+      .select("image_id", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // ids 4,6,8,10 share bucket(s) with 2/3 and were REWRITTEN unchanged —
+    // they must not appear in the delta
+    assert(got === Set((2L, "update"), (3L, "delete"), (21L, "insert")))
+    // appended-only commit surfaces as pure inserts
+    SnapshotStore.append(spark, rows(Seq(31L, 33L), "c"), dir)
+    val got2 = SnapshotStore.changelog(spark, dir, 2, 3)
+      .select("image_id", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 === Set((31L, "insert"), (33L, "insert")))
+  }
+
   test("create on an existing table fails loudly") {
     val dir = freshDir("dup")
     SnapshotStore.create(spark, rows(1L to 4L, "a"), dir)
