@@ -70,7 +70,10 @@ object SnapshotStore {
     out.result()
   }
 
-  final case class Manifest(version: Int, files: Seq[String], stats: Seq[BucketStat])
+  /** `lastBatch` = the highest streaming micro-batch id committed so far
+    * (-1 when none): the idempotence cursor for [[appendBatch]]. */
+  final case class Manifest(version: Int, files: Seq[String],
+                            stats: Seq[BucketStat], lastBatch: Long = -1L)
 
   private def manifestPath(dir: String, v: Int) = new Path(s"$dir/_snaps/v$v.txt")
 
@@ -86,10 +89,10 @@ object SnapshotStore {
   private def commit(spark: SparkSession, dir: String, m: Manifest): Int = {
     val (fs, _) = fsOf(spark, dir)
     fs.mkdirs(new Path(s"$dir/_snaps"))
-    val body = (s"version:${m.version}" +:
-      (m.stats.sortBy(_.bucket).map(s =>
+    val body = (Seq(s"version:${m.version}", s"batch:${m.lastBatch}") ++
+      m.stats.sortBy(_.bucket).map(s =>
         s"stat:${s.bucket},${s.cellMin},${s.cellMax},${s.rows}") ++
-        m.files.sorted.map(f => s"file:$f"))).mkString("\n")
+      m.files.sorted.map(f => s"file:$f")).mkString("\n")
     val tmp = new Path(s"$dir/_snaps/v${m.version}.txt.tmp")
     val o = fs.create(tmp, true)
     try o.write(body.getBytes("UTF-8")) finally o.close()
@@ -125,7 +128,10 @@ object SnapshotStore {
     val files = lines.collect { case l if l.startsWith("file:") =>
       l.stripPrefix("file:")
     }
-    Manifest(v, files, stats)
+    val lastBatch = lines.collectFirst { case l if l.startsWith("batch:") =>
+      l.stripPrefix("batch:").trim.toLong
+    }.getOrElse(-1L)
+    Manifest(v, files, stats, lastBatch)
   }
 
   private def statsOf(df: DataFrame, cellCol: String): Seq[BucketStat] =
@@ -165,8 +171,42 @@ object SnapshotStore {
       .map { case (b, ss) =>
         BucketStat(b, ss.map(_.cellMin).min, ss.map(_.cellMax).max, ss.map(_.rows).sum)
       }.toSeq
-    commit(spark, dir, Manifest(v, prev.files ++ newFiles, merged))
+    commit(spark, dir, Manifest(v, prev.files ++ newFiles, merged, prev.lastBatch))
   }
+
+  /** Streaming ingest commit — ONE append snapshot per micro-batch,
+    * IDEMPOTENT under foreachBatch's at-least-once replay (the Iceberg
+    * streaming-write dedup role): the manifest carries the highest
+    * committed micro-batch id; a replayed batch at or below it is a no-op
+    * (returns None), so a crash between the sink's checkpoint advance and
+    * the batch function cannot double-append. Requires monotonically
+    * increasing batch ids — exactly what Structured Streaming's
+    * foreachBatch supplies. */
+  def appendBatch(spark: SparkSession, batch: DataFrame, dir: String,
+                  batchId: Long, cellCol: String = "cell16"): Option[Int] = {
+    val prev = manifest(spark, dir, headVersion(spark, dir))
+    if (batchId <= prev.lastBatch) return None
+    val v = prev.version + 1
+    val newFiles = writeCommitFiles(spark, batch, dir, v, cellCol)
+    val merged = (prev.stats ++ statsOf(batch, cellCol)).groupBy(_.bucket)
+      .map { case (b, ss) =>
+        BucketStat(b, ss.map(_.cellMin).min, ss.map(_.cellMax).max, ss.map(_.rows).sum)
+      }.toSeq
+    Some(commit(spark, dir, Manifest(v, prev.files ++ newFiles, merged, batchId)))
+  }
+
+  /** Attach a stream to the table: every micro-batch commits one snapshot
+    * through [[appendBatch]] (skips replayed ids). Caller starts/awaits the
+    * returned writer. */
+  def ingestStream(stream: DataFrame, dir: String,
+                   checkpoint: String, cellCol: String = "cell16")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendBatch(batch.sparkSession, batch.toDF(), dir, id, cellCol)
+        ()
+      }
 
   /** Copy-on-write MERGE (Iceberg `MERGE INTO` role): every store row whose
     * `idCol` matches a delta row is REPLACED (or DELETED when `deletedCol`
@@ -204,7 +244,7 @@ object SnapshotStore {
     val stats = prev.stats.filterNot(s => touched.contains(s.bucket)) ++
       statsOf(spark.read.option("recursiveFileLookup", "true")
         .parquet(s"$dir/data_v$v"), cellCol)
-    commit(spark, dir, Manifest(v, carried ++ newFiles, stats))
+    commit(spark, dir, Manifest(v, carried ++ newFiles, stats, prev.lastBatch))
   }
 
   private def readFiles(spark: SparkSession, dir: String,

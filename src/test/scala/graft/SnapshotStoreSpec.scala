@@ -126,6 +126,43 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 === Set((31L, "insert"), (33L, "insert")))
   }
 
+  test("streaming ingest: one snapshot per micro-batch, replayed batch ids are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir("stream")
+    SnapshotStore.create(spark, rows(1L to 4L, "a"), dir)
+    val ms = MemoryStream[Long]
+    val stream = ms.toDF().select(col("value").as("image_id"))
+      .withColumn("status", lit("s"))
+      .withColumn("lat", lit(51.5) + col("image_id") * 1e-4)
+      .withColumn("lng", lit(-0.12))
+      .withColumn("cell16",
+        graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
+    val q = SnapshotStore.ingestStream(stream, dir,
+      new java.io.File(s"target/snapspec_stream_ckpt").getAbsolutePath).start()
+    try {
+      ms.addData(11L, 12L); q.processAllAvailable()
+      ms.addData(13L); q.processAllAvailable()
+    } finally q.stop()
+    // stream == batch: HEAD holds base + every streamed row
+    assert(content(SnapshotStore.read(spark, dir)) ==
+      ((1L to 4L).map(i => (i, "a")) ++ Seq((11L, "s"), (12L, "s"), (13L, "s"))).toSet)
+    // each non-empty micro-batch committed ONE snapshot; the idempotence
+    // cursor tracks the highest batch id
+    val head = SnapshotStore.headVersion(spark, dir)
+    assert(head >= 3, s"expected >= 3 versions, got $head")
+    val last = SnapshotStore.manifest(spark, dir, head).lastBatch
+    assert(last >= 1)
+    // at-least-once replay: re-delivering an already-committed batch id
+    // must not append (no new version, content unchanged)
+    val replay = rows(Seq(99L), "x")
+    assert(SnapshotStore.appendBatch(spark, replay, dir, last).isEmpty)
+    assert(SnapshotStore.headVersion(spark, dir) == head)
+    // and the NEXT id commits normally
+    assert(SnapshotStore.appendBatch(spark, replay, dir, last + 1).contains(head + 1))
+  }
+
   test("create on an existing table fails loudly") {
     val dir = freshDir("dup")
     SnapshotStore.create(spark, rows(1L to 4L, "a"), dir)
