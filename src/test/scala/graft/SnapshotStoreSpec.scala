@@ -139,8 +139,11 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("lng", lit(-0.12))
       .withColumn("cell16",
         graft.functions.S2Expressions.s2Cell16(col("lat"), col("lng")))
-    val q = SnapshotStore.ingestStream(stream, dir,
-      new java.io.File(s"target/snapspec_stream_ckpt").getAbsolutePath).start()
+    // checkpoint must be as fresh as the MemoryStream: a leftover
+    // checkpoint from a previous run carries committed offsets the new
+    // stream doesn't have (observed: sliceEnd -1 STREAM_FAILED)
+    val ckpt = freshDir("stream_ckpt")
+    val q = SnapshotStore.ingestStream(stream, dir, ckpt).start()
     try {
       ms.addData(11L, 12L); q.processAllAvailable()
       ms.addData(13L); q.processAllAvailable()
@@ -161,6 +164,61 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SnapshotStore.headVersion(spark, dir) == head)
     // and the NEXT id commits normally
     assert(SnapshotStore.appendBatch(spark, replay, dir, last + 1).contains(head + 1))
+  }
+
+  test("model check: random commit sequences — every snapshot equals the map model") {
+    // deterministic pseudo-random op sequence (splitmix64-seeded) replayed
+    // against an in-memory Map[id -> status] model; after every commit the
+    // model's snapshot is recorded, and at the end EVERY version is read
+    // back and compared — time travel over arbitrary histories, not just
+    // the hand fixtures
+    import graft.core.Hashes
+    val dir = freshDir("model")
+    var model = (1L to 12L).map(i => i -> "a").toMap
+    SnapshotStore.create(spark, rows(1L to 12L, "a"), dir)
+    val history = scala.collection.mutable.ArrayBuffer(model)
+    var nextId = 100L
+    for (step <- 0 until 6) {
+      val r = Hashes.splitmix64(7919L * (step + 1))
+      if (r % 3 == 0) {
+        // append fresh ids
+        val ids = Seq(nextId, nextId + 1); nextId += 2
+        SnapshotStore.append(spark, rows(ids, s"ap$step"), dir)
+        model = model ++ ids.map(_ -> s"ap$step")
+      } else {
+        // upsert: update 2 existing (pseudo-randomly picked), delete 1,
+        // insert 1 fresh
+        val existing = model.keys.toSeq.sorted
+        def pick(k: Long) = existing(((Hashes.splitmix64(r + k) >>> 11) % existing.size).toInt)
+        val (u1, u2, d1) = (pick(1), pick(2), pick(3))
+        val ins = nextId; nextId += 1
+        val ups = Seq(u1, u2).distinct.filterNot(_ == d1)
+        val delta = rows(ups, s"up$step").withColumn("_deleted", lit(false))
+          .unionByName(rows(Seq(d1), "x").withColumn("_deleted", lit(true)))
+          .unionByName(rows(Seq(ins), s"in$step").withColumn("_deleted", lit(false)))
+        SnapshotStore.upsert(spark, delta, dir, deletedCol = Some("_deleted"))
+        model = (model -- (ups :+ d1)) ++ ups.map(_ -> s"up$step") + (ins -> s"in$step")
+      }
+      history += model
+    }
+    assert(SnapshotStore.headVersion(spark, dir) == history.size)
+    history.zipWithIndex.foreach { case (m, i) =>
+      val got = content(SnapshotStore.readVersion(spark, dir, i + 1))
+      assert(got == m.toSet, s"version ${i + 1} diverged from the model")
+    }
+    // changelog composes: replaying every consecutive delta over the model
+    // of v1 must reproduce HEAD
+    var replay = history.head
+    (1 until history.size).foreach { v =>
+      val delta = SnapshotStore.changelog(spark, dir, v, v + 1)
+        .select("image_id", "status", "op").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      delta.foreach {
+        case (id, _, "delete") => replay -= id
+        case (id, st, _) => replay += (id -> st)
+      }
+    }
+    assert(replay == history.last, "changelog replay diverged from HEAD")
   }
 
   test("create on an existing table fails loudly") {
