@@ -1674,10 +1674,10 @@ object SparkEntry {
       val areas = graft.sources.GeoJson.geojsonAreas(parsed)
         .where(col("poly_idx") === 0)
         .select(col("feature_id"), col("inverted"))
-      parsed.select(col("feature_id"), col("geom_type"),
+      parsed.select(col("feature_id"), col("geom_type"), col("member_idx"),
           nParts.as("n_parts"), nPoints.as("n_points"))
         .join(areas, Seq("feature_id"), "left")
-        .orderBy("feature_id")
+        .orderBy("feature_id", "geom_type")
     }),
 
     // --- §2.1/§3.3 MVT line + area layers (renderer/encoder.go:77-143):
@@ -2442,7 +2442,7 @@ object SparkEntry {
       "q_path_join" -> g("q_path_join", "path_id"),
       "q_typed_take" -> g("q_typed_take", "ftype, rn"),
       "q_relation_members" -> g("q_relation_members", "rel_fid, mfid"),
-      "q_geojson_full" -> g("q_geojson_full", "feature_id"),
+      "q_geojson_full" -> g("q_geojson_full", "feature_id, geom_type"),
       "q_clip" -> g("q_clip", "region_id"),
       "q_mvt_paths" -> g("q_mvt_paths", "layer, z, x, y"),
       "q_sightline" -> g("q_sightline", "origin_id"),

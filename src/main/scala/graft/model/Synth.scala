@@ -393,7 +393,13 @@ object Synth {
       val p1 = regions(1).rings(0); val p2 = regions(2).rings(0)
       s"""{"type":"Feature","id":"mpoly-12","properties":{},"geometry":{"type":"MultiPolygon","coordinates":[[${ring(p1._1, p1._2, rev = false)}],[${ring(p2._1, p2._2, rev = false)}]]}}"""
     }
-    (lines :+ mp :+ mline :+ polyRev :+ mpoly)
+    // GeometryCollection: a Point member + a LineString member (paths(7))
+    val gc = {
+      val p7 = paths(7)
+      val line = p7.lats.indices.map(i => pos(p7.lats(i), p7.lngs(i))).mkString("[", ",", "]")
+      s"""{"type":"Feature","id":"gc-0","properties":{},"geometry":{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":${pos(hotCenters(0)._1, hotCenters(0)._2)}},{"type":"LineString","coordinates":$line}]}}"""
+    }
+    (lines :+ mp :+ mline :+ polyRev :+ mpoly :+ gc)
       .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
   }
 

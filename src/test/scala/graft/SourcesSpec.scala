@@ -38,6 +38,37 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (k, v) => assert(v == want(k), s"region $k") }
   }
 
+  test("GeoJSON: GeometryCollection flattens to typed member rows; empty/nested honest") {
+    import spark.implicits._
+    val fc = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","id":"g1","properties":{},
+       "geometry":{"type":"GeometryCollection","geometries":[
+         {"type":"Point","coordinates":[1.0,2.0]},
+         {"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0]]},
+         {"type":"GeometryCollection","geometries":[]}]}},
+      {"type":"Feature","id":"g2","properties":{},
+       "geometry":{"type":"GeometryCollection","geometries":[]}},
+      {"type":"Feature","id":"p1","properties":{},
+       "geometry":{"type":"Point","coordinates":[3.0,4.0]}}]}"""
+    val parsed = GeoJson.parseFeatureCollection(Seq(fc).toDF("json"), "json")
+    val rows = parsed.select("feature_id", "geom_type", "member_idx", "lat", "lng")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    // g1 flattens to its 3 members in order; the nested collection member
+    // keeps the honest null-geometry dispatch
+    val g1 = rows.filter(_._1 == "g1").sortBy(_._3)
+    assert(g1.map(r => (r._2, r._3)).toSeq ===
+      Seq(("Point", 0), ("LineString", 1), ("GeometryCollection", 2)))
+    assert(g1(0)._4 == 2.0) // [lng, lat] order
+    assert(g1(2)._4.isNaN)  // nested member: null geometry
+    // the EMPTY collection contributes no rows
+    assert(!rows.exists(_._1 == "g2"))
+    // plain features carry a null member_idx
+    val p1 = rows.filter(_._1 == "p1")
+    assert(p1.length == 1 && p1(0)._3 == -1 && p1(0)._4 == 4.0)
+  }
+
   test("GeoJSON: point features parse with lng/lat order") {
     import spark.implicits._
     val fc = """{"type":"FeatureCollection","features":[
