@@ -411,6 +411,22 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // --- point-to-point network ROUTING (the reference's routing surface,
+    //     set-at-a-time): 60 deterministic request pairs near the grid —
+    //     snap via the gated distance-join kernel, route via ONE
+    //     multi-origin flood; unsnappable endpoints keep null rows. Golden
+    //     = brute-force snap + independent binary-heap Dijkstra. ---
+    "q_route" -> ((s, _) => {
+      import s.implicits._
+      val pairs = (0L until 60L).map(i => (i,
+          graft.model.Synth.routePairLat(i, 0), graft.model.Synth.routePairLng(i, 0),
+          graft.model.Synth.routePairLat(i, 1), graft.model.Synth.routePairLng(i, 1)))
+        .toDF("route_id", "a_lat", "a_lng", "b_lat", "b_lng")
+      graft.ops.Routing.routeDistance(s, pairs, Tables.gridSegments(s),
+          Tables.gridEdges(s), snapRadiusMeters = 300.0, maxRouteMeters = 12000.0)
+        .orderBy("route_id")
+    }),
+
     // --- Iceberg-role CHANGELOG (CDC / incremental scan): the row-level
     //     delta between two snapshots, classified insert/delete/update —
     //     what a training run that last consumed v1 reads instead of the
@@ -2400,6 +2416,7 @@ object SparkEntry {
       "q_bm25" -> g("q_bm25", "rank"),
       "q_map_match" -> g("q_map_match", "user_id, event_id"),
       "q_map_match_routed" -> g("q_map_match_routed", "user_id, event_id"),
+      "q_route" -> g("q_route", "route_id"),
       "q_traj_hausdorff" -> g("q_traj_hausdorff", "user_a, user_b"),
       "q_traj_legs" -> g("q_traj_legs", "user_id, sec, event_id"),
       "q_geohash" -> g("q_geohash", "gh5"),

@@ -494,6 +494,19 @@ object Synth {
     b.result()
   }
 
+  /** Deterministic route-request endpoints near the grid (q_route): ±2.4 km
+    * lat / ±2.4 km lng around the London center — mostly inside the grid
+    * (snap succeeds), a tail beyond the 300 m snap radius (exercising the
+    * null-row contract). 6-decimal rounding keeps literals exact. */
+  def routePairLat(i: Long, side: Int): Double =
+    math.rint((51.5074 +
+      (((Hashes.splitmix64(i * 131L + side * 7L + 3L) >>> 11) % 4400L) - 2200L) / 100000.0)
+      * 1000000) / 1000000.0
+  def routePairLng(i: Long, side: Int): Double =
+    math.rint((-0.1278 +
+      (((Hashes.splitmix64(i * 137L + side * 11L + 5L) >>> 11) % 7000L) - 3500L) / 100000.0)
+      * 1000000) / 1000000.0
+
   /** Directed both ways; cost = rint(haversine) meters — integral doubles,
     * the exact-sum discipline of SparkEntry.graphEdges. */
   val gridEdges: Array[(Long, Long, Double)] =

@@ -105,6 +105,36 @@ class RoutedMatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.EngineCaches.releaseIterationSnapshots()
   }
 
+  test("routing: node-to-node pair routes along the row; unsnappable endpoint keeps a null row") {
+    import spark.implicits._
+    import graft.ops.Routing
+    val pairs = Seq(
+      // endpoints exactly ON nodes (0,0) and (0,3): route = the 3 row-0
+      // horizontal edges, snaps = 0
+      (0L, Synth.gridNodeLat(0), Synth.gridNodeLng(0),
+        Synth.gridNodeLat(0), Synth.gridNodeLng(3)),
+      // destination in the mid-Atlantic: no snap, null route, request kept
+      (1L, Synth.gridNodeLat(0), Synth.gridNodeLng(0), 40.0, -30.0)
+    ).toDF("route_id", "a_lat", "a_lng", "b_lat", "b_lng")
+    val got = Routing.routeDistance(spark, pairs, Tables.gridSegments(spark),
+        Tables.gridEdges(spark), snapRadiusMeters = 300.0, maxRouteMeters = 12000.0)
+      .orderBy("route_id").collect()
+    val r0 = got(0)
+    assert(r0.getLong(1) == Synth.gridNodeId(0, 0) &&
+      r0.getLong(2) == Synth.gridNodeId(0, 3))
+    val edgeCost = Synth.gridEdges.collect {
+      case (s, d, c) if (0 to 2).exists(cc =>
+        s == Synth.gridNodeId(0, cc) && d == Synth.gridNodeId(0, cc + 1)) => c
+    }.sum
+    assert(r0.getDouble(5) === edgeCost, "route must be the 3 straight edges")
+    assert(r0.getDouble(3) == 0.0 && r0.getDouble(4) == 0.0)
+    assert(r0.getDouble(6) === edgeCost)
+    val r1 = got(1)
+    assert(r1.getLong(1) == Synth.gridNodeId(0, 0), "origin still snaps")
+    assert(r1.isNullAt(2) && r1.isNullAt(5) && r1.isNullAt(6))
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+  }
+
   test("network-node bound fails loudly") {
     val e = intercept[IllegalStateException] {
       MapMatch.viterbiMatchRouted(pts(fixes), segs, edges,
