@@ -104,8 +104,9 @@ object Bench {
       BenchProtocol.measurePair(n, m, deadline, minClean, scaleRows,
         coolDownMs = cool)(oneRep)
     // must leave the whole Bench comfortably inside the driver's timeout;
-    // the gated primary pair now gets 4/5 of the scale budget (it is the
-    // metric the round is judged on), the full-machine pair the remainder
+    // the gated primary pair gets 3/5 of the scale budget up front (it is
+    // the metric the round is judged on), 1/5 is RESERVED for the round-5
+    // outer retry below, the full-machine pair takes the remainder
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_MS", "300000").toLong
     val tPrimary = System.currentTimeMillis()
     // Primary gate pair: N=cpus/8 vs 4N=cpus/2 (4 vs 16 at cpus=32) — both
@@ -114,8 +115,11 @@ object Bench {
     // 4x executors, which add their own memory/GC capacity per node).
     // 3 clean pairs for the gate pair: the median of 3 absorbs one noisy
     // window that the steal counter cannot see (in-VM bandwidth/JIT noise)
-    val (_, pairHeadroom) = measurePair(math.max(2, cpus / 8), math.max(4, cpus / 2),
-      tPrimary + budgetMs * 4 / 5, minClean = 3)
+    val primaryN = math.max(2, cpus / 8)
+    val primary4N = math.max(4, cpus / 2)
+    var primaryPairs = BenchProtocol.collectPairs(primaryN, primary4N,
+      tPrimary + budgetMs * 3 / 5, minClean = 3, coolDownMs = cool)(oneRep)
+    val spentPrimaryMs = System.currentTimeMillis() - tPrimary
 
     // ---- headline queries at the driver-requested parallelism; warm the
     // session first (codegen + JIT + parquet footer cache) so the first
@@ -193,6 +197,32 @@ object Bench {
         s"bench: $name failed every rep; no honest timing to report"))
     }
     spark.stop()
+
+    // ---- OUTER RETRY (round 5; VERDICT r04 #1): the r3 and r4 driver
+    // records both landed in storm-stolen host windows and published
+    // under-confidence scaling numbers (r4: clean_pairs 0) even though
+    // same-protocol rehearsals minutes away read 0.816-0.867 with full
+    // 3-clean-pair collections. Host steal storms run tens of seconds to a
+    // few minutes; the ~2-4 min headline block above is a natural
+    // separation, so when the primary block closed short of its 3 clean
+    // pairs, re-enter the scaling block NOW with the primary budget it did
+    // not use (at least 2 min). Pairs POOL across blocks — same protocol,
+    // same arms, same rows — and the median is taken over the union, so
+    // the retry adds samples, never selects on the efficiency value.
+    val cleanSoFar = primaryPairs.count(BenchProtocol.isClean(_, primaryN, primary4N))
+    if (cleanSoFar < 3) {
+      val retryBudget = math.max(budgetMs * 4 / 5 - spentPrimaryMs, 120000L)
+      System.err.println(s"[bench] outer retry: primary block closed with " +
+        s"clean_pairs=$cleanSoFar < 3; re-entering the scaling block after the " +
+        s"headline interlude (budget ${retryBudget / 1000}s)")
+      // minIters=1: the deadline is a real bound here — the minimum-3-
+      // iterations rule belongs to the first block only
+      primaryPairs = primaryPairs ++ BenchProtocol.collectPairs(primaryN, primary4N,
+        System.currentTimeMillis() + retryBudget, minClean = 3 - cleanSoFar,
+        coolDownMs = cool, minIters = 1)(oneRep)
+    }
+    val (_, pairHeadroom) = BenchProtocol.summarize(primaryPairs, primaryN,
+      primary4N, scaleRows)
 
     // ---- Secondary: the full-machine pair (8 vs 32) — capped by the single
     // box's effective cores; reported for transparency (BENCH.md). Runs

@@ -9,6 +9,20 @@ package graft
   * and the headline is the median clean pair (no best-pair cherry-pick). */
 private[graft] object BenchProtocol {
 
+  /** One measured N-vs-4N pair: small-arm seconds, big-arm seconds, and
+    * whether both final reps were steal-clean. Pairs from SEPARATE
+    * collection blocks (the round-5 outer retry) pool into one candidate
+    * set — the protocol is identical per block, so the median over the
+    * union is the same statistic with more samples, and pooling cannot
+    * cherry-pick (membership is decided by steal/plausibility only, never
+    * by the efficiency value). */
+  final case class Pair(tn: Double, tm: Double, stealClean: Boolean)
+
+  def effOf(p: Pair, n: Int, m: Int): Double = (p.tn / p.tm) / (m.toDouble / n)
+
+  def isClean(p: Pair, n: Int, m: Int, effCap: Double = 1.2): Boolean =
+    p.stealClean && effOf(p, n, m) <= effCap
+
   /** Cumulative hypervisor-steal centiseconds (8th field of /proc/stat). */
   def stealCs(): Long = {
     try {
@@ -83,17 +97,30 @@ private[graft] object BenchProtocol {
                   armKey: String = "cores",
                   coolDownMs: Int => Long = _ => 15000L,
                   effCap: Double = 1.2)(oneRep: Int => (Double, Long)): (Double, String) = {
-    final case class Pair(tn: Double, tm: Double, stealClean: Boolean)
-    def effOf(p: Pair) = (p.tn / p.tm) / (m.toDouble / n)
-    def isClean(p: Pair) = p.stealClean && effOf(p) <= effCap
+    val pairs = collectPairs(n, m, deadline, minClean, armKey, coolDownMs,
+      effCap)(oneRep)
+    summarize(pairs, n, m, rows, armKey, effCap)
+  }
+
+  /** The measurement loop alone (round 5 split, so `Bench` can POOL pairs
+    * across an outer-retry block): runs until `minClean` clean pairs or the
+    * deadline, always completing at least `minIters` iterations (default =
+    * `minClean`; the outer-retry caller passes 1 so its deadline is a real
+    * bound). Returns every pair measured, clean or not. */
+  def collectPairs(n: Int, m: Int, deadline: Long, minClean: Int,
+                   armKey: String = "cores",
+                   coolDownMs: Int => Long = _ => 15000L,
+                   effCap: Double = 1.2,
+                   minIters: Int = -1)(oneRep: Int => (Double, Long)): Vector[Pair] = {
+    val itersFloor = if (minIters >= 0) minIters else minClean
     val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
     var iter = 0
     // unknown pre-pair history: full idle first (sentinel bigger than any
     // real core count but safe in callers' `load * 2 >= cpus` arithmetic)
     var prevLoad = 1 << 20
-    def cleanPairs = pairs.count(isClean)
+    def cleanPairs = pairs.count(isClean(_, n, m, effCap))
     while ((cleanPairs < minClean) &&
-           (iter < minClean || System.currentTimeMillis() < deadline)) {
+           (iter < itersFloor || System.currentTimeMillis() < deadline)) {
       val order = if (iter % 2 == 0) Seq(m, n) else Seq(n, m)
       var tn = 0.0; var tm = 0.0; var stealClean = true
       order.foreach { arm =>
@@ -118,16 +145,28 @@ private[graft] object BenchProtocol {
         if (arm == n) tn = t else tm = t
       }
       val p = Pair(tn, tm, stealClean)
-      if (p.stealClean && !isClean(p))
-        System.err.println(f"[bench] pair eff=${effOf(p)}%.3f > cap $effCap — " +
+      if (p.stealClean && !isClean(p, n, m, effCap))
+        System.err.println(f"[bench] pair eff=${effOf(p, n, m)}%.3f > cap $effCap — " +
           "suspect (unrecorded throttle on the small arm), not counted clean")
       pairs += p
       iter += 1
     }
-    val suspects = pairs.count(p => p.stealClean && !isClean(p))
-    val usable = if (pairs.exists(isClean)) pairs.filter(isClean) else pairs
-    val sortedPairs = usable.sortBy(effOf)
-    val effs = sortedPairs.map(effOf)
+    pairs.toVector
+  }
+
+  /** Median-of-clean-pairs headline + the JSON fragment (scaladoc above for
+    * the selection rationale). Accepts the union of every block's pairs. */
+  def summarize(pairs: Seq[Pair], n: Int, m: Int, rows: Long,
+                armKey: String = "cores",
+                effCap: Double = 1.2): (Double, String) = {
+    def eff0(p: Pair) = effOf(p, n, m)
+    val cleanPairs = pairs.count(isClean(_, n, m, effCap))
+    val suspects = pairs.count(p => p.stealClean && !isClean(p, n, m, effCap))
+    val usable =
+      if (pairs.exists(isClean(_, n, m, effCap))) pairs.filter(isClean(_, n, m, effCap))
+      else pairs
+    val sortedPairs = usable.sortBy(eff0)
+    val effs = sortedPairs.map(eff0)
     val len = sortedPairs.length
     val interpolated = len % 2 == 0
     val eff =
@@ -135,7 +174,7 @@ private[graft] object BenchProtocol {
       else effs(len / 2)
     // the concrete pair whose sec_n/sec_4n the record quotes: the median
     // pair itself (odd), or the clean pair nearest the midpoint (even)
-    val med = sortedPairs.minBy(p => math.abs(effOf(p) - eff))
+    val med = sortedPairs.minBy(p => math.abs(eff0(p) - eff))
     def r3(x: Double) = math.rint(x * 1000) / 1000.0
     (eff,
       s"""{"rows":$rows,"${armKey}_n":$n,"sec_n":${med.tn},"images_per_sec_n":${(rows / med.tn).toLong},""" +

@@ -125,6 +125,47 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(json.contains("\"clean_pairs\":1"))
   }
 
+  test("outer-retry pooling: pairs from two blocks summarize as one candidate set") {
+    // r5 fix (VERDICT r04 #1): a storm-stolen first block (0 clean pairs)
+    // must not be the final record when a later retry block finds clean
+    // pairs — and the median is over the UNION, so a clean pair measured in
+    // block 1 still counts alongside the retry's.
+    import BenchProtocol.Pair
+    val block1 = Vector(Pair(20.0, 6.0, stealClean = false),  // storm
+                        Pair(19.2, 6.0, stealClean = true))   // eff 0.8
+    val block2 = Vector(Pair(20.4, 6.0, stealClean = true),   // eff 0.85
+                        Pair(21.6, 6.0, stealClean = true))   // eff 0.9
+    val (eff, json) = BenchProtocol.summarize(block1 ++ block2, 4, 16, 1000L)
+    assert(math.abs(eff - 0.85) < 1e-9) // median of {0.8, 0.85, 0.9}
+    assert(json.contains("\"clean_pairs\":3"))
+    assert(json.contains("\"steal_polluted\":false"))
+    assert(json.contains("\"median_interpolated\":false"))
+  }
+
+  test("collectPairs minIters=1 makes the deadline a real bound for the retry block") {
+    // the retry block must not owe 3 mandatory iterations when its budget
+    // window is already spent — one pair runs, then the deadline stops it
+    var reps = 0
+    val pairs = BenchProtocol.collectPairs(4, 16,
+      deadline = System.currentTimeMillis() - 1, minClean = 3,
+      coolDownMs = _ => 0L, minIters = 1) { arm =>
+      reps += 1; (if (arm == 4) 25.0 else 7.0, 500L)
+    }
+    assert(pairs.length == 1 && reps == 2)
+    assert(!pairs.head.stealClean)
+  }
+
+  test("measurePair == collectPairs + summarize (refactor equivalence)") {
+    val script = Seq((16.0, 0L), (14.0, 0L), (12.0, 0L))
+    val qm = scala.collection.mutable.Queue((4.0, 0L), (4.0, 0L), (4.0, 0L))
+    val qn = scala.collection.mutable.Queue(script: _*)
+    val pairs = BenchProtocol.collectPairs(4, 16,
+      deadline = System.currentTimeMillis() - 1, minClean = 3,
+      coolDownMs = _ => 0L) { arm => if (arm == 4) qn.dequeue() else qm.dequeue() }
+    val (eff, _) = BenchProtocol.summarize(pairs, 4, 16, 1000L)
+    assert(math.abs(eff - 0.875) < 1e-9)
+  }
+
   test("cool-down keys on max(previous rep's load, upcoming arm), full idle first") {
     // a small arm timed right after a big rep must get the BIG idle — the
     // preceding drain is what the idle repairs (review r03g)
