@@ -1693,7 +1693,10 @@ object SparkEntry {
       parsed.select(col("feature_id"), col("geom_type"), col("member_idx"),
           nParts.as("n_parts"), nPoints.as("n_points"))
         .join(areas, Seq("feature_id"), "left")
-        .orderBy("feature_id", "geom_type")
+        // member_idx in the order key: (feature_id, geom_type) is only
+        // unique while a collection's members have distinct types — two
+        // same-type members would alias without the member discriminator
+        .orderBy("feature_id", "geom_type", "member_idx")
     }),
 
     // --- §2.1/§3.3 MVT line + area layers (renderer/encoder.go:77-143):
@@ -2459,7 +2462,7 @@ object SparkEntry {
       "q_path_join" -> g("q_path_join", "path_id"),
       "q_typed_take" -> g("q_typed_take", "ftype, rn"),
       "q_relation_members" -> g("q_relation_members", "rel_fid, mfid"),
-      "q_geojson_full" -> g("q_geojson_full", "feature_id, geom_type"),
+      "q_geojson_full" -> g("q_geojson_full", "feature_id, geom_type, member_idx"),
       "q_clip" -> g("q_clip", "region_id"),
       "q_mvt_paths" -> g("q_mvt_paths", "layer, z, x, y"),
       "q_sightline" -> g("q_sightline", "origin_id"),

@@ -110,8 +110,16 @@ object SnapshotStore {
 
   def headVersion(spark: SparkSession, dir: String): Int = {
     val (fs, _) = fsOf(spark, dir)
-    val in = fs.open(new Path(s"$dir/_snaps/HEAD"))
-    try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+    def readOnce(): Int = {
+      val in = fs.open(new Path(s"$dir/_snaps/HEAD"))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+    }
+    // the commit's HEAD swap is delete-then-rename: a reader landing inside
+    // that window sees no HEAD for a moment — one short retry reads the
+    // renamed file (version-pinned readers never pass through here)
+    try readOnce() catch {
+      case _: java.io.FileNotFoundException => Thread.sleep(50L); readOnce()
+    }
   }
 
   def manifest(spark: SparkSession, dir: String, version: Int): Manifest = {
@@ -241,9 +249,14 @@ object SnapshotStore {
     val rewritten = keptOld.unionByName(survivors)
     val newFiles = writeCommitFiles(spark, rewritten, dir, v, cellCol)
     val carried = prev.files.filterNot(f => touched.contains(bucketOfFile(f)))
-    val stats = prev.stats.filterNot(s => touched.contains(s.bucket)) ++
-      statsOf(spark.read.option("recursiveFileLookup", "true")
+    // a delete-only MERGE can empty every touched bucket: zero part files
+    // were written, so reading data_v$v would fail schema inference — the
+    // new-side stats are then simply empty and the commit carries on
+    val newStats =
+      if (newFiles.isEmpty) Seq.empty[BucketStat]
+      else statsOf(spark.read.option("recursiveFileLookup", "true")
         .parquet(s"$dir/data_v$v"), cellCol)
+    val stats = prev.stats.filterNot(s => touched.contains(s.bucket)) ++ newStats
     commit(spark, dir, Manifest(v, carried ++ newFiles, stats, prev.lastBatch))
   }
 

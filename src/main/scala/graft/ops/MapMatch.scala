@@ -182,12 +182,14 @@ object MapMatch {
       maxRouteMeters > 0, "radius/sigma/beta/maxRoute must be positive")
     val spark = points.sparkSession
     import spark.implicits._
-    // network nodes (bounded driver collect: node ids only, never geometry)
-    val nodePairs = segments
-      .select(col("node_a").cast("long"), col("node_b").cast("long"))
-      .as[(Long, Long)].collect()
-    val origins = nodePairs.iterator
-      .flatMap(p => Iterator(p._1, p._2)).toSet.toSeq.sorted
+    // network nodes — the COLLECT ITSELF is bounded (distinct + limit to
+    // bound+1 BEFORE collecting): a table far over the bound must hit the
+    // loud failure below, not a driver OOM inside the collect
+    val origins = segments
+      .select(explode(array(col("node_a").cast("long"),
+        col("node_b").cast("long"))).as("n"))
+      .distinct().limit(maxNetworkNodes + 1)
+      .as[Long].collect().sorted.toSeq
     if (origins.size > maxNetworkNodes)
       throw new IllegalStateException(
         s"viterbiMatchRouted: network has ${origins.size} nodes > " +

@@ -46,6 +46,14 @@ object Routing {
     require(snapRadiusMeters > 0 && maxRouteMeters > 0,
       "snapRadius/maxRoute must be positive")
     import spark.implicits._
+    // the snap key is route_id * 2 + side: a NEGATIVE route_id would
+    // silently alias two different pairs' endpoints — enforce the scaladoc
+    // contract in-plan so bad input fails loudly wherever the frame runs
+    val pairsChecked = pairs.withColumn("route_id",
+      when(col("route_id").cast("long") < 0,
+        raise_error(concat(lit("routeDistance: route_id must be >= 0, got "),
+          col("route_id").cast("string"))).cast("long"))
+        .otherwise(col("route_id").cast("long")))
     val nodes = segments
       .select(col("node_a").cast("long").as("id"),
         col("lats").getItem(0).as("lat"), col("lngs").getItem(0).as("lng"))
@@ -53,9 +61,9 @@ object Routing {
         element_at(col("lats"), -1).as("lat"), element_at(col("lngs"), -1).as("lng")))
       .dropDuplicates("id")
     // both endpoints ride ONE snap join, keyed (route_id * 2 + side)
-    val eps = pairs.select(col("route_id").cast("long").as("route_id"),
+    val eps = pairsChecked.select(col("route_id"),
         lit(0L).as("side"), col("a_lat").as("lat"), col("a_lng").as("lng"))
-      .unionByName(pairs.select(col("route_id").cast("long").as("route_id"),
+      .unionByName(pairsChecked.select(col("route_id"),
         lit(1L).as("side"), col("b_lat").as("lat"), col("b_lng").as("lng")))
       .select((col("route_id") * 2 + col("side")).as("id"), col("lat"), col("lng"))
     // nearest node: min of (dist, node) structs — lexicographic struct
@@ -79,7 +87,7 @@ object Routing {
       if (origins.isEmpty)
         Seq.empty[(Long, Long, Double)].toDF("origin", "node", "dist")
       else Reachability.reachableMulti(spark, edges, origins, cutoff = maxRouteMeters)
-    pairs.select(col("route_id").cast("long").as("route_id"))
+    pairsChecked.select(col("route_id"))
       .join(a, Seq("route_id"), "left")
       .join(b, Seq("route_id"), "left")
       .join(dist.select(col("origin").as("node_a"), col("node").as("node_b"),

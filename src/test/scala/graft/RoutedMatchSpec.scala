@@ -135,6 +135,24 @@ class RoutedMatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.EngineCaches.releaseIterationSnapshots()
   }
 
+  test("routing: negative route_id fails loudly instead of aliasing snap keys") {
+    import spark.implicits._
+    import graft.ops.Routing
+    val pairs = Seq(
+      (-1L, Synth.gridNodeLat(0), Synth.gridNodeLng(0),
+        Synth.gridNodeLat(0), Synth.gridNodeLng(1))
+    ).toDF("route_id", "a_lat", "a_lng", "b_lat", "b_lng")
+    val e = intercept[Throwable] {
+      Routing.routeDistance(spark, pairs, Tables.gridSegments(spark),
+        Tables.gridEdges(spark), snapRadiusMeters = 300.0,
+        maxRouteMeters = 12000.0).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(e).exists(_.contains("route_id must be >= 0")))
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+  }
+
   test("network-node bound fails loudly") {
     val e = intercept[IllegalStateException] {
       MapMatch.viterbiMatchRouted(pts(fixes), segs, edges,

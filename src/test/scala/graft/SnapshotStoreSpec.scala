@@ -228,4 +228,18 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       SnapshotStore.create(spark, rows(5L to 6L, "a"), dir))
     assert(e.getMessage.contains("HEAD"))
   }
+
+  test("delete-only merge that empties every touched bucket commits cleanly") {
+    // ADVICE r04: zero part files are written for the empty rewrite, so the
+    // new-bucket stats read must be skipped, not fail schema inference
+    val dir = freshDir("delonly")
+    // two buckets: Sydney {1}, London {2, 4}
+    SnapshotStore.create(spark, rows(Seq(1L, 2L, 4L), "a"), dir)
+    val delta = rows(Seq(2L, 4L), "x").withColumn("_deleted", lit(true))
+    val v = SnapshotStore.upsert(spark, delta, dir, deletedCol = Some("_deleted"))
+    assert(content(SnapshotStore.read(spark, dir)) == Set((1L, "a")))
+    // the emptied bucket's stats are gone from the manifest
+    val m = SnapshotStore.manifest(spark, dir, v)
+    assert(m.stats.map(_.rows).sum == 1L)
+  }
 }
