@@ -1262,11 +1262,23 @@ object SparkEntry {
     //     kernel): pairwise intersection/union/difference areas over the
     //     covering-pruned overlapping region pairs — round 3; round 4 adds
     //     HOLE-AWARE areas (inclusion-exclusion over the shell kernel) and
-    //     the courtyard fixture pair, whose hole straddles the overlap ---
+    //     the courtyard fixture pair, whose hole straddles the overlap;
+    //     round 5 adds the DEGENERATE fixture set (party walls,
+    //     vertex-on-edge, shared corners) the fragment kernel now handles ---
     "q_poly_bool" -> ((s, _) =>
       graft.ops.Booleans.overlapBooleans(
-          Tables.regions(s).unionByName(Tables.courtyards(s)))
+          Tables.regions(s).unionByName(Tables.courtyards(s))
+            .unionByName(Tables.degens(s)))
         .orderBy("id_a", "id_b")),
+
+    // --- §2.8 boolean RING STRUCTURE (round 5, VERDICT r04 #4): assembled
+    //     shell+hole ring counts + the measure through the ring output, for
+    //     every op, over the rectilinear courtyard+degenerate fixtures;
+    //     golden = independent occupancy-grid flood-fill (no kernel code) ---
+    "q_poly_rings" -> ((s, _) =>
+      graft.ops.Booleans.booleanRingStats(
+          Tables.courtyards(s).unionByName(Tables.degens(s)))
+        .orderBy("id_a", "id_b", "op")),
 
     // --- §2.4 connect-to-network: nearest path within 500 m ---
     "q_connect" -> ((s, dir) =>
@@ -2439,6 +2451,7 @@ object SparkEntry {
       "q_shell_cap" -> g("q_shell_cap", "image_id"),
       "q_snap_edges" -> g("q_snap_edges", "region_id"),
       "q_poly_bool" -> g("q_poly_bool", "id_a, id_b"),
+      "q_poly_rings" -> g("q_poly_rings", "id_a, id_b, op"),
       "q_ngram_lm" -> g("q_ngram_lm", "doc_id"),
       // merged-model scoring must reproduce the SAME golden as q_ngram_lm
       "q_ngram_merge" -> g("q_ngram_lm", "doc_id"),

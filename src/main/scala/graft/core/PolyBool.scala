@@ -1,249 +1,368 @@
 package graft.core
 
+import scala.collection.mutable.ArrayBuffer
+
 /** General (non-convex) polygon booleans — intersection, union, difference —
-  * via the Greiner-Hormann clipping algorithm (Greiner & Hormann, "Efficient
-  * clipping of arbitrary polygons", ACM TOG 17(2), 1998 — public algorithm).
-  * This covers the role of the reference's Foster polygon booleans
-  * (/root/reference/src/diagonal.works/b6/geometry/foster.go) for the shapes
-  * the target engine processes.
+  * via BOUNDARY-FRAGMENT CLASSIFICATION: every edge of A is split at every
+  * meet with the boundary of B (transversal crossings, vertex-on-edge,
+  * vertex-on-vertex, collinear overlapping runs) and vice versa; each
+  * resulting fragment is kept or dropped by where its midpoint lies relative
+  * to the other polygon (strictly inside / strictly outside / ON a collinear
+  * run, split by relative direction); kept fragments — all directed with the
+  * RESULT's interior on their left — are assembled into rings by sharpest-
+  * left-turn walking at junctions.
+  *
+  * This covers the role of the reference's degeneracy-aware Foster polygon
+  * booleans (/root/reference/src/diagonal.works/b6/geometry/foster.go, which
+  * implements Foster, Hormann & Popa, "Clipping simple polygons with
+  * degenerate intersections", Computers & Graphics:X 2 (2019) — public
+  * paper) with a DIFFERENT published technique: fragment classification
+  * needs no entry/exit alternation, so the degenerate configurations that
+  * break Greiner-Hormann labeling (shared/party-wall edges, a vertex landing
+  * on an edge, coincident vertices, identical polygons) are handled by the
+  * same code path as the generic ones — replacing the round-1..4
+  * Greiner-Hormann kernel whose documented scope excluded them. Two
+  * properties make the approach easy to trust:
+  *
+  *   - the SIGNED AREA of the result is a sum over kept fragments of their
+  *     Green's-theorem contributions, independent of how junctions are
+  *     paired into rings — so measures cannot be corrupted by a traversal
+  *     choice;
+  *   - junction coordinates are computed ONCE per edge pair by a canonical
+  *     formula (exact endpoint reuse when a parameter snaps to 0/1), so the
+  *     two sides' fragment endpoints match BIT-EXACTLY and assembly needs no
+  *     coordinate clustering.
   *
   * Geometry model: the planar lat/lng chart, consistent with the engine's
   * ray-cast containment (Geo.containsPlanar) and the DuckDB oracle
   * arithmetic — suitable for polygons away from the poles/antimeridian,
   * which is the documented domain of the planar kernels throughout.
   *
-  * Scope (documented):
-  *   - simple (non-self-intersecting) SHELL rings without holes as inputs;
-  *   - general position: shared vertices / collinear overlapping edges are
-  *     not handled (the classic GH restriction) — the deterministic
-  *     fixtures avoid them;
-  *   - a difference that fully encloses the clip emits the clip ring
-  *     REVERSED (clockwise) as a hole ring: signed shoelace areas then add
-  *     up correctly (CCW positive, CW negative).
-  *
-  * Output rings are CCW for outer boundaries, CW for holes; callers sum
-  * signed areas.
+  * Inputs are RING SETS: head = shell, tail = holes (pairwise disjoint,
+  * inside the shell — the standard valid-polygon precondition). Orientation
+  * is normalized internally (shell CCW, holes CW), so the result's interior
+  * is on the LEFT of every directed input boundary edge; output rings
+  * inherit that invariant — outers CCW, holes CW — and callers sum signed
+  * areas. Remaining scope limits (documented): self-intersecting rings and
+  * vertices that are equal-within-noise but not bit-equal are outside the
+  * contract — assembly then fails LOUDLY rather than returning a wrong
+  * ring set.
   */
 object PolyBool {
 
   /** One output ring. */
   final case class Ring(lat: Array[Double], lng: Array[Double])
 
+  /** A polygon as rings: head = shell, tail = holes. */
+  type RingSet = Seq[(Array[Double], Array[Double])]
+
   /** Signed planar area of a ring in the (lng, lat) plane: CCW positive
     * (Geo.shoelaceSigned already includes the 1/2 factor). */
   def signedArea(lat: Array[Double], lng: Array[Double]): Double =
     Geo.shoelaceSigned(lat, lng)
 
-  private final class Node(
-      val x: Double, val y: Double, // x = lng, y = lat
-      val isIntersection: Boolean,
-      val alpha: Double) {
-    var next: Node = null
-    var prev: Node = null
-    var neighbor: Node = null
-    var entry: Boolean = false
-    var visited: Boolean = false
-  }
+  // ---- internal representation ------------------------------------------
 
-  /** Build a circular doubly-linked list from a CCW ring. */
-  private def buildList(lat: Array[Double], lng: Array[Double]): Node = {
-    val nodes = lat.indices.map(i => new Node(lng(i), lat(i), false, 0.0))
-    val n = nodes.length
-    var i = 0
-    while (i < n) {
-      nodes(i).next = nodes((i + 1) % n)
-      nodes(i).prev = nodes((i + n - 1) % n)
-      i += 1
+  private val Eps = 1e-12
+
+  /** Flattened directed edges of a ring set (x = lng, y = lat), with
+    * per-edge split/overlap accumulators filled by the pairwise pass. */
+  private final class Edges(rings: RingSet) {
+    val n: Int = rings.map(_._1.length).sum
+    val x1 = new Array[Double](n); val y1 = new Array[Double](n)
+    val x2 = new Array[Double](n); val y2 = new Array[Double](n)
+    // split params + canonical coordinates per edge
+    val ts = Array.fill(n)(new ArrayBuffer[Double](4))
+    val px = Array.fill(n)(new ArrayBuffer[Double](4))
+    val py = Array.fill(n)(new ArrayBuffer[Double](4))
+    // collinear-overlap intervals per edge: [lo, hi] + same-direction flag
+    val ovLo = Array.fill(n)(new ArrayBuffer[Double](1))
+    val ovHi = Array.fill(n)(new ArrayBuffer[Double](1))
+    val ovSame = Array.fill(n)(new ArrayBuffer[Boolean](1))
+    locally {
+      var k = 0
+      rings.foreach { case (lat, lng) =>
+        val m = lat.length
+        var i = 0
+        while (i < m) {
+          val j = (i + 1) % m
+          x1(k) = lng(i); y1(k) = lat(i); x2(k) = lng(j); y2(k) = lat(j)
+          k += 1; i += 1
+        }
+      }
+      var e = 0
+      while (e < n) {
+        ts(e) += 0.0; px(e) += x1(e); py(e) += y1(e)
+        ts(e) += 1.0; px(e) += x2(e); py(e) += y2(e)
+        e += 1
+      }
     }
-    nodes(0)
+    def addSplit(e: Int, t: Double, x: Double, y: Double): Unit = {
+      ts(e) += t; px(e) += x; py(e) += y
+    }
+    def addOverlap(e: Int, lo: Double, hi: Double, same: Boolean): Unit = {
+      ovLo(e) += lo; ovHi(e) += hi; ovSame(e) += same
+    }
   }
 
-  private def ccw(lat: Array[Double], lng: Array[Double]): (Array[Double], Array[Double]) =
-    if (Geo.shoelaceSigned(lat, lng) < 0) (lat.reverse, lng.reverse) else (lat, lng)
-
-  private def verticesOf(head: Node): Seq[Node] = {
-    val out = Seq.newBuilder[Node]
-    var cur = head
-    do { out += cur; cur = cur.next } while (cur ne head)
-    out.result()
+  /** Normalize a ring set: shell CCW, holes CW; zero-length rings and
+    * duplicate closing vertices are the caller's concern (fixtures are
+    * clean); rings of < 3 vertices are rejected. */
+  private def normalize(rs: RingSet): RingSet = {
+    require(rs.nonEmpty, "PolyBool: empty ring list")
+    rs.zipWithIndex.map { case ((lat, lng), i) =>
+      require(lat.length >= 3 && lat.length == lng.length,
+        s"PolyBool: ring $i needs >= 3 vertices")
+      val wantCcw = i == 0
+      if ((Geo.shoelaceSigned(lat, lng) >= 0) == wantCcw) (lat, lng)
+      else (lat.reverse, lng.reverse)
+    }
   }
 
-  /** Insert an intersection node into the edge starting at `from`, keeping
-    * intersections on one edge ordered by alpha. */
-  private def insertAfter(from: Node, node: Node): Unit = {
-    var cur = from
-    while (cur.next.isIntersection && cur.next.alpha < node.alpha) cur = cur.next
-    node.next = cur.next
-    node.prev = cur
-    cur.next.prev = node
-    cur.next = node
-  }
-
-  private def pointInRing(x: Double, y: Double, head: Node): Boolean = {
-    val vs = verticesOf(head).filter(!_.isIntersection)
-    Geo.containsPlanar(y, x, vs.map(_.y).toArray, vs.map(_.x).toArray)
-  }
-
-  /** Core GH run. invS/invC flip the entry/exit marks: (false,false) =
-    * intersection, (true,true) = union, (true,false) = S minus C —
-    * inverting the SUBJECT's marks yields subject-minus-clip (the polarity
-    * `difference` below verifies against the hand vectors). */
-  private def run(sLat0: Array[Double], sLng0: Array[Double],
-                  cLat0: Array[Double], cLng0: Array[Double],
-                  invS: Boolean, invC: Boolean,
-                  mode: Int): Seq[Ring] = {
-    val (sLat, sLng) = ccw(sLat0, sLng0)
-    val (cLat, cLng) = ccw(cLat0, cLng0)
-    val sHead = buildList(sLat, sLng)
-    val cHead = buildList(cLat, cLng)
-
-    // phase 1: find + insert all intersections
-    var found = false
-    val sOrig = verticesOf(sHead).toIndexedSeq // original vertices only here
-    val cOrig = verticesOf(cHead).toIndexedSeq
-    sOrig.indices.foreach { si =>
-      val sv = sOrig(si)
-      val (x1, y1) = (sv.x, sv.y)
-      val sEnd = sOrig((si + 1) % sOrig.length)
-      val (x2, y2) = (sEnd.x, sEnd.y)
-      cOrig.indices.foreach { ci =>
-        val cv = cOrig(ci)
-        val (x3, y3) = (cv.x, cv.y)
-        val cEnd = cOrig((ci + 1) % cOrig.length)
-        val (x4, y4) = (cEnd.x, cEnd.y)
-        val den = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
-        if (math.abs(den) > 1e-18) {
-          val t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / den
-          val u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / den
-          if (t > 1e-12 && t < 1 - 1e-12 && u > 1e-12 && u < 1 - 1e-12) {
-            found = true
-            val ix = x1 + t * (x2 - x1)
-            val iy = y1 + t * (y2 - y1)
-            val ns = new Node(ix, iy, true, t)
-            val nc = new Node(ix, iy, true, u)
-            ns.neighbor = nc; nc.neighbor = ns
-            insertAfter(sv, ns)
-            insertAfter(cv, nc)
+  /** Pairwise pass: for every (a-edge, b-edge) pair, record splits (with
+    * CANONICAL shared coordinates) and collinear-overlap intervals on both
+    * edges. */
+  private def intersectEdges(ea: Edges, eb: Edges): Unit = {
+    var i = 0
+    while (i < ea.n) {
+      val ax = ea.x1(i); val ay = ea.y1(i)
+      val dax = ea.x2(i) - ax; val day = ea.y2(i) - ay
+      val aLen = math.sqrt(dax * dax + day * day)
+      var j = 0
+      while (j < eb.n) {
+        val bx = eb.x1(j); val by = eb.y1(j)
+        val dbx = eb.x2(j) - bx; val dby = eb.y2(j) - by
+        val bLen = math.sqrt(dbx * dbx + dby * dby)
+        val den = dax * dby - day * dbx
+        val wx = bx - ax; val wy = by - ay
+        if (math.abs(den) > Eps * aLen * bLen) {
+          // transversal: t on a, u on b
+          var t = (wx * dby - wy * dbx) / den
+          var u = (wx * day - wy * dax) / den
+          if (t > -Eps && t < 1 + Eps && u > -Eps && u < 1 + Eps) {
+            if (t < Eps) t = 0.0 else if (t > 1 - Eps) t = 1.0
+            if (u < Eps) u = 0.0 else if (u > 1 - Eps) u = 1.0
+            // canonical point: exact endpoint when snapped, else the a-side
+            // parametrization — the SAME choice on both sides, so fragment
+            // endpoints match bit-exactly at assembly
+            val (cx, cy) =
+              if (t == 0.0) (ax, ay)
+              else if (t == 1.0) (ea.x2(i), ea.y2(i))
+              else if (u == 0.0) (bx, by)
+              else if (u == 1.0) (eb.x2(j), eb.y2(j))
+              else (ax + t * dax, ay + t * day)
+            ea.addSplit(i, t, cx, cy)
+            eb.addSplit(j, u, cx, cy)
+          }
+        } else if (math.abs(wx * day - wy * dax) <= Eps * aLen * (aLen + bLen)) {
+          // parallel AND collinear: project b's endpoints onto a
+          val aLen2 = dax * dax + day * day
+          var t1 = (wx * dax + wy * day) / aLen2
+          var t2 = ((eb.x2(j) - ax) * dax + (eb.y2(j) - ay) * day) / aLen2
+          if (math.abs(t1) < Eps) t1 = 0.0 else if (math.abs(t1 - 1) < Eps) t1 = 1.0
+          if (math.abs(t2) < Eps) t2 = 0.0 else if (math.abs(t2 - 1) < Eps) t2 = 1.0
+          val lo = math.max(0.0, math.min(t1, t2))
+          val hi = math.min(1.0, math.max(t1, t2))
+          if (hi - lo > Eps) {
+            val same = t2 > t1
+            // endpoints of the overlap, with exact coordinates: an overlap
+            // end is either an a-endpoint (clamped) or a b-endpoint
+            def ptOnA(t: Double): (Double, Double) =
+              if (t == 0.0) (ax, ay)
+              else if (t == 1.0) (ea.x2(i), ea.y2(i))
+              else if (t == t1) (bx, by)
+              else if (t == t2) (eb.x2(j), eb.y2(j))
+              else (ax + t * dax, ay + t * day)
+            val (lx, ly) = ptOnA(lo); val (hx, hy) = ptOnA(hi)
+            ea.addSplit(i, lo, lx, ly); ea.addSplit(i, hi, hx, hy)
+            ea.addOverlap(i, lo, hi, same)
+            // mirror on b: project the overlap ends onto b's parameter
+            val bLen2 = dbx * dbx + dby * dby
+            def ub(x: Double, y: Double): Double = {
+              var u = ((x - bx) * dbx + (y - by) * dby) / bLen2
+              if (math.abs(u) < Eps) u = 0.0 else if (math.abs(u - 1) < Eps) u = 1.0
+              u
+            }
+            val ulo = ub(lx, ly); val uhi = ub(hx, hy)
+            eb.addSplit(j, ulo, lx, ly); eb.addSplit(j, uhi, hx, hy)
+            eb.addOverlap(j, math.min(ulo, uhi), math.max(ulo, uhi), same)
           }
         }
+        j += 1
       }
-    }
-
-    if (!found) {
-      // no crossings: containment / disjoint cases
-      val sInC = pointInRing(sLng(0), sLat(0), cHead) // note: (x=lng, y=lat)
-      val cInS = pointInRing(cLng(0), cLat(0), sHead)
-      return mode match {
-        case 0 => // intersection
-          if (sInC) Seq(Ring(sLat, sLng))
-          else if (cInS) Seq(Ring(cLat, cLng))
-          else Seq.empty
-        case 1 => // union
-          if (sInC) Seq(Ring(cLat, cLng))
-          else if (cInS) Seq(Ring(sLat, sLng))
-          else Seq(Ring(sLat, sLng), Ring(cLat, cLng))
-        case 2 => // S minus C
-          if (sInC) Seq.empty
-          else if (cInS) Seq(Ring(sLat, sLng), Ring(cLat.reverse, cLng.reverse)) // hole
-          else Seq(Ring(sLat, sLng))
-      }
-    }
-
-    // phase 2: entry/exit marks (alternate along each ring, seeded by
-    // whether the ring's start lies inside the other polygon)
-    def mark(head: Node, other: Node, invert: Boolean): Unit = {
-      var status = !pointInRing(head.x, head.y, other) // outside -> first is entry
-      if (invert) status = !status
-      var cur = head
-      do {
-        if (cur.isIntersection) { cur.entry = status; status = !status }
-        cur = cur.next
-      } while (cur ne head)
-    }
-    mark(sHead, cHead, invS)
-    mark(cHead, sHead, invC)
-
-    // phase 3: traversal
-    val out = Seq.newBuilder[Ring]
-    def nextUnvisited(): Node = {
-      var cur = sHead
-      do {
-        if (cur.isIntersection && !cur.visited) return cur
-        cur = cur.next
-      } while (cur ne sHead)
-      null
-    }
-    // Runaway-loop guard: a valid GH traversal appends each node O(1) times
-    // across ALL output rings, so total steps are bounded by a small multiple
-    // of the node count (originals + inserted intersections). Sizing the
-    // bound from the input — not a fixed constant — keeps legitimately large
-    // polygons (e.g. 5000-vertex coastlines) in scope while still failing
-    // loudly on a genuinely non-terminating traversal (review r03).
-    val maxSteps =
-      4 * (verticesOf(sHead).length + verticesOf(cHead).length) + 16
-    var start = nextUnvisited()
-    var guard = 0
-    while (start != null && guard < maxSteps) {
-      val xs = Array.newBuilder[Double]
-      val ys = Array.newBuilder[Double]
-      var cur = start
-      do {
-        cur.visited = true
-        if (cur.neighbor != null) cur.neighbor.visited = true
-        if (cur.entry) {
-          do { cur = cur.next; xs += cur.x; ys += cur.y; guard += 1 }
-          while (!cur.isIntersection && guard < maxSteps)
-        } else {
-          do { cur = cur.prev; xs += cur.x; ys += cur.y; guard += 1 }
-          while (!cur.isIntersection && guard < maxSteps)
-        }
-        cur.visited = true
-        cur = cur.neighbor
-        guard += 1
-      } while ((cur ne start) && guard < maxSteps)
-      val lat = ys.result(); val lng = xs.result()
-      if (lat.length >= 3) out += Ring(lat, lng)
-      start = nextUnvisited()
-    }
-    if (guard >= maxSteps)
-      throw new IllegalStateException(
-        "PolyBool: traversal did not close (degenerate input outside the documented general-position scope)")
-    // Orientation normalization: traversal direction depends on the parity
-    // of each ring's starting node, so raw output orientation is not
-    // meaningful. For intersection and difference of crossing SHELLS every
-    // component is simply connected (a would-be hole needs a fully-enclosed
-    // clip, i.e. the no-crossing case) — normalize each ring CCW. For union,
-    // interlocking shapes CAN enclose holes: normalize CCW first, then
-    // reverse (to CW) any ring whose representative vertex lies inside
-    // another ring. (Verified by PolyBoolSpec hand vectors + the additivity
-    // sweep.)
-    val normalized = out.result().map { r =>
-      if (Geo.shoelaceSigned(r.lat, r.lng) < 0) Ring(r.lat.reverse, r.lng.reverse) else r
-    }
-    if (mode != 1 || normalized.length <= 1) normalized
-    else normalized.map { r =>
-      val isHole = normalized.exists(o =>
-        (o ne r) && Geo.containsPlanar(r.lat(0), r.lng(0), o.lat, o.lng))
-      if (isHole) Ring(r.lat.reverse, r.lng.reverse) else r
+      i += 1
     }
   }
 
-  /** A ∩ B. */
+  /** Even-odd point-in-polygon over a full ring set (holes flip parity). */
+  private def insideRings(y: Double, x: Double, rs: RingSet): Boolean = {
+    var in = false
+    rs.foreach { case (lat, lng) =>
+      if (Geo.containsPlanar(y, x, lat, lng)) in = !in
+    }
+    in
+  }
+
+  /** One kept directed fragment. */
+  private final case class Frag(x1: Double, y1: Double, x2: Double, y2: Double)
+
+  /** Split each edge at its recorded params and classify each fragment.
+    * keep(onSameDir | null, inside) decides; `reversed` flips kept
+    * fragments (the difference's B side). */
+  private def fragments(e: Edges, other: RingSet,
+                        keepOn: Option[Boolean => Boolean],
+                        keepIn: Boolean => Boolean,
+                        reversed: Boolean): ArrayBuffer[Frag] = {
+    val out = new ArrayBuffer[Frag]
+    var k = 0
+    while (k < e.n) {
+      // sort splits by param; dedupe within Eps (first occurrence wins — the
+      // pre-seeded exact endpoints sort at 0.0/1.0 and snapped splits carry
+      // identical coordinates)
+      val m = e.ts(k).length
+      val idx = (0 until m).sortBy(e.ts(k)(_))
+      var prevT = Double.NaN
+      val st = new ArrayBuffer[Double](m)
+      val sx = new ArrayBuffer[Double](m)
+      val sy = new ArrayBuffer[Double](m)
+      idx.foreach { q =>
+        val t = e.ts(k)(q)
+        if (prevT.isNaN || t - prevT > Eps) {
+          st += t; sx += e.px(k)(q); sy += e.py(k)(q); prevT = t
+        }
+      }
+      var f = 0
+      while (f < st.length - 1) {
+        val tm = (st(f) + st(f + 1)) / 2
+        // ON iff the midpoint param falls in a collinear-overlap interval
+        var on = false; var same = false
+        var o = 0
+        while (o < e.ovLo(k).length && !on) {
+          if (tm >= e.ovLo(k)(o) - Eps && tm <= e.ovHi(k)(o) + Eps) {
+            on = true; same = e.ovSame(k)(o)
+          }
+          o += 1
+        }
+        val keep =
+          if (on) keepOn.exists(_(same))
+          else {
+            val mx = (sx(f) + sx(f + 1)) / 2
+            val my = (sy(f) + sy(f + 1)) / 2
+            keepIn(insideRings(my, mx, other))
+          }
+        if (keep) {
+          if (reversed) out += Frag(sx(f + 1), sy(f + 1), sx(f), sy(f))
+          else out += Frag(sx(f), sy(f), sx(f + 1), sy(f + 1))
+        }
+        f += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Assemble directed interior-left fragments into closed rings by
+    * sharpest-left-turn walking; junction keys are exact (the canonical-
+    * coordinate contract of [[intersectEdges]]). */
+  private def assemble(frags: ArrayBuffer[Frag]): Seq[Ring] = {
+    if (frags.isEmpty) return Seq.empty
+    val outgoing = scala.collection.mutable.HashMap
+      .empty[(Double, Double), ArrayBuffer[Int]]
+    frags.indices.foreach { i =>
+      outgoing.getOrElseUpdate((frags(i).x1, frags(i).y1), new ArrayBuffer[Int]) += i
+    }
+    val used = new Array[Boolean](frags.length)
+    val rings = Seq.newBuilder[Ring]
+    frags.indices.foreach { s =>
+      if (!used(s)) {
+        val xs = new ArrayBuffer[Double]; val ys = new ArrayBuffer[Double]
+        var cur = s
+        used(s) = true
+        xs += frags(s).x1; ys += frags(s).y1
+        val startKey = (frags(s).x1, frags(s).y1)
+        var closed = false
+        var guard = 0
+        while (!closed && guard <= frags.length) {
+          val endKey = (frags(cur).x2, frags(cur).y2)
+          if (endKey == startKey) closed = true
+          else {
+            xs += frags(cur).x2; ys += frags(cur).y2
+            val cands = outgoing.getOrElse(endKey, ArrayBuffer.empty[Int])
+              .filter(!used(_))
+            if (cands.isEmpty)
+              throw new IllegalStateException(
+                "PolyBool: fragment assembly could not close a ring " +
+                  "(input outside the supported scope: self-intersecting ring " +
+                  "or equal-within-noise vertices that are not bit-equal)")
+            // sharpest left turn relative to the incoming direction
+            val dinX = frags(cur).x2 - frags(cur).x1
+            val dinY = frags(cur).y2 - frags(cur).y1
+            var best = -1; var bestAng = Double.NegativeInfinity
+            cands.foreach { c =>
+              val dx = frags(c).x2 - frags(c).x1
+              val dy = frags(c).y2 - frags(c).y1
+              val ang = math.atan2(dinX * dy - dinY * dx, dinX * dx + dinY * dy)
+              if (ang > bestAng) { bestAng = ang; best = c }
+            }
+            used(best) = true
+            cur = best
+          }
+          guard += 1
+        }
+        if (!closed)
+          throw new IllegalStateException("PolyBool: ring walk exceeded the fragment count")
+        if (xs.length >= 3) rings += Ring(ys.toArray, xs.toArray)
+      }
+    }
+    rings.result()
+  }
+
+  /** The boolean kernel over ring sets. op: 0 = A n B, 1 = A u B,
+    * 2 = A \ B. Returned rings are interior-left: outers CCW, holes CW. */
+  def booleanRings(a0: RingSet, b0: RingSet, op: Int): Seq[Ring] = {
+    val a = normalize(a0); val b = normalize(b0)
+    val ea = new Edges(a); val eb = new Edges(b)
+    intersectEdges(ea, eb)
+    // A-side fragments: ON a collinear run -> same-direction runs bound
+    // intersection/union (interiors locally on the SAME side), opposite-
+    // direction runs bound the difference (interiors on opposite sides);
+    // off-boundary fragments go by midpoint parity in B
+    val fa = fragments(ea, b,
+      keepOn = Some(same => if (op == 2) !same else same),
+      keepIn = in => if (op == 0) in else !in,
+      reversed = false)
+    // B-side fragments: collinear runs were already kept (once) from the A
+    // side; off-boundary by parity in A; difference takes B's boundary
+    // inside A REVERSED (the removed region's interior is right of B's
+    // direction)
+    val fb = fragments(eb, a,
+      keepOn = None,
+      keepIn = in => if (op == 1) !in else in,
+      reversed = op == 2)
+    assemble(fa ++ fb)
+  }
+
+  /** A ∩ B (single shells). */
   def intersection(aLat: Array[Double], aLng: Array[Double],
                    bLat: Array[Double], bLng: Array[Double]): Seq[Ring] =
-    run(aLat, aLng, bLat, bLng, invS = false, invC = false, mode = 0)
+    booleanRings(Seq((aLat, aLng)), Seq((bLat, bLng)), 0)
 
-  /** A ∪ B. */
+  /** A ∪ B (single shells; enclosed pockets come back as CW hole rings). */
   def union(aLat: Array[Double], aLng: Array[Double],
             bLat: Array[Double], bLng: Array[Double]): Seq[Ring] =
-    run(aLat, aLng, bLat, bLng, invS = true, invC = true, mode = 1)
+    booleanRings(Seq((aLat, aLng)), Seq((bLat, bLng)), 1)
 
-  /** A \ B (holes emitted as CW rings). Mark polarity determined
-    * empirically against the hand vectors: inverting the SUBJECT's marks
-    * yields A \ B; inverting the clip's yields B \ A. */
+  /** A \ B (single shells; holes emitted as CW rings). */
   def difference(aLat: Array[Double], aLng: Array[Double],
                  bLat: Array[Double], bLng: Array[Double]): Seq[Ring] =
-    run(aLat, aLng, bLat, bLng, invS = true, invC = false, mode = 2)
+    booleanRings(Seq((aLat, aLng)), Seq((bLat, bLng)), 2)
+
+  /** Hole-aware RING OUTPUT (VERDICT r04 #4): full shell+hole boundary of
+    * the boolean for hole-bearing inputs — the fragment kernel handles ring
+    * sets natively (holes are CW interior-left edges like any others). */
+  def intersectionRings(a: RingSet, b: RingSet): Seq[Ring] = booleanRings(a, b, 0)
+  def unionRings(a: RingSet, b: RingSet): Seq[Ring] = booleanRings(a, b, 1)
+  def differenceRings(a: RingSet, b: RingSet): Seq[Ring] = booleanRings(a, b, 2)
 
   /** Sum of signed areas over a boolean result (holes subtract). */
   def totalArea(rings: Seq[Ring]): Double =
@@ -263,15 +382,15 @@ object PolyBool {
     *     = area(As n Bs) - sum_j area(As n Bh_j) - sum_i area(Ah_i n Bs)
     *       + sum_ij area(Ah_i n Bh_j)
     *
-    * — every term a SHELL-pair intersection computed by the gated
-    * Greiner-Hormann kernel, so hole-aware areas inherit its verification
-    * (hand vectors + the Sutherland-Hodgman cross-check) with no new
-    * geometry code. union/difference follow from the measure identities
-    * area(AuB) = a + b - i and area(A\B) = a - i. Exact for measures; RING
-    * output for hole-bearing inputs remains out of scope (the remaining
-    * Foster gap is geometry output only, narrowed from "holes ignored").
-    * Deterministic: terms accumulate in ring-list order — callers that need
-    * bit-equality (engine gate vs golden) share THIS function.
+    * — every term a SHELL-pair intersection computed by the fragment
+    * kernel, so hole-aware areas inherit its verification (hand vectors +
+    * the Sutherland-Hodgman cross-check + the rectilinear grid oracle).
+    * [[intersectionRings]] computes the same measure through the ring
+    * output directly; PolyBoolSpec pins their agreement. union/difference
+    * follow from the measure identities area(AuB) = a + b - i and
+    * area(A\B) = a - i. Deterministic: terms accumulate in ring-list order —
+    * callers that need bit-equality (engine gate vs golden) share THIS
+    * function.
     *
     * @param a,b ring lists (lat[], lng[]): head = shell, tail = holes.
     * @return (area_a, area_b, area_inter, area_union, area_diff). */

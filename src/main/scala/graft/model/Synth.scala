@@ -446,6 +446,38 @@ object Synth {
       mk("court-b", rect(10.10, 10.30, 10.10, 10.30), rect(10.22, 10.26, 10.22, 10.26)))
   }
 
+  /** Degenerate-position fixture (round 5, VERDICT r04 #2): rectilinear
+    * polygons whose pairwise booleans hit collinear shared-edge runs,
+    * vertex-on-edge and vertex-on-vertex meets — the party-wall
+    * configurations the round-1..4 Greiner-Hormann kernel excluded by
+    * fixture discipline. Remote from the other fixtures (lat/lng ~20) so
+    * the pairs are self-contained; exact decimal literals. Overlapping
+    * pairs and their degeneracies:
+    *   a-b: lng-shifted twin — top/bottom edges share collinear runs, four
+    *        corners sit ON the partner's edges;
+    *   a-c: lat-shifted twin — same shape rotated;
+    *   b-c: generic transversal overlap (control);
+    *   a-d: d inside a sharing the corner VERTEX and two boundary runs;
+    *   e-f: hole-bearing pair with collinear shell runs and e's courtyard
+    *        straddling f's edge (hole term + degeneracy in one pair).
+    * Touching-only pairs (a's party wall with f, d against b) yield empty
+    * intersections and are exercised-but-filtered like any disjoint pair. */
+  val degenRegions: Array[Region] = {
+    def rect(latLo: Double, latHi: Double, lngLo: Double, lngHi: Double)
+        : (Array[Double], Array[Double]) =
+      (Array(latLo, latLo, latHi, latHi), Array(lngLo, lngHi, lngHi, lngLo))
+    def mk(id: String, rings: (Array[Double], Array[Double])*): Region =
+      Region(id, "degen", "degen", rings.toArray,
+        S2.covering(S2.Poly(rings.head._1, rings.head._2)))
+    Array(
+      mk("degen-a", rect(20.00, 20.10, 20.00, 20.10)),
+      mk("degen-b", rect(20.00, 20.10, 20.05, 20.15)),
+      mk("degen-c", rect(20.05, 20.15, 20.00, 20.10)),
+      mk("degen-d", rect(20.00, 20.05, 20.00, 20.05)),
+      mk("degen-e", rect(20.00, 20.10, 19.85, 19.95), rect(20.02, 20.06, 19.88, 19.92)),
+      mk("degen-f", rect(20.00, 20.10, 19.90, 20.00)))
+  }
+
   // =====================================================================
   // Routed grid — the ROUTABLE street-network fixture (q_map_match_routed):
   // a GridN x GridN lattice of nodes centered on hotCenters(0); every

@@ -113,6 +113,9 @@ object Tables {
   def courtyards(spark: SparkSession): DataFrame =
     regionDf(spark, Synth.courtyardRegions)
 
+  def degens(spark: SparkSession): DataFrame =
+    regionDf(spark, Synth.degenRegions)
+
   private def regionDf(spark: SparkSession, rs: Array[Synth.Region]): DataFrame = {
     val rows = rs.toSeq.map { r =>
       (r.regionId, r.kind, r.zone,

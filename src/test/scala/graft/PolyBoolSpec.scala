@@ -224,6 +224,172 @@ class PolyBoolSpec extends AnyFunSuite {
     assert(math.abs(inter) < 1e-12, s"expected 0, got $inter")
   }
 
+  // ---- degeneracy hardening (round 5, VERDICT r04 #2): shared edges,
+  //      vertex-on-edge, identical polygons — the configurations the old
+  //      Greiner-Hormann kernel excluded by fixture discipline ----
+
+  test("degenerate: party wall — full shared edge, interiors on opposite sides") {
+    val (aLat, aLng) = rect(0, 2, 0, 2)   // area 4
+    val (bLat, bLng) = rect(0, 2, 2, 4)   // area 4, shares the lng=2 wall
+    assert(PolyBool.totalArea(PolyBool.intersection(aLat, aLng, bLat, bLng)) == 0.0)
+    val uni = PolyBool.union(aLat, aLng, bLat, bLng)
+    assert(uni.length == 1, s"seamless union ring, got ${uni.length}")
+    assert(math.abs(PolyBool.totalArea(uni) - 8.0) < 1e-12)
+    val dif = PolyBool.difference(aLat, aLng, bLat, bLng)
+    assert(math.abs(PolyBool.totalArea(dif) - 4.0) < 1e-12)
+  }
+
+  test("degenerate: partial party wall + vertex-on-edge endpoints") {
+    val (aLat, aLng) = rect(0, 2, 0, 2)   // area 4
+    val (bLat, bLng) = rect(1, 3, 2, 4)   // area 4; shares lng=2 for lat [1,2];
+                                          // b's corner (1,2) sits ON a's wall
+    assert(PolyBool.totalArea(PolyBool.intersection(aLat, aLng, bLat, bLng)) == 0.0)
+    val uni = PolyBool.union(aLat, aLng, bLat, bLng)
+    assert(uni.length == 1)
+    assert(math.abs(PolyBool.totalArea(uni) - 8.0) < 1e-12)
+    assert(math.abs(PolyBool.totalArea(
+      PolyBool.difference(aLat, aLng, bLat, bLng)) - 4.0) < 1e-12)
+  }
+
+  test("degenerate: identical polygons") {
+    val (aLat, aLng) = rect(0, 3, 0, 5)   // area 15
+    val inter = PolyBool.intersection(aLat, aLng, aLat, aLng)
+    assert(inter.length == 1 && math.abs(PolyBool.totalArea(inter) - 15.0) < 1e-12)
+    val uni = PolyBool.union(aLat, aLng, aLat, aLng)
+    assert(uni.length == 1 && math.abs(PolyBool.totalArea(uni) - 15.0) < 1e-12)
+    assert(PolyBool.totalArea(PolyBool.difference(aLat, aLng, aLat, aLng)) == 0.0)
+  }
+
+  test("degenerate: contained square sharing two walls (courtyard on the boundary)") {
+    val (oLat, oLng) = rect(0, 10, 0, 10) // area 100
+    val (iLat, iLng) = rect(0, 2, 0, 2)   // area 4, shares the lat=0 and lng=0 walls
+    val inter = PolyBool.intersection(oLat, oLng, iLat, iLng)
+    assert(math.abs(PolyBool.totalArea(inter) - 4.0) < 1e-12)
+    assert(math.abs(PolyBool.totalArea(PolyBool.union(oLat, oLng, iLat, iLng)) - 100.0) < 1e-12)
+    // the notch touches the boundary: ONE L-shaped ring, NOT a hole
+    val dif = PolyBool.difference(oLat, oLng, iLat, iLng)
+    assert(dif.length == 1, s"L-shape must be one ring, got ${dif.length}")
+    assert(math.abs(PolyBool.totalArea(dif) - 96.0) < 1e-12)
+  }
+
+  test("degenerate: corner-to-corner touch has zero intersection and a sound union") {
+    val (aLat, aLng) = rect(0, 2, 0, 2)
+    val (bLat, bLng) = rect(2, 4, 2, 4)   // touches a only at (2,2)
+    assert(PolyBool.totalArea(PolyBool.intersection(aLat, aLng, bLat, bLng)) == 0.0)
+    assert(math.abs(PolyBool.totalArea(PolyBool.union(aLat, aLng, bLat, bLng)) - 8.0) < 1e-12)
+    assert(math.abs(PolyBool.totalArea(PolyBool.difference(aLat, aLng, bLat, bLng)) - 4.0) < 1e-12)
+  }
+
+  test("degenerate: collinear edge overlap where interiors are on the SAME side") {
+    // b sits inside a with its bottom edge collinear on a's bottom edge
+    val (aLat, aLng) = rect(0, 4, 0, 8)   // area 32
+    val (bLat, bLng) = rect(0, 2, 2, 5)   // area 6, bottom lat=0 shared run
+    val inter = PolyBool.intersection(aLat, aLng, bLat, bLng)
+    assert(inter.length == 1 && math.abs(PolyBool.totalArea(inter) - 6.0) < 1e-12)
+    assert(math.abs(PolyBool.totalArea(PolyBool.union(aLat, aLng, bLat, bLng)) - 32.0) < 1e-12)
+    val dif = PolyBool.difference(aLat, aLng, bLat, bLng)
+    assert(dif.length == 1, s"notch reaches the boundary: one ring, got ${dif.length}")
+    assert(math.abs(PolyBool.totalArea(dif) - 26.0) < 1e-12)
+  }
+
+  test("random rectilinear pairs vs exact column arithmetic: 200 degenerate-rich seeds") {
+    // INDEPENDENT oracle: vertically-convex rectilinear polygons on an
+    // integer lattice — {(x,y): lo(x) <= y <= hi(x)} per unit column — have
+    // exact integer areas and the boolean measures reduce to per-column
+    // interval arithmetic. Integer coordinates force collinear overlaps,
+    // shared edges, vertex-on-edge and vertex-on-vertex meets in nearly
+    // every pair — precisely the configurations the old kernel excluded.
+    import graft.core.Hashes
+    def histPoly(lo: Array[Int], hi: Array[Int]): (Array[Double], Array[Double]) = {
+      val w = lo.length
+      val xs = scala.collection.mutable.ArrayBuffer[Double]()
+      val ys = scala.collection.mutable.ArrayBuffer[Double]()
+      xs += 0.0; ys += lo(0).toDouble
+      (1 until w).foreach { x =>
+        if (lo(x) != lo(x - 1)) { xs += x; ys += lo(x - 1); xs += x; ys += lo(x) }
+      }
+      xs += w; ys += lo(w - 1)
+      xs += w; ys += hi(w - 1)
+      (w - 1 to 1 by -1).foreach { x =>
+        if (hi(x) != hi(x - 1)) { xs += x; ys += hi(x); xs += x; ys += hi(x - 1) }
+      }
+      xs += 0.0; ys += hi(0)
+      (ys.toArray, xs.toArray) // (lat, lng) = (y, x)
+    }
+    var overlapped = 0
+    (0 until 200).foreach { seed =>
+      def u(i: Long): Int =
+        (Hashes.splitmix64(seed * 10000L + i) >>> 32).toInt.abs
+      val w = 4 + u(0) % 5
+      def mk(off: Int): (Array[Int], Array[Int]) = {
+        // adjacent columns must overlap in y (lo(x) < hi(x-1) and
+        // hi(x) > lo(x-1)) or the ring self-intersects — the generator's
+        // contract, not the kernel's
+        val lo = new Array[Int](w); val hi = new Array[Int](w)
+        lo(0) = u(off) % 5; hi(0) = lo(0) + 1 + u(off + 1) % 5
+        (1 until w).foreach { x =>
+          lo(x) = u(off + x * 2) % hi(x - 1)
+          hi(x) = math.max(lo(x), lo(x - 1)) + 1 + u(off + x * 2 + 1) % 5
+        }
+        (lo, hi)
+      }
+      val (loA, hiA) = mk(100)
+      val (loB, hiB) = mk(200)
+      val (aLat, aLng) = histPoly(loA, hiA)
+      val (bLat, bLng) = histPoly(loB, hiB)
+      val areaA = (0 until w).map(x => hiA(x) - loA(x)).sum.toDouble
+      val areaB = (0 until w).map(x => hiB(x) - loB(x)).sum.toDouble
+      val interWant = (0 until w).map(x =>
+        math.max(0, math.min(hiA(x), hiB(x)) - math.max(loA(x), loB(x)))).sum.toDouble
+      val inter = PolyBool.totalArea(PolyBool.intersection(aLat, aLng, bLat, bLng))
+      val uni = PolyBool.totalArea(PolyBool.union(aLat, aLng, bLat, bLng))
+      val dif = PolyBool.totalArea(PolyBool.difference(aLat, aLng, bLat, bLng))
+      assert(math.abs(inter - interWant) < 1e-9,
+        s"seed $seed: inter $inter vs exact $interWant")
+      assert(math.abs(uni - (areaA + areaB - interWant)) < 1e-9,
+        s"seed $seed: union $uni vs exact ${areaA + areaB - interWant}")
+      assert(math.abs(dif - (areaA - interWant)) < 1e-9,
+        s"seed $seed: diff $dif vs exact ${areaA - interWant}")
+      if (interWant > 0) overlapped += 1
+    }
+    assert(overlapped >= 100, s"sweep must exercise real overlaps, got $overlapped")
+  }
+
+  test("hole-bearing ring OUTPUT agrees with inclusion-exclusion (two algorithms)") {
+    // VERDICT r04 #4: intersectionRings emits the actual shell+hole
+    // boundary; its measure must match the independent inclusion-exclusion
+    // (different algorithm, same kernel policy) on the courtyard fixture
+    val a = Seq(hrect(10.00, 10.20, 10.00, 10.20), hrect(10.08, 10.14, 10.08, 10.14))
+    val b = Seq(hrect(10.10, 10.30, 10.10, 10.30), hrect(10.22, 10.26, 10.22, 10.26))
+    val (_, _, interIE, uniIE, difIE) = PolyBool.areasWithHoles(a, b)
+    val interR = PolyBool.totalArea(PolyBool.intersectionRings(a, b))
+    val uniR = PolyBool.totalArea(PolyBool.unionRings(a, b))
+    val difR = PolyBool.totalArea(PolyBool.differenceRings(a, b))
+    assert(math.abs(interR - interIE) < 1e-12, s"rings $interR vs IE $interIE")
+    assert(math.abs(uniR - uniIE) < 1e-12, s"rings $uniR vs IE $uniIE")
+    assert(math.abs(difR - difIE) < 1e-12, s"rings $difR vs IE $difIE")
+    // the courtyard intersection is ONE L-shaped ring (A's hole bites the
+    // overlap corner) — geometry, not just measure
+    val rings = PolyBool.intersectionRings(a, b)
+    assert(rings.length == 1 && rings.head.lat.length == 6,
+      s"expected one 6-vertex L ring, got ${rings.map(_.lat.length)}")
+  }
+
+  test("hole-bearing ring OUTPUT: union encloses a hole from two courtyards") {
+    // A's courtyard straddles the union interior only partially covered by
+    // B: union keeps the UNCOVERED part of the hole as a CW ring
+    val a = Seq(hrect(0, 10, 0, 10), hrect(2, 6, 2, 6)) // hole 4x4
+    val b = Seq(hrect(1, 5, 1, 5))                      // covers hole's [2,5]x[2,5]
+    val uni = PolyBool.unionRings(a, b)
+    // B (inside the shell) covers [2,5]x[2,5] = 9 of the 16-area hole:
+    // union = (100 - 16) + |B \ A| = 84 + 9 = 93; remaining hole area 7
+    val want = 93.0
+    assert(math.abs(PolyBool.totalArea(uni) - want) < 1e-9,
+      s"union area ${PolyBool.totalArea(uni)} vs $want")
+    assert(uni.exists(r => graft.core.Geo.shoelaceSigned(r.lat, r.lng) < 0),
+      "the uncovered courtyard part must surface as a CW hole ring")
+  }
+
   test("holes: no-hole inputs reduce to the shell kernel exactly") {
     val a = Seq(hrect(0, 2, 0, 3))
     val b = Seq(hrect(1, 3, 1, 5))
