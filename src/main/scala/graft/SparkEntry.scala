@@ -427,6 +427,23 @@ object SparkEntry {
         .orderBy("route_id")
     }),
 
+    // --- §2.4 PROJECTED point-to-point routing (round 5, VERDICT r04 #3):
+    //     endpoints snap to the projected point on the nearest SEGMENT and
+    //     routing pays split-edge costs — the fixture's endpoints sit
+    //     strictly mid-segment, where node snapping and projection disagree;
+    //     golden = brute-force projection + independent Dijkstra over the
+    //     split graph (four-combo + same-segment-direct minimum) ---
+    "q_route_proj" -> ((s, _) => {
+      import s.implicits._
+      val pairs = (0L until 60L).map(i => (i,
+          graft.model.Synth.routeProjPairLat(i, 0), graft.model.Synth.routeProjPairLng(i, 0),
+          graft.model.Synth.routeProjPairLat(i, 1), graft.model.Synth.routeProjPairLng(i, 1)))
+        .toDF("route_id", "a_lat", "a_lng", "b_lat", "b_lng")
+      graft.ops.Routing.routeDistanceProjected(s, pairs, Tables.gridSegments(s),
+          Tables.gridEdges(s), snapRadiusMeters = 300.0, maxRouteMeters = 12000.0)
+        .orderBy("route_id")
+    }),
+
     // --- Iceberg-role CHANGELOG (CDC / incremental scan): the row-level
     //     delta between two snapshots, classified insert/delete/update —
     //     what a training run that last consumed v1 reads instead of the
@@ -2432,6 +2449,7 @@ object SparkEntry {
       "q_map_match" -> g("q_map_match", "user_id, event_id"),
       "q_map_match_routed" -> g("q_map_match_routed", "user_id, event_id"),
       "q_route" -> g("q_route", "route_id"),
+      "q_route_proj" -> g("q_route_proj", "route_id"),
       "q_traj_hausdorff" -> g("q_traj_hausdorff", "user_a, user_b"),
       "q_traj_legs" -> g("q_traj_legs", "user_id, sec, event_id"),
       "q_geohash" -> g("q_geohash", "gh5"),

@@ -539,6 +539,27 @@ object Synth {
       (((Hashes.splitmix64(i * 137L + side * 11L + 5L) >>> 11) % 7000L) - 3500L) / 100000.0)
       * 1000000) / 1000000.0
 
+  /** Route-request endpoints for the PROJECTED variant (q_route_proj): a
+    * point a fraction 0.15..0.85 along a random horizontal grid edge,
+    * pushed 25..145 m off the row — the nearest network point is strictly
+    * MID-SEGMENT, so endpoint-node snapping and split-edge projection give
+    * different answers and the gate pins the projection semantics. Every
+    * 7th pair's destination lands in the mid-Atlantic (unsnappable-row
+    * contract). */
+  def routeProjPairLat(i: Long, side: Int): Double = {
+    if (i % 7 == 3 && side == 1) return 40.0
+    val r = ((Hashes.splitmix64(i * 211L + side * 13L + 7L) >>> 11) % GridN).toInt
+    val offM = (((Hashes.splitmix64(i * 223L + side * 17L + 9L) >>> 11) % 121L) + 25L).toDouble
+    val sign = if ((Hashes.splitmix64(i * 227L + side * 19L + 11L) >>> 11) % 2L == 0L) 1.0 else -1.0
+    math.rint((gridNodeLat(r) + sign * offM / 111320.0) * 1000000) / 1000000.0
+  }
+  def routeProjPairLng(i: Long, side: Int): Double = {
+    if (i % 7 == 3 && side == 1) return -30.0
+    val c = ((Hashes.splitmix64(i * 229L + side * 23L + 13L) >>> 11) % (GridN - 1)).toInt
+    val f = 0.15 + 0.7 * (((Hashes.splitmix64(i * 233L + side * 29L + 15L) >>> 11) % 1000L) / 1000.0)
+    math.rint((gridNodeLng(c) + f * (gridNodeLng(c + 1) - gridNodeLng(c))) * 1000000) / 1000000.0
+  }
+
   /** Directed both ways; cost = rint(haversine) meters — integral doubles,
     * the exact-sum discipline of SparkEntry.graphEdges. */
   val gridEdges: Array[(Long, Long, Double)] =

@@ -332,6 +332,40 @@ object Polyline {
     (la, lo, best)
   }
 
+  /** Nearest point of the polyline with its ALONG-LENGTH fraction:
+    * (lat', lng', meters, frac) — frac in [0,1] of the polyline's haversine
+    * length before the projection, the split-edge cost fraction for
+    * projected routing (VERDICT r04 #3; the reference's connection-point
+    * insertion, graph/connectivity.go:561-703). Same arc kernel as
+    * [[projectToPolylineMeters]]; equidistant segments keep the EARLIEST
+    * (strict `<`), deterministic and golden-mirrored. */
+  def projectToPolylineFrac(lat: Double, lng: Double,
+                            pLats: Array[Double], pLngs: Array[Double])
+      : (Double, Double, Double, Double) = {
+    require(pLats.length >= 2 && pLngs.length == pLats.length,
+      s"projectToPolylineFrac: need >= 2 vertices (${pLats.length}/${pLngs.length})")
+    val x = Geo.toXYZ(lat, lng)
+    var best = Double.MaxValue
+    var bestP: Array[Double] = null
+    var bestA: Array[Double] = null
+    var bestPrefix = 0.0
+    var prefix = 0.0
+    var i = 1
+    while (i < pLats.length) {
+      val a = Geo.toXYZ(pLats(i - 1), pLngs(i - 1))
+      val b = Geo.toXYZ(pLats(i), pLngs(i))
+      val p = Geo.closestPointOnArc(x, a, b)
+      val d = Geo.angleBetween(x, p) * Geo.EarthRadiusMeters
+      if (d < best) { best = d; bestP = p; bestA = a; bestPrefix = prefix }
+      prefix += Geo.haversineMeters(pLats(i - 1), pLngs(i - 1), pLats(i), pLngs(i))
+      i += 1
+    }
+    val along = bestPrefix + Geo.angleBetween(bestA, bestP) * Geo.EarthRadiusMeters
+    val frac = math.max(0.0, math.min(1.0, if (prefix > 0) along / prefix else 0.0))
+    val (la, lo) = Geo.toLatLng(bestP)
+    (la, lo, best, frac)
+  }
+
   /** snap-area-edges kernel (reference api/functions/geometry.go:89-167
     * snapAreaEdges/projectEdgesOntoPolylines/filterShortEdges): per ring
     * edge, project BOTH endpoints onto each candidate polyline and take the

@@ -135,6 +135,62 @@ class RoutedMatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.EngineCaches.releaseIterationSnapshots()
   }
 
+  test("projected routing: same-edge pair pays the direct split-edge cost") {
+    import spark.implicits._
+    import graft.ops.Routing
+    // both endpoints exactly ON the row-0 edge (0,0)-(0,1), at ~25% and
+    // ~75% along: direct = |f_a - f_b| * c beats every via-node combo
+    // (via node 0: (f_a + f_b) * c; via both ends: (f_a + 1 - f_b) * c + c)
+    val lat0 = Synth.gridNodeLat(0)
+    val lng25 = Synth.gridNodeLng(0) + 0.25 * (Synth.gridNodeLng(1) - Synth.gridNodeLng(0))
+    val lng75 = Synth.gridNodeLng(0) + 0.75 * (Synth.gridNodeLng(1) - Synth.gridNodeLng(0))
+    val pairs = Seq((0L, lat0, lng25, lat0, lng75))
+      .toDF("route_id", "a_lat", "a_lng", "b_lat", "b_lng")
+    val r = Routing.routeDistanceProjected(spark, pairs, Tables.gridSegments(spark),
+        Tables.gridEdges(spark), snapRadiusMeters = 300.0, maxRouteMeters = 12000.0)
+      .collect().head
+    val c = Synth.gridEdges.collect {
+      case (s, d, cc) if s == Synth.gridNodeId(0, 0) && d == Synth.gridNodeId(0, 1) => cc
+    }.head
+    assert(r.getString(1) == "gseg-h-00-00" && r.getString(2) == "gseg-h-00-00")
+    val fa = r.getDouble(3); val fb = r.getDouble(4)
+    assert(fa > 0.2 && fa < 0.3 && fb > 0.7 && fb < 0.8, s"fracs $fa $fb")
+    assert(math.abs(r.getDouble(7) - math.abs(fa - fb) * c) < 1e-9,
+      s"route must be the direct split-edge cost, got ${r.getDouble(7)}")
+    // snaps are ~0 (points are on the segment), so total ~= route
+    assert(r.getDouble(5) < 1.0 && r.getDouble(6) < 1.0)
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+  }
+
+  test("projected routing: mid-segment endpoints route through split-edge costs") {
+    import spark.implicits._
+    import graft.ops.Routing
+    // origin ~40% along edge (0,0)-(0,1) offset 50 m north; destination
+    // ~60% along edge (0,2)-(0,3) on the same row: route = (1-f_a)*c01 +
+    // c12 + f_b*c23 (west-exit combos are strictly worse)
+    val off = 50.0 / 111320.0
+    val lngA = Synth.gridNodeLng(0) + 0.4 * (Synth.gridNodeLng(1) - Synth.gridNodeLng(0))
+    val lngB = Synth.gridNodeLng(2) + 0.6 * (Synth.gridNodeLng(3) - Synth.gridNodeLng(2))
+    val pairs = Seq((0L, Synth.gridNodeLat(0) + off, lngA,
+        Synth.gridNodeLat(0) + off, lngB))
+      .toDF("route_id", "a_lat", "a_lng", "b_lat", "b_lng")
+    val r = Routing.routeDistanceProjected(spark, pairs, Tables.gridSegments(spark),
+        Tables.gridEdges(spark), snapRadiusMeters = 300.0, maxRouteMeters = 12000.0)
+      .collect().head
+    def cost(c0: Int, c1: Int): Double = Synth.gridEdges.collect {
+      case (s, d, cc) if s == Synth.gridNodeId(0, c0) && d == Synth.gridNodeId(0, c1) => cc
+    }.head
+    assert(r.getString(1) == "gseg-h-00-00" && r.getString(2) == "gseg-h-00-02")
+    val fa = r.getDouble(3); val fb = r.getDouble(4)
+    val want = (1.0 - fa) * cost(0, 1) + cost(1, 2) + fb * cost(2, 3)
+    assert(math.abs(r.getDouble(7) - want) < 1e-9,
+      s"route ${r.getDouble(7)} vs split-edge $want")
+    // snap legs ~50 m each
+    assert(math.abs(r.getDouble(5) - 50.0) < 2.0 && math.abs(r.getDouble(6) - 50.0) < 2.0)
+    assert(math.abs(r.getDouble(8) - (r.getDouble(5) + r.getDouble(7) + r.getDouble(6))) < 1e-9)
+    graft.ops.EngineCaches.releaseIterationSnapshots()
+  }
+
   test("routing: negative route_id fails loudly instead of aliasing snap keys") {
     import spark.implicits._
     import graft.ops.Routing
