@@ -724,14 +724,19 @@ object SparkEntry {
     //     the continuous index-quality eval (round 4). Oracle: exact side
     //     recomputed by DuckDB's own cosine (the q_ann_topk SQL, one shared
     //     text), approx side from the INDEPENDENT q_ann_ivf golden, joined
-    //     and counted in SQL. ---
+    //     and counted in SQL. Round 5 (VERDICT r04 #5): the exact side is
+    //     FULL-PROBE IVF (nProbe = nClusters) — every corpus vector lies in
+    //     exactly one probed cluster, so the candidate set is the whole
+    //     corpus minus self and the result equals brute force through the
+    //     same rankTopK — but the plan is the keyed cluster equi-join, so
+    //     the BNLJ baseline leaves the recall gate (allowlist back to 2). ---
     "q_ann_recall" -> ((s, dir) => {
       Tables.registerBase(s, dir)
       val emb = s.table("embeddings")
       val sample = Similarity.quantizerSample(emb, "vec_id", "embedding")
       val centroids = Similarity.trainCentroids(sample, nClusters = 16, iters = 5)
-      val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
-        "vec_id", "embedding", 10)
+      val exact = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", 10, centroids, nProbe = 16)
       val approx = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", 10, centroids, nProbe = 4)
       Similarity.recallAtK(approx, exact, 10).orderBy("query_id")

@@ -125,10 +125,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tests; this sweep catches any single-frame query regressing to
     // all-pairs. Queries are CONSTRUCTED (and, for iterative ops, thereby
     // executed at sf0.001) but not collected.
-    // q_ann_recall embeds q_ann_topk's BNLJ baseline as its EXACT side by
-    // construction (the eval compares the index against brute force); the
-    // recall join itself is a keyed equi-join + aggregate
-    val allowlist = Set("q_embed_neardup", "q_ann_topk", "q_ann_recall")
+    // round 5 (VERDICT r04 #5): q_ann_recall's exact side is now FULL-PROBE
+    // IVF (exhaustive by construction, keyed cluster equi-join plan), so
+    // only the two labeled exact baselines remain allowlisted
+    val allowlist = Set("q_embed_neardup", "q_ann_topk")
     // SECOND allowed class, stats-attach: a BroadcastNestedLoopJoin whose
     // build side is a KEYLESS aggregate — provably one row, so "all-pairs"
     // is data x 1 (q_hotspot and q_bm25 attach global stats this way; the
