@@ -462,6 +462,26 @@ object SparkEntry {
       Tiling.pointManifest(images(s, dir), 8, 12)
         .orderBy("image_id", "z")),
 
+    // --- §2.1/§3.3 basemap RenderRules (round 5, VERDICT r04 #9): rule
+    //     table (tag query + zoom window + layer) -> per-zoom styled layer
+    //     manifest over the MVT tile math; first-match layer assignment,
+    //     keyed/tagged rules, zoom-window exclusion all exercised; oracle =
+    //     pure SQL (the shared mercator text + arg_min first-match) ---
+    "q_render_rules" -> ((s, dir) => {
+      import s.implicits._
+      val feats = images(s, dir).select(col("image_id").as("feature_id"),
+        col("lat"), col("lng"),
+        map(lit("status"), col("status"),
+          lit("priority"), col("priority").cast("string")).as("tags"))
+      val rules = Seq(
+        (0, "priority", "1-URGENT", 12, 12, "urgent"),
+        (1, "status", "O", 0, 11, "open"),
+        (2, "status", null.asInstanceOf[String], 11, 0, "any"))
+        .toDF("rule_idx", "tag_key", "tag_value", "min_zoom", "max_zoom", "layer")
+      Tiling.renderLayers(feats, rules, 10, 12)
+        .orderBy("z", "x", "y", "layer")
+    }),
+
     // --- §2.7 tile-count pyramid: ONE point pass at zMax, coarser zooms by
     //     child->parent roll-up on the occupied-tile table (the overview
     //     build; oracle = same mercator text + integer >> halving) ---
@@ -1824,6 +1844,13 @@ object SparkEntry {
          |CAST(FLOOR(x12 / CAST($div AS DOUBLE)) AS BIGINT) AS x,
          |CAST(FLOOR(y12 / CAST($div AS DOUBLE)) AS BIGINT) AS y FROM base""".stripMargin
     }.mkString(" UNION ALL ")
+    // q_render_rules: zooms 10..12 from the SAME z12 mercator base text
+    val renderZooms = (10 to 12).map { z =>
+      val div = 1L << (12 - z)
+      s"""SELECT image_id, CAST($z AS INT) AS z,
+         |CAST(FLOOR(x12 / CAST($div AS DOUBLE)) AS BIGINT) AS x,
+         |CAST(FLOOR(y12 / CAST($div AS DOUBLE)) AS BIGINT) AS y FROM base""".stripMargin
+    }.mkString(" UNION ALL ")
 
     // same mercator base text as q_tiles_points; roll-up = integer >>
     // halving (exact — Mercator parents are pure coordinate halving);
@@ -1935,6 +1962,30 @@ object SparkEntry {
           "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
           "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images) " +
           s"SELECT * FROM ($tileZooms) u ORDER BY image_id, z"),
+      // RenderRules: first-match = arg_min over unique rule_idx; the tile
+      // math is the q_tiles_points shared mercator text
+      "q_render_rules" ->
+        (s"$W, rules(rule_idx, tag_key, tag_value, min_zoom, max_zoom, layer) AS " +
+          "(VALUES (0, 'priority', '1-URGENT', 12, 12, 'urgent'), " +
+          "(1, 'status', 'O', 0, 11, 'open'), " +
+          "(2, 'status', NULL, 11, 0, 'any')), " +
+          "tags AS (SELECT image_id, 'status' AS tag_key, status AS tag_value FROM images " +
+          "UNION ALL SELECT image_id, 'priority', CAST(priority AS VARCHAR) FROM images), " +
+          "assigned AS (SELECT t.image_id, zz.z, arg_min(r.layer, r.rule_idx) AS layer " +
+          "FROM tags t JOIN rules r ON t.tag_key = r.tag_key " +
+          "AND (r.tag_value IS NULL OR r.tag_value = t.tag_value) " +
+          "CROSS JOIN (SELECT UNNEST(range(10, 13)) AS z) zz " +
+          "WHERE (r.min_zoom = 0 OR zz.z >= r.min_zoom) " +
+          "AND (r.max_zoom = 0 OR zz.z <= r.max_zoom) " +
+          "GROUP BY t.image_id, zz.z), " +
+          "base AS (SELECT image_id, " +
+          "CAST(FLOOR(2048 + 2048 * RADIANS(lng) / PI()) AS BIGINT) AS x12, " +
+          "CAST(FLOOR(2048 - 2048 * LN(TAN(PI() / 4 + RADIANS(lat) / 2)) / PI()) AS BIGINT) AS y12 FROM images), " +
+          s"tiles AS ($renderZooms) " +
+          "SELECT CAST(a.z AS INT) AS z, ti.x AS x, ti.y AS y, a.layer AS layer, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_features, MIN(a.image_id) AS first_id " +
+          "FROM assigned a JOIN tiles ti ON a.image_id = ti.image_id AND a.z = ti.z " +
+          "GROUP BY 1, 2, 3, 4 ORDER BY z, x, y, layer"),
       // same mercator base text as q_tiles_points; roll-up = integer >>
       // halving (exact — Mercator parents are pure coordinate halving);
       // CAST around DuckDB's HUGEINT SUM

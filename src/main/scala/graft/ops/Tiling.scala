@@ -30,6 +30,49 @@ object Tiling {
         expr("tid & (shiftleft(1L, z) - 1)").as("x"),
         expr("shiftrightunsigned(tid, z) & (shiftleft(1L, z) - 1)").as("y"))
 
+  /** Rule-driven per-zoom basemap LAYER manifest — the reference's
+    * RenderRules (renderer/renderer.go:68-130: per-rule tag query + zoom
+    * window + target layer, unioned per zoom) re-expressed set-at-a-time:
+    * `rules` = (rule_idx, tag_key, tag_value NULLABLE, min_zoom, max_zoom,
+    * layer); a rule is ACTIVE at z when (min_zoom = 0 OR z >= min_zoom) AND
+    * (max_zoom = 0 OR z <= max_zoom); a keyed rule (null value) matches any
+    * feature carrying the key, a tagged rule matches key = value; a feature
+    * rendered by several active rules takes the LOWEST rule_idx's layer
+    * (deterministic first-match — the reference unions the rule queries and
+    * orders tile features by layer). Output one row per styled tile layer:
+    * (z, x, y, layer, n_features, first_id), first_id = the tile layer's
+    * lowest feature id (the reference's layer-then-id feature order
+    * witness).
+    *
+    * Scale shape: rules broadcast (tiny); zoom fan-out is a bounded explode;
+    * first-match is one keyed partial-aggregating groupBy; tile assignment
+    * reuses the gated [[pointManifest]] chain and joins back on the
+    * (feature, z) equi-key — no all-pairs anywhere.
+    * @param features (feature_id, lat, lng, tags MAP<STRING,STRING>). */
+  def renderLayers(features: DataFrame, rules: DataFrame,
+                   zMin: Int, zMax: Int): DataFrame = {
+    val tagged = features.select(col("feature_id"), col("lat"), col("lng"),
+      explode(col("tags")).as(Seq("tag_key", "tag_value")))
+    val r = rules.select(col("rule_idx"), col("tag_key").as("r_key"),
+      col("tag_value").as("r_val"), col("min_zoom"), col("max_zoom"), col("layer"))
+    val assigned = tagged
+      .join(broadcast(r), col("tag_key") === col("r_key") &&
+        (col("r_val").isNull || col("r_val") === col("tag_value")))
+      .withColumn("z", explode(sequence(lit(zMin), lit(zMax))))
+      .where((col("min_zoom") === 0 || col("z") >= col("min_zoom")) &&
+        (col("max_zoom") === 0 || col("z") <= col("max_zoom")))
+      .groupBy(col("feature_id"), col("z"))
+      .agg(min(struct(col("rule_idx"), col("layer"))).as("s"))
+      .select(col("feature_id"), col("z"), col("s.layer").as("layer"))
+    val tiles = pointManifest(
+        features.select(col("feature_id").as("image_id"), col("lat"), col("lng")),
+        zMin, zMax)
+      .select(col("image_id").as("feature_id"), col("z"), col("x"), col("y"))
+    assigned.join(tiles, Seq("feature_id", "z"))
+      .groupBy(col("z"), col("x"), col("y"), col("layer"))
+      .agg(count(lit(1)).as("n_features"), min(col("feature_id")).as("first_id"))
+  }
+
   /** Area features: tiles covering each region's S2 covering across zooms —
     * the MVT serving path re-expressed as a batch manifest (SURVEY.md §3.3).
     */
