@@ -148,9 +148,43 @@ object SnapshotStore {
     * lines, then `file:<relative path>` lines. Plain text keeps it
     * FileSystem-API-only (works on s3a the same as local) and
     * diff-readable. */
-  private def commit(spark: SparkSession, dir: String, m: Manifest): Int = {
+  /** A concurrent writer lost the optimistic race for `version`: its base
+    * snapshot moved underneath it. append/appendBatch/upsert re-read HEAD on
+    * every call, so the standard reaction is simply to retry the operation
+    * ([[withCommitRetries]]); a claim orphaned by a CRASHED half-commit is
+    * released with [[releaseFailedCommit]]. */
+  final class CommitConflictException(val version: Int, detail: String)
+    extends RuntimeException(
+      s"snapshot commit conflict at v$version: $detail — another writer " +
+        "committed this version first (retry the operation; it re-reads HEAD), " +
+        "or a crashed commit left an orphan claim (releaseFailedCommit)")
+
+  /** OPTIMISTIC concurrent-writer arbitration (the Iceberg catalog-CAS
+    * role, round 5): before the manifest rename, the committer must WIN the
+    * version's CLAIM — an atomic exclusive create of `_snaps/v{N}.claim`.
+    * Exclusive create is the one primitive every Hadoop FileSystem offers
+    * atomically (local, HDFS, and object stores with conditional puts), so
+    * two writers that both read base v{N-1} and race to commit v{N} resolve
+    * deterministically: the loser gets [[CommitConflictException]] and
+    * retries from the NEW head (its data files are orphans until
+    * [[expireSnapshots]]). The manifest body still lands via tmp+rename
+    * (readers never see a partial manifest), and the HEAD swap stays the
+    * commit point. A crash between claim and manifest leaves an orphan
+    * claim that blocks v{N} committers — [[releaseFailedCommit]] clears it
+    * after verifying HEAD never reached the version. */
+  private[graft] def commit(spark: SparkSession, dir: String, m: Manifest): Int = {
     val (fs, _) = fsOf(spark, dir)
     fs.mkdirs(new Path(s"$dir/_snaps"))
+    // claim FIRST: the optimistic CAS
+    val claim = new Path(s"$dir/_snaps/v${m.version}.claim")
+    val co =
+      try fs.create(claim, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new CommitConflictException(m.version,
+            s"claim create failed (${e.getClass.getSimpleName})")
+      }
+    co.close()
     val body = (Seq(s"version:${m.version}", s"batch:${m.lastBatch}") ++
       m.stats.sortBy(_.bucket).map(s =>
         s"stat:${s.bucket},${s.cellMin},${s.cellMax},${s.rows}") ++
@@ -170,6 +204,37 @@ object SnapshotStore {
     if (fs.exists(head)) fs.delete(head, false)
     require(fs.rename(headTmp, head), "snapshot commit failed: HEAD swap")
     m.version
+  }
+
+  /** Retry `op` across commit conflicts: append/appendBatch/upsert re-read
+    * HEAD per call, so a lost race retries against the new base. Exhausted
+    * retries rethrow the last conflict. */
+  def withCommitRetries[T](maxRetries: Int = 3)(op: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: CommitConflictException if attempt < maxRetries =>
+          attempt += 1
+          System.err.println(s"[snapshot-store] commit conflict at " +
+            s"v${e.version}, retrying against the new head (attempt $attempt)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Release the debris of a CRASHED half-commit of `version`: verifies the
+    * table never reached it (HEAD < version — a committed version must
+    * never be released), then deletes the orphan claim, any partial
+    * manifest, and the attempt's data directory. */
+  def releaseFailedCommit(spark: SparkSession, dir: String, version: Int): Unit = {
+    val head = headVersion(spark, dir)
+    require(head < version,
+      s"releaseFailedCommit: v$version is committed (HEAD=$head); refusing")
+    val (fs, _) = fsOf(spark, dir)
+    fs.delete(new Path(s"$dir/_snaps/v$version.claim"), false)
+    fs.delete(manifestPath(dir, version), false)
+    fs.delete(new Path(s"$dir/data_v$version"), true)
   }
 
   def headVersion(spark: SparkSession, dir: String): Int = {
@@ -220,8 +285,18 @@ object SnapshotStore {
 
   private def writeCommitFiles(spark: SparkSession, df: DataFrame, dir: String,
                                v: Int, cellCol: String): Seq[String] = {
-    bucketed(df, cellCol).write.mode(SaveMode.Overwrite)
+    // ErrorIfExists (round 5): a committer that lost the optimistic race
+    // must NOT clobber the winner's immutable data directory — the
+    // collision surfaces as a commit conflict before any data is damaged
+    // (the claim in [[commit]] is the second, authoritative gate)
+    try bucketed(df, cellCol).write.mode(SaveMode.ErrorIfExists)
       .partitionBy("_bucket").parquet(s"$dir/data_v$v")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getMessage).exists(_.toLowerCase.contains("already exists")) =>
+        throw new CommitConflictException(v,
+          s"data_v$v already written by a concurrent committer")
+    }
     listFilesUnder(spark, dir, s"data_v$v")
   }
 
