@@ -211,7 +211,9 @@ object Bench {
     // the retry adds samples, never selects on the efficiency value.
     val cleanSoFar = primaryPairs.count(BenchProtocol.isClean(_, primaryN, primary4N))
     if (cleanSoFar < 3) {
-      val retryBudget = math.max(budgetMs * 4 / 5 - spentPrimaryMs, 120000L)
+      // floor scales with the budget (2/5) so a small driver budget cannot
+      // be overshot by a fixed 2-minute constant
+      val retryBudget = math.max(budgetMs * 4 / 5 - spentPrimaryMs, budgetMs * 2 / 5)
       System.err.println(s"[bench] outer retry: primary block closed with " +
         s"clean_pairs=$cleanSoFar < 3; re-entering the scaling block after the " +
         s"headline interlude (budget ${retryBudget / 1000}s)")

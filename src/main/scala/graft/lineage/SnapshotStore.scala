@@ -81,7 +81,8 @@ object SnapshotStore {
     * unaffected. */
   final case class Manifest(version: Int, files: Seq[String],
                             stats: Seq[BucketStat], lastBatch: Long = -1L,
-                            blooms: Map[Long, Array[Long]] = Map.empty)
+                            blooms: Map[Long, Array[Long]] = Map.empty,
+                            bloomCol: Option[String] = None)
 
   private val BloomBits = 2048
   private val BloomHashes = 3
@@ -95,28 +96,48 @@ object SnapshotStore {
       pmod(xxhash64(concat(idc.cast("string"), lit("#" + s))), lit(BloomBits))
         .cast("int")): _*)
 
-  /** Per-bucket bloom bitsets of a frame (empty when `idCol` is absent). */
-  private def bloomsOf(df: DataFrame, cellCol: String,
-                       idCol: String): Map[Long, Array[Long]] = {
-    if (!df.columns.contains(idCol)) return Map.empty
-    bucketed(df, cellCol)
-      .select(col("_bucket"), explode(bloomPositions(col(idCol))).as("p"))
-      .groupBy("_bucket").agg(collect_set(col("p")).as("ps"))
-      .collect().map { r =>
-        val bits = new Array[Long](BloomBits / 64)
-        r.getSeq[Int](1).foreach(p => bits(p >> 6) |= 1L << (p & 63))
-        r.getLong(0) -> bits
-      }.toMap
+  /** Per-bucket stats AND key blooms in ONE pass (review r05: the
+    * two-aggregation form scanned every commit's output twice): positions
+    * are exploded (x3 rows; the count divides back exactly) so aggregation
+    * state stays bounded — collect_set over <= 2048 scalar positions, never
+    * over raw keys. Blooms come back empty when `idCol` is absent. */
+  private def statsAndBlooms(df: DataFrame, cellCol: String, idCol: String)
+      : (Seq[BucketStat], Map[Long, Array[Long]]) = {
+    if (!df.columns.contains(idCol)) return (statsOf(df, cellCol), Map.empty)
+    val rows = bucketed(df, cellCol)
+      .select(col("_bucket"), col(cellCol).as("_cell"),
+        explode(bloomPositions(col(idCol))).as("p"))
+      .groupBy("_bucket")
+      .agg(min(col("_cell")).as("lo"), max(col("_cell")).as("hi"),
+        (count(lit(1)) / lit(3)).cast("long").as("n"),
+        collect_set(col("p")).as("ps"))
+      .collect()
+    val stats = rows.map(r =>
+      BucketStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val blooms = rows.map { r =>
+      val bits = new Array[Long](BloomBits / 64)
+      r.getSeq[Int](4).foreach(p => bits(p >> 6) |= 1L << (p & 63))
+      r.getLong(0) -> bits
+    }.toMap
+    (stats, blooms)
   }
 
-  private def mergeBlooms(a: Map[Long, Array[Long]],
-                          b: Map[Long, Array[Long]]): Map[Long, Array[Long]] =
-    (a.keySet ++ b.keySet).iterator.map { k =>
-      (a.get(k), b.get(k)) match {
-        case (Some(x), Some(y)) =>
-          k -> Array.tabulate(BloomBits / 64)(i => x(i) | y(i))
-        case (x, y) => k -> x.orElse(y).get
-      }
+  /** Blooms for the union of two commits' data: a bucket keeps a bloom ONLY
+    * when EVERY side contributing DATA to it contributed a bloom — a bucket
+    * with data but no bloom (legacy manifest, id-less frame) must STAY
+    * bloom-less so the upsert fallback keeps it conservatively a victim
+    * (review r05: the old key-union merge gave such buckets a delta-only
+    * bloom, silently hiding pre-bloom rows from victim discovery). */
+  private def mergeBlooms(aBlooms: Map[Long, Array[Long]], aData: Set[Long],
+                          bBlooms: Map[Long, Array[Long]], bData: Set[Long])
+      : Map[Long, Array[Long]] =
+    (aData ++ bData).iterator.flatMap { k =>
+      val x = aBlooms.get(k); val y = bBlooms.get(k)
+      if ((aData(k) && x.isEmpty) || (bData(k) && y.isEmpty)) None
+      else Some(k -> ((x, y) match {
+        case (Some(p), Some(q)) => Array.tabulate(BloomBits / 64)(i => p(i) | q(i))
+        case _ => x.orElse(y).get
+      }))
     }.toMap
 
   private def bloomEncode(bits: Array[Long]): String = {
@@ -172,20 +193,34 @@ object SnapshotStore {
     * commit point. A crash between claim and manifest leaves an orphan
     * claim that blocks v{N} committers — [[releaseFailedCommit]] clears it
     * after verifying HEAD never reached the version. */
-  private[graft] def commit(spark: SparkSession, dir: String, m: Manifest): Int = {
+  /** Win the version's claim — atomic exclusive create. The commit-path
+    * operations (create/append/appendBatch/upsert) call this BEFORE writing
+    * any data file (review r05: claiming only at manifest time let two
+    * racers interleave part files under the same data_v dir, so the claim
+    * winner's listing could reference the loser's rows); [[commit]] claims
+    * itself only when invoked directly. */
+  private def acquireClaim(spark: SparkSession, dir: String, v: Int): Unit = {
     val (fs, _) = fsOf(spark, dir)
     fs.mkdirs(new Path(s"$dir/_snaps"))
-    // claim FIRST: the optimistic CAS
-    val claim = new Path(s"$dir/_snaps/v${m.version}.claim")
+    val claim = new Path(s"$dir/_snaps/v$v.claim")
     val co =
       try fs.create(claim, false)
       catch {
         case e: java.io.IOException =>
-          throw new CommitConflictException(m.version,
+          throw new CommitConflictException(v,
             s"claim create failed (${e.getClass.getSimpleName})")
       }
     co.close()
+  }
+
+  private[graft] def commit(spark: SparkSession, dir: String, m: Manifest,
+                            preClaimed: Boolean = false): Int = {
+    val (fs, _) = fsOf(spark, dir)
+    fs.mkdirs(new Path(s"$dir/_snaps"))
+    // claim FIRST unless the operation already holds it: the optimistic CAS
+    if (!preClaimed) acquireClaim(spark, dir, m.version)
     val body = (Seq(s"version:${m.version}", s"batch:${m.lastBatch}") ++
+      m.bloomCol.map(c => s"bloomcol:$c").toSeq ++
       m.stats.sortBy(_.bucket).map(s =>
         s"stat:${s.bucket},${s.cellMin},${s.cellMax},${s.rows}") ++
       m.blooms.toSeq.sortBy(_._1).map { case (b, bits) =>
@@ -272,7 +307,10 @@ object SnapshotStore {
       val Array(b, enc) = l.stripPrefix("bloom:").split(",", 2)
       b.toLong -> bloomDecode(enc)
     }.toMap
-    Manifest(v, files, stats, lastBatch, blooms)
+    val bloomCol = lines.collectFirst { case l if l.startsWith("bloomcol:") =>
+      l.stripPrefix("bloomcol:").trim
+    }
+    Manifest(v, files, stats, lastBatch, blooms, bloomCol)
   }
 
   private def statsOf(df: DataFrame, cellCol: String): Seq[BucketStat] =
@@ -300,31 +338,53 @@ object SnapshotStore {
     listFilesUnder(spark, dir, s"data_v$v")
   }
 
+  /** The bloom column every commit over this table must share: blooms are
+    * probed by VALUE, so mixing id columns (or a table whose manifest
+    * predates the bloomcol tag while carrying blooms) must fail loudly, not
+    * silently miss victims (review r05). */
+  private def requireBloomCol(m: Manifest, idCol: String, op: String): Unit =
+    require(m.blooms.isEmpty || m.bloomCol.contains(idCol),
+      s"SnapshotStore.$op: manifest blooms were built over " +
+        s"${m.bloomCol.getOrElse("<untagged>")} but this operation uses " +
+        s"id column '$idCol' — a value probe would silently miss victims; " +
+        "use one id column per table")
+
   /** Create the table: snapshot v1. */
   def create(spark: SparkSession, df: DataFrame, dir: String,
              cellCol: String = "cell16", idCol: String = "image_id"): Int = {
     val (fs, _) = fsOf(spark, dir)
     require(!fs.exists(new Path(s"$dir/_snaps/HEAD")),
       s"SnapshotStore.create: $dir already has a HEAD; use append/upsert")
+    acquireClaim(spark, dir, 1)
+    val (stats, blooms) = statsAndBlooms(df, cellCol, idCol)
     commit(spark, dir,
-      Manifest(1, writeCommitFiles(spark, df, dir, 1, cellCol), statsOf(df, cellCol),
-        blooms = bloomsOf(df, cellCol, idCol)))
+      Manifest(1, writeCommitFiles(spark, df, dir, 1, cellCol), stats,
+        blooms = blooms,
+        bloomCol = if (blooms.isEmpty) None else Some(idCol)),
+      preClaimed = true)
   }
 
-  /** Append-only commit: new files + monoid-merged stats (blooms OR-merge);
-    * prior files carry by reference (the CellStore.append contract,
-    * snapshot-versioned). Returns the new version. */
+  /** Append-only commit: new files + monoid-merged stats (blooms OR-merge
+    * where BOTH sides carry one); prior files carry by reference (the
+    * CellStore.append contract, snapshot-versioned). Returns the new
+    * version. */
   def append(spark: SparkSession, delta: DataFrame, dir: String,
              cellCol: String = "cell16", idCol: String = "image_id"): Int = {
     val prev = manifest(spark, dir, headVersion(spark, dir))
+    requireBloomCol(prev, idCol, "append")
     val v = prev.version + 1
+    acquireClaim(spark, dir, v)
     val newFiles = writeCommitFiles(spark, delta, dir, v, cellCol)
-    val merged = (prev.stats ++ statsOf(delta, cellCol)).groupBy(_.bucket)
+    val (deltaStats, deltaBlooms) = statsAndBlooms(delta, cellCol, idCol)
+    val merged = (prev.stats ++ deltaStats).groupBy(_.bucket)
       .map { case (b, ss) =>
         BucketStat(b, ss.map(_.cellMin).min, ss.map(_.cellMax).max, ss.map(_.rows).sum)
       }.toSeq
+    val blooms = mergeBlooms(prev.blooms, prev.stats.map(_.bucket).toSet,
+      deltaBlooms, deltaStats.map(_.bucket).toSet)
     commit(spark, dir, Manifest(v, prev.files ++ newFiles, merged, prev.lastBatch,
-      mergeBlooms(prev.blooms, bloomsOf(delta, cellCol, idCol))))
+      blooms, bloomCol = if (blooms.isEmpty) None else Some(idCol)),
+      preClaimed = true)
   }
 
   /** Streaming ingest commit — ONE append snapshot per micro-batch,
@@ -340,14 +400,20 @@ object SnapshotStore {
                   idCol: String = "image_id"): Option[Int] = {
     val prev = manifest(spark, dir, headVersion(spark, dir))
     if (batchId <= prev.lastBatch) return None
+    requireBloomCol(prev, idCol, "appendBatch")
     val v = prev.version + 1
+    acquireClaim(spark, dir, v)
     val newFiles = writeCommitFiles(spark, batch, dir, v, cellCol)
-    val merged = (prev.stats ++ statsOf(batch, cellCol)).groupBy(_.bucket)
+    val (batchStats, batchBlooms) = statsAndBlooms(batch, cellCol, idCol)
+    val merged = (prev.stats ++ batchStats).groupBy(_.bucket)
       .map { case (b, ss) =>
         BucketStat(b, ss.map(_.cellMin).min, ss.map(_.cellMax).max, ss.map(_.rows).sum)
       }.toSeq
+    val blooms = mergeBlooms(prev.blooms, prev.stats.map(_.bucket).toSet,
+      batchBlooms, batchStats.map(_.bucket).toSet)
     Some(commit(spark, dir, Manifest(v, prev.files ++ newFiles, merged, batchId,
-      mergeBlooms(prev.blooms, bloomsOf(batch, cellCol, idCol)))))
+      blooms, bloomCol = if (blooms.isEmpty) None else Some(idCol)),
+      preClaimed = true))
   }
 
   /** Attach a stream to the table: every micro-batch commits one snapshot
@@ -374,7 +440,9 @@ object SnapshotStore {
              idCol: String = "image_id", cellCol: String = "cell16",
              deletedCol: Option[String] = None): Int = {
     val prev = manifest(spark, dir, headVersion(spark, dir))
+    requireBloomCol(prev, idCol, "upsert")
     val v = prev.version + 1
+    acquireClaim(spark, dir, v)
     val head = readVersion(spark, dir, prev.version)
     val deltaKeys = delta.select(col(idCol)).distinct()
     // victim buckets from the MANIFEST BLOOMS alone (round 5, VERDICT r04
@@ -417,14 +485,13 @@ object SnapshotStore {
     // new-side stats are then simply empty and the commit carries on
     val (newStats, newBlooms) =
       if (newFiles.isEmpty) (Seq.empty[BucketStat], Map.empty[Long, Array[Long]])
-      else {
-        val written = spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$dir/data_v$v")
-        (statsOf(written, cellCol), bloomsOf(written, cellCol, idCol))
-      }
+      else statsAndBlooms(spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/data_v$v"), cellCol, idCol)
     val stats = prev.stats.filterNot(s => touched.contains(s.bucket)) ++ newStats
     val blooms = prev.blooms.view.filterKeys(!touched.contains(_)).toMap ++ newBlooms
-    commit(spark, dir, Manifest(v, carried ++ newFiles, stats, prev.lastBatch, blooms))
+    commit(spark, dir, Manifest(v, carried ++ newFiles, stats, prev.lastBatch,
+      blooms, bloomCol = if (blooms.isEmpty) None else Some(idCol)),
+      preClaimed = true)
   }
 
   private def readFiles(spark: SparkSession, dir: String,
@@ -520,6 +587,10 @@ object SnapshotStore {
     (1 until keepFrom).foreach { v =>
       val p = manifestPath(dir, v)
       if (fs.exists(p)) fs.delete(p, false)
+      // the version's claim dies with its manifest (review r05: claims are
+      // otherwise immortal and bloat the _snaps listing one per commit)
+      val c = new Path(s"$dir/_snaps/v$v.claim")
+      if (fs.exists(c)) fs.delete(c, false)
     }
     orphans.size
   }

@@ -35,7 +35,12 @@ object Booleans {
     * yields area_inter <= 0 and the pair is filtered like any disjoint one.
     * @param regions (region_id, rings_lat, rings_lng) — ring lists, head =
     *                shell, tail = holes. */
-  def overlapBooleans(regions: DataFrame): DataFrame = {
+  /** The SOUND overlapping-pair candidate join shared by both boolean
+    * gates (scaladoc above; extracted round 5 so a soundness fix cannot
+    * drift between them): ancestors-of-covering on one side vs plain
+    * covering cells on the other, both orientations unioned, one row per
+    * unordered candidate pair with both ring sets attached. */
+  private def overlapPairs(regions: DataFrame): DataFrame = {
     val ancUdf = udf((c: Long) => (0 to S2.level(c)).map(l => S2.parent(c, l)))
     def plainSide(idAs: String, latAs: String, lngAs: String) = regions
       .select(col("region_id").as(idAs),
@@ -46,12 +51,16 @@ object Booleans {
         col("rings_lat").as(latAs), col("rings_lng").as(lngAs),
         explode(col("cells")).as("c0"))
       .select(col(idAs), col(latAs), col(lngAs), explode(ancUdf(col("c0"))).as("cell"))
-    val pairs = ancSide("id_a", "a_lat", "a_lng")
+    ancSide("id_a", "a_lat", "a_lng")
       .join(broadcast(plainSide("id_b", "b_lat", "b_lng")), "cell")
       .unionByName(plainSide("id_a", "a_lat", "a_lng")
         .join(broadcast(ancSide("id_b", "b_lat", "b_lng")), "cell"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  def overlapBooleans(regions: DataFrame): DataFrame = {
+    val pairs = overlapPairs(regions)
     val boolUdf = udf((aLat: Seq[Seq[Double]], aLng: Seq[Seq[Double]],
                        bLat: Seq[Seq[Double]], bLng: Seq[Seq[Double]]) => {
       val a = aLat.indices.map(i => (aLat(i).toArray, aLng(i).toArray))
@@ -87,22 +96,7 @@ object Booleans {
     * @return (id_a, id_b, op, n_outer, n_hole, area_q) — area_q =
     *         rint(area x 1e9), exact for the decimal fixtures. */
   def booleanRingStats(regions: DataFrame): DataFrame = {
-    val ancUdf = udf((c: Long) => (0 to S2.level(c)).map(l => S2.parent(c, l)))
-    def plainSide(idAs: String, latAs: String, lngAs: String) = regions
-      .select(col("region_id").as(idAs),
-        col("rings_lat").as(latAs), col("rings_lng").as(lngAs),
-        explode(col("cells")).as("cell"))
-    def ancSide(idAs: String, latAs: String, lngAs: String) = regions
-      .select(col("region_id").as(idAs),
-        col("rings_lat").as(latAs), col("rings_lng").as(lngAs),
-        explode(col("cells")).as("c0"))
-      .select(col(idAs), col(latAs), col(lngAs), explode(ancUdf(col("c0"))).as("cell"))
-    val pairs = ancSide("id_a", "a_lat", "a_lng")
-      .join(broadcast(plainSide("id_b", "b_lat", "b_lng")), "cell")
-      .unionByName(plainSide("id_a", "a_lat", "a_lng")
-        .join(broadcast(ancSide("id_b", "b_lat", "b_lng")), "cell"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val pairs = overlapPairs(regions)
     val statsUdf = udf((aLat: Seq[Seq[Double]], aLng: Seq[Seq[Double]],
                         bLat: Seq[Seq[Double]], bLng: Seq[Seq[Double]]) => {
       val a = aLat.indices.map(i => (aLat(i).toArray, aLng(i).toArray))

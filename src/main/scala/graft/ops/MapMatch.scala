@@ -192,9 +192,9 @@ object MapMatch {
       .as[Long].collect().sorted.toSeq
     if (origins.size > maxNetworkNodes)
       throw new IllegalStateException(
-        s"viterbiMatchRouted: network has ${origins.size} nodes > " +
-          s"maxNetworkNodes=$maxNetworkNodes; pre-shard the network by region " +
-          "or raise the bound")
+        s"viterbiMatchRouted: network has MORE THAN maxNetworkNodes=" +
+          s"$maxNetworkNodes nodes (count truncated at the bound); pre-shard " +
+          "the network by region or raise the bound")
     // the per-network distance precompute: one multi-origin bounded flood
     val distDf = Reachability.reachableMulti(spark, edges, origins,
       cutoff = maxRouteMeters)

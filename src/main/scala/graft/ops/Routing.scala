@@ -184,8 +184,9 @@ object Routing {
       .distinct().limit(maxNetworkNodes + 1).as[Long].collect().sorted.toSeq
     if (origins.size > maxNetworkNodes)
       throw new IllegalStateException(
-        s"routeDistanceProjected: ${origins.size} distinct origin nodes > " +
-          s"maxNetworkNodes=$maxNetworkNodes; shard the request batch by region")
+        "routeDistanceProjected: MORE THAN maxNetworkNodes=" +
+          s"$maxNetworkNodes distinct origin nodes (count truncated at the " +
+          "bound); shard the request batch by region")
     val dist =
       if (origins.isEmpty)
         Seq.empty[(Long, Long, Double)].toDF("origin", "node", "dist")

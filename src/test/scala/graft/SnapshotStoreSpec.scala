@@ -229,6 +229,40 @@ class SnapshotStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("HEAD"))
   }
 
+  test("bloom merge stays conservative: pre-bloom data never acquires a delta-only bloom") {
+    // review r05: a bucket holding data from a bloom-less (legacy) commit
+    // must STAY bloom-less after an append, or victim discovery would
+    // probe a bloom that only covers the delta's keys and silently skip
+    // deletes/updates of the older rows
+    val dir = freshDir("legacy")
+    SnapshotStore.create(spark, rows(1L to 10L, "a"), dir)
+    val m1 = SnapshotStore.manifest(spark, dir, 1)
+    // simulate a legacy v2: same files, no bloom lines in the manifest
+    SnapshotStore.commit(spark, dir,
+      m1.copy(version = 2, blooms = Map.empty, bloomCol = None))
+    SnapshotStore.append(spark, rows(Seq(12L), "b"), dir)
+    val m3 = SnapshotStore.manifest(spark, dir, 3)
+    assert(m3.blooms.isEmpty,
+      "buckets with pre-bloom data must carry no bloom after the merge")
+    // the behavioral stake: deleting a pre-bloom row must still land
+    val delta = rows(Seq(2L), "x").withColumn("_deleted", lit(true))
+    SnapshotStore.upsert(spark, delta, dir, deletedCol = Some("_deleted"))
+    assert(!content(SnapshotStore.read(spark, dir)).exists(_._1 == 2L),
+      "delete of a pre-bloom row was silently skipped")
+  }
+
+  test("bloom column mismatch fails loudly instead of probing wrong values") {
+    val dir = freshDir("bloomcol")
+    SnapshotStore.create(spark, rows(1L to 4L, "a"), dir) // blooms over image_id
+    val delta = rows(Seq(2L), "u").withColumnRenamed("image_id", "other_id")
+      .withColumn("_deleted", lit(false))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.upsert(spark, delta, dir, idCol = "other_id",
+        deletedCol = Some("_deleted"))
+    }
+    assert(e.getMessage.contains("bloom"))
+  }
+
   test("optimistic arbitration: a stale writer's commit conflicts; content survives") {
     // Iceberg catalog-CAS role (round 5): two writers race for v2 — the
     // loser must get CommitConflictException, never clobber the winner
