@@ -55,20 +55,25 @@ object Tiling {
       explode(col("tags")).as(Seq("tag_key", "tag_value")))
     val r = rules.select(col("rule_idx"), col("tag_key").as("r_key"),
       col("tag_value").as("r_val"), col("min_zoom"), col("max_zoom"), col("layer"))
-    val assigned = tagged
+    // lat/lng ride the first-match groupBy (functionally dependent on
+    // feature_id) so the tile id comes from the SAME scan — the zoom-z tile
+    // is picked from the feature's tile chain inline, no second read of the
+    // feature table and no (feature, z) re-join
+    tagged
       .join(broadcast(r), col("tag_key") === col("r_key") &&
         (col("r_val").isNull || col("r_val") === col("tag_value")))
       .withColumn("z", explode(sequence(lit(zMin), lit(zMax))))
       .where((col("min_zoom") === 0 || col("z") >= col("min_zoom")) &&
         (col("max_zoom") === 0 || col("z") <= col("max_zoom")))
-      .groupBy(col("feature_id"), col("z"))
+      .groupBy(col("feature_id"), col("lat"), col("lng"), col("z"))
       .agg(min(struct(col("rule_idx"), col("layer"))).as("s"))
-      .select(col("feature_id"), col("z"), col("s.layer").as("layer"))
-    val tiles = pointManifest(
-        features.select(col("feature_id").as("image_id"), col("lat"), col("lng")),
-        zMin, zMax)
-      .select(col("image_id").as("feature_id"), col("z"), col("x"), col("y"))
-    assigned.join(tiles, Seq("feature_id", "z"))
+      .withColumn("tid", element_at(graft.functions.S2Expressions.tileChain(
+        col("lat"), col("lng"), zMin, zMax),
+        // the chain is DESCENDING by zoom (head = zMax)
+        lit(zMax) - col("z") + lit(1)))
+      .select(col("feature_id"), col("z"), col("s.layer").as("layer"),
+        expr("tid & (shiftleft(1L, z) - 1)").as("x"),
+        expr("shiftrightunsigned(tid, z) & (shiftleft(1L, z) - 1)").as("y"))
       .groupBy(col("z"), col("x"), col("y"), col("layer"))
       .agg(count(lit(1)).as("n_features"), min(col("feature_id")).as("first_id"))
   }
